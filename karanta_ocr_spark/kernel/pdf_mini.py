@@ -1,0 +1,533 @@
+"""Minimal pure-stdlib PDF parser producing the reference's
+``PageReport`` structure.
+
+The reference uses pypdf's text-extraction visitors to flatten a PDF
+page into coordinate-tagged elements (``karanta/prompts/anchor.py:69-128``):
+each text-showing operation contributes ``TextElement(text, x, y)``
+with ``(x, y) = (mult(tm, cm)[4], mult(tm, cm)[5])`` and each image
+``Do`` contributes a bbox from transforming the unit square through
+the CTM (``anchor.py:105-120``). pypdf is not available here, so this
+module implements exactly that: a sequential object scanner, a small
+dict/array tokenizer, FlateDecode support (zlib is stdlib), and a
+content-stream interpreter covering the operators our corpus (and
+garden-variety generated PDFs) use: ``q Q cm BT ET Tf Td TD T* TL Tm
+Tj TJ ' " Do``.
+
+The matrix math mirrors the reference byte-for-byte
+(``anchor.py:15-29``): matrices are ``[a b c d e f]`` row-major 3x3
+affine with implicit last column.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass
+from typing import List
+
+
+# ---------------------------------------------------------------- matrices
+def _mult(m: List[float], n: List[float]) -> List[float]:
+    """Reference ``_mult`` (``karanta/prompts/anchor.py:21-29``)."""
+    return [
+        m[0] * n[0] + m[1] * n[2],
+        m[0] * n[1] + m[1] * n[3],
+        m[2] * n[0] + m[3] * n[2],
+        m[2] * n[1] + m[3] * n[3],
+        m[4] * n[0] + m[5] * n[2] + n[4],
+        m[4] * n[1] + m[5] * n[3] + n[5],
+    ]
+
+
+def _transform_point(x: float, y: float, m: List[float]):
+    """Reference ``_transform_point`` (``anchor.py:15-18``)."""
+    return m[0] * x + m[2] * y + m[4], m[1] * x + m[3] * y + m[5]
+
+
+_IDENTITY = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+
+
+# ---------------------------------------------------------------- model
+@dataclass(frozen=True)
+class BoundingBox:
+    x0: float
+    y0: float
+    x1: float
+    y1: float
+
+
+@dataclass(frozen=True)
+class TextElement:
+    text: str
+    x: float
+    y: float
+
+
+@dataclass(frozen=True)
+class ImageElement:
+    name: str
+    bbox: BoundingBox
+
+
+@dataclass(frozen=True)
+class PageReport:
+    mediabox: BoundingBox
+    text_elements: List[TextElement]
+    image_elements: List[ImageElement]
+
+
+# ---------------------------------------------------------------- objects
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)\bendobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    """Tokenizer for PDF object syntax (dicts, arrays, names, numbers,
+    strings, refs). Operates on bytes."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.d = data
+        self.i = pos
+        self.n = len(data)
+
+    def _skip_ws(self) -> None:
+        d, n = self.d, self.n
+        while self.i < n:
+            c = d[self.i]
+            if c in _WS:
+                self.i += 1
+            elif c == 0x25:  # '%' comment
+                j = d.find(b"\n", self.i)
+                self.i = n if j < 0 else j + 1
+            else:
+                break
+
+    def peek(self, k: int = 2) -> bytes:
+        return self.d[self.i : self.i + k]
+
+    def value(self):
+        """Parse one PDF value at the cursor."""
+        self._skip_ws()
+        if self.i >= self.n:
+            return None
+        d, i = self.d, self.i
+        c = d[i : i + 1]
+        if d[i : i + 2] == b"<<":
+            return self._dict()
+        if c == b"<":
+            return self._hex_string()
+        if c == b"(":
+            return self._literal_string()
+        if c == b"[":
+            return self._array()
+        if c == b"/":
+            return self._name()
+        if d[i : i + 4] == b"true":
+            self.i += 4
+            return True
+        if d[i : i + 5] == b"false":
+            self.i += 5
+            return False
+        if d[i : i + 4] == b"null":
+            self.i += 4
+            return None
+        return self._number_or_ref()
+
+    def _name(self) -> str:
+        assert self.d[self.i : self.i + 1] == b"/"
+        self.i += 1
+        start = self.i
+        while self.i < self.n and self.d[self.i] not in _WS and self.d[self.i] not in _DELIM:
+            self.i += 1
+        raw = self.d[start : self.i]
+        # #xx hex escapes in names
+        raw = re.sub(rb"#([0-9A-Fa-f]{2})", lambda m: bytes([int(m.group(1), 16)]), raw)
+        return "/" + raw.decode("latin-1")
+
+    _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+
+    def _number_or_ref(self):
+        m = self._NUM_RE.match(self.d, self.i)
+        if not m:
+            # Unknown token: consume one char to guarantee progress.
+            self.i += 1
+            return None
+        tok = m.group(0)
+        end = m.end()
+        # Indirect reference lookahead: "<int> <int> R"
+        if b"." not in tok:
+            m2 = re.compile(rb"\s+(\d+)\s+R\b").match(self.d, end)
+            if m2:
+                self.i = m2.end()
+                return Ref(int(tok), int(m2.group(1)))
+        self.i = end
+        return float(tok) if b"." in tok else int(tok)
+
+    def _array(self) -> list:
+        assert self.d[self.i : self.i + 1] == b"["
+        self.i += 1
+        out = []
+        while True:
+            self._skip_ws()
+            if self.i >= self.n or self.d[self.i : self.i + 1] == b"]":
+                self.i += 1
+                return out
+            out.append(self.value())
+
+    def _dict(self) -> dict:
+        assert self.d[self.i : self.i + 2] == b"<<"
+        self.i += 2
+        out: dict = {}
+        while True:
+            self._skip_ws()
+            if self.d[self.i : self.i + 2] == b">>":
+                self.i += 2
+                return out
+            if self.i >= self.n:
+                return out
+            key = self.value()
+            val = self.value()
+            if isinstance(key, str):
+                out[key] = val
+
+    def _hex_string(self) -> bytes:
+        end = self.d.find(b">", self.i)
+        raw = re.sub(rb"\s", b"", self.d[self.i + 1 : end])
+        if len(raw) % 2:
+            raw += b"0"
+        self.i = end + 1
+        return bytes.fromhex(raw.decode("ascii"))
+
+    def _literal_string(self) -> bytes:
+        # ( ... ) with nesting and backslash escapes.
+        assert self.d[self.i : self.i + 1] == b"("
+        self.i += 1
+        out = bytearray()
+        depth = 1
+        d, n = self.d, self.n
+        while self.i < n:
+            c = d[self.i]
+            if c == 0x5C:  # backslash
+                self.i += 1
+                if self.i >= n:
+                    break
+                e = d[self.i]
+                self.i += 1
+                if e == 0x6E:
+                    out += b"\n"
+                elif e == 0x72:
+                    out += b"\r"
+                elif e == 0x74:
+                    out += b"\t"
+                elif e == 0x62:
+                    out += b"\b"
+                elif e == 0x66:
+                    out += b"\f"
+                elif e in b"()\\":
+                    out.append(e)
+                elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                    oct_digits = [e]
+                    while len(oct_digits) < 3 and self.i < n and 0x30 <= d[self.i] <= 0x37:
+                        oct_digits.append(d[self.i])
+                        self.i += 1
+                    out.append(int(bytes(oct_digits), 8) & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    if e == 0x0D and self.i < n and d[self.i] == 0x0A:
+                        self.i += 1
+                else:
+                    out.append(e)
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                self.i += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    self.i += 1
+                    return bytes(out)
+                out.append(c)
+                self.i += 1
+            else:
+                out.append(c)
+                self.i += 1
+        return bytes(out)
+
+
+@dataclass(frozen=True)
+class Ref:
+    num: int
+    gen: int
+
+
+class PdfDocument:
+    """Sequentially-scanned PDF (no xref needed — robust to the
+    truncated/regenerated files common in web crawls)."""
+
+    def __init__(self, data: bytes):
+        if not data.startswith(b"%PDF"):
+            raise ValueError("not a PDF (missing %PDF magic)")
+        self.objects: dict[int, tuple[dict | object, bytes | None]] = {}
+        for m in _OBJ_RE.finditer(data):
+            num = int(m.group(1))
+            body = m.group(3)
+            lex = _Lexer(body)
+            val = lex.value()
+            stream = None
+            sm = _STREAM_RE.search(body)
+            if sm is not None:
+                stream = sm.group(1)
+                if isinstance(val, dict):
+                    filt = self._resolve_later(val.get("/Filter"))
+                    length = val.get("/Length")
+                    if isinstance(length, int):
+                        stream = stream[:length] if length <= len(stream) else stream
+                    if filt == "/FlateDecode" or (
+                        isinstance(filt, list) and "/FlateDecode" in filt
+                    ):
+                        try:
+                            stream = zlib.decompress(stream)
+                        except zlib.error:
+                            pass
+            self.objects[num] = (val, stream)
+        self._page_cache: list[tuple[dict, bytes, BoundingBox]] | None = None
+
+    @staticmethod
+    def _resolve_later(v):
+        return v
+
+    def resolve(self, v):
+        while isinstance(v, Ref):
+            v = self.objects.get(v.num, (None, None))[0]
+        return v
+
+    # -- page tree -------------------------------------------------------
+    def _find_root_pages(self) -> dict | None:
+        for val, _ in self.objects.values():
+            if isinstance(val, dict) and val.get("/Type") == "/Catalog":
+                return self.resolve(val.get("/Pages"))
+        # Fallback: any /Pages node without a parent.
+        for val, _ in self.objects.values():
+            if isinstance(val, dict) and val.get("/Type") == "/Pages" and "/Parent" not in val:
+                return val
+        return None
+
+    def _walk_pages(self, node: dict, inherited: dict, out: list) -> None:
+        if not isinstance(node, dict):
+            return
+        inh = dict(inherited)
+        for k in ("/MediaBox", "/Resources"):
+            if k in node:
+                inh[k] = node[k]
+        if node.get("/Type") == "/Page":
+            out.append((node, inh))
+            return
+        for kid in self.resolve(node.get("/Kids")) or []:
+            self._walk_pages(self.resolve(kid), inh, out)
+
+    def pages(self) -> list[tuple[dict, dict]]:
+        """Ordered list of (page dict, inherited attrs)."""
+        root = self._find_root_pages()
+        out: list[tuple[dict, dict]] = []
+        if root is not None:
+            self._walk_pages(root, {}, out)
+        if not out:
+            # Last resort: objects with /Type /Page in object order.
+            for num in sorted(self.objects):
+                val, _ = self.objects[num]
+                if isinstance(val, dict) and val.get("/Type") == "/Page":
+                    out.append((val, {}))
+        return out
+
+    def num_pages(self) -> int:
+        return len(self.pages())
+
+    def page_content(self, page: dict) -> bytes:
+        contents = page.get("/Contents")
+        parts: list[bytes] = []
+        items = contents if isinstance(contents, list) else [contents]
+        for it in items:
+            if isinstance(it, Ref):
+                _, stream = self.objects.get(it.num, (None, None))
+                if stream is not None:
+                    parts.append(stream)
+        return b"\n".join(parts)
+
+
+def _decode_pdf_string(raw: bytes) -> str:
+    """Decode a PDF string payload. UTF-16BE with BOM per spec; else we
+    try UTF-8 (what our generator and most modern producers emit for
+    non-Latin scripts), falling back to latin-1 (PDFDocEncoding-ish)."""
+    if raw[:2] == b"\xfe\xff":
+        try:
+            return raw[2:].decode("utf-16-be")
+        except UnicodeDecodeError:
+            pass
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
+_CONTENT_TOKEN = re.compile(
+    rb"""
+      (?P<str>\()            # literal string start, handled by lexer
+    | (?P<hex><(?!<))        # hex string start
+    | (?P<dict><<)           # inline dict (e.g. BDC props)
+    | (?P<arr>\[)            # array start
+    | (?P<name>/[^\s()<>\[\]{}/%]*)
+    | (?P<num>[+-]?(?:\d+\.?\d*|\.\d+))
+    | (?P<op>[A-Za-z'"][A-Za-z0-9'"*]*)
+    """,
+    re.X,
+)
+
+
+def _interpret_content(
+    content: bytes,
+    xobjects: dict,
+    doc: PdfDocument,
+    text_elements: list[TextElement],
+    image_elements: list[ImageElement],
+) -> None:
+    """Execute the content stream, emitting elements exactly as the
+    reference visitors do (``anchor.py:87-120``): text position =
+    ``mult(tm, cm)`` translation; image bbox = unit square through cm."""
+    cm = list(_IDENTITY)
+    stack: list[list[float]] = []
+    tm = list(_IDENTITY)
+    tlm = list(_IDENTITY)
+    leading = 0.0
+    operands: list = []
+
+    def emit_text(raw: bytes) -> None:
+        txt2user = _mult(tm, cm)
+        text_elements.append(
+            TextElement(_decode_pdf_string(raw), txt2user[4], txt2user[5])
+        )
+
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i]
+        if c in _WS:
+            i += 1
+            continue
+        if c == 0x25:  # comment
+            j = content.find(b"\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        lex = _Lexer(content, i)
+        if c == 0x28:  # (
+            operands.append(lex._literal_string())
+            i = lex.i
+            continue
+        if content[i : i + 2] == b"<<":
+            operands.append(lex._dict())
+            i = lex.i
+            continue
+        if c == 0x3C:  # <
+            operands.append(lex._hex_string())
+            i = lex.i
+            continue
+        if c == 0x5B:  # [
+            operands.append(lex._array())
+            i = lex.i
+            continue
+        if c == 0x2F:  # /name
+            operands.append(lex._name())
+            i = lex.i
+            continue
+        m = _CONTENT_TOKEN.match(content, i)
+        if m is None:
+            i += 1
+            continue
+        i = m.end()
+        if m.lastgroup == "num":
+            tok = m.group(0)
+            operands.append(float(tok) if b"." in tok else int(tok))
+            continue
+        op = m.group(0)
+
+        # ---- operators -------------------------------------------------
+        if op == b"q":
+            stack.append(list(cm))
+        elif op == b"Q":
+            if stack:
+                cm = stack.pop()
+        elif op == b"cm" and len(operands) >= 6:
+            mat = [float(v) for v in operands[-6:]]
+            cm = _mult(mat, cm)
+        elif op == b"BT":
+            tm = list(_IDENTITY)
+            tlm = list(_IDENTITY)
+        elif op == b"ET":
+            pass
+        elif op == b"Tm" and len(operands) >= 6:
+            tlm = [float(v) for v in operands[-6:]]
+            tm = list(tlm)
+        elif op in (b"Td", b"TD") and len(operands) >= 2:
+            tx, ty = float(operands[-2]), float(operands[-1])
+            if op == b"TD":
+                leading = -ty
+            tlm = _mult([1, 0, 0, 1, tx, ty], tlm)
+            tm = list(tlm)
+        elif op == b"TL" and operands:
+            leading = float(operands[-1])
+        elif op == b"T*":
+            tlm = _mult([1, 0, 0, 1, 0, -leading], tlm)
+            tm = list(tlm)
+        elif op == b"Tj" and operands:
+            raw = operands[-1]
+            if isinstance(raw, bytes):
+                emit_text(raw)
+        elif op in (b"'", b'"'):
+            tlm = _mult([1, 0, 0, 1, 0, -leading], tlm)
+            tm = list(tlm)
+            raw = operands[-1] if operands else None
+            if isinstance(raw, bytes):
+                emit_text(raw)
+        elif op == b"TJ" and operands:
+            arr = operands[-1]
+            if isinstance(arr, list):
+                # One element per TJ op, strings concatenated (kerning
+                # numbers ignored for position — matches how our
+                # generator uses TJ).
+                raw = b"".join(x for x in arr if isinstance(x, bytes))
+                if raw:
+                    emit_text(raw)
+        elif op == b"Do" and operands:
+            name = operands[-1]
+            xobj = doc.resolve(xobjects.get(name)) if isinstance(name, str) else None
+            if isinstance(xobj, dict) and xobj.get("/Subtype") == "/Image":
+                # Reference anchor.py:109-120: unit square through CTM.
+                x0, y0 = _transform_point(0, 0, cm)
+                x1, y1 = _transform_point(1, 1, cm)
+                image_elements.append(
+                    ImageElement(
+                        name,
+                        BoundingBox(min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1)),
+                    )
+                )
+        operands = []
+
+
+def parse_pdf(data: bytes) -> list[PageReport]:
+    """Parse PDF bytes → one ``PageReport`` per page (1-indexed order),
+    the exact structure of reference ``_pdf_report``
+    (``karanta/prompts/anchor.py:69-128``)."""
+    doc = PdfDocument(data)
+    reports: list[PageReport] = []
+    for page, inh in doc.pages():
+        mb = doc.resolve(page.get("/MediaBox", inh.get("/MediaBox"))) or [0, 0, 612, 792]
+        mediabox = BoundingBox(float(mb[0]), float(mb[1]), float(mb[2]), float(mb[3]))
+        resources = doc.resolve(page.get("/Resources", inh.get("/Resources"))) or {}
+        xobjects = doc.resolve(resources.get("/XObject")) or {}
+        text_elements: list[TextElement] = []
+        image_elements: list[ImageElement] = []
+        content = doc.page_content(page)
+        if content:
+            _interpret_content(content, xobjects, doc, text_elements, image_elements)
+        reports.append(PageReport(mediabox, text_elements, image_elements))
+    return reports

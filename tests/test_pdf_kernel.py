@@ -1,0 +1,136 @@
+"""PDF mini-parser + bbox merge + anchor linearization tests
+(reference semantics: karanta/prompts/anchor.py)."""
+
+from karanta_ocr_spark.fixtures.pdf_gen import ImageSpec, PageSpec, TextRun, build_pdf
+from karanta_ocr_spark.kernel.bbox_merge import merge_image_elements
+from karanta_ocr_spark.kernel.linearize import linearize_page_report, page_natural_text
+from karanta_ocr_spark.kernel.pdf_mini import (
+    BoundingBox,
+    ImageElement,
+    parse_pdf,
+)
+
+
+def _one_page(runs=(), images=(), w=612.0, h=792.0, compress=False):
+    return parse_pdf(
+        build_pdf([PageSpec(width=w, height=h, runs=list(runs), images=list(images))],
+                  compress=compress)
+    )[0]
+
+
+def test_text_coordinates_exact():
+    rep = _one_page(runs=[TextRun("hello", 72.5, 700.25)])
+    assert len(rep.text_elements) == 1
+    el = rep.text_elements[0]
+    assert (el.text, el.x, el.y) == ("hello", 72.5, 700.25)
+    assert rep.mediabox == BoundingBox(0.0, 0.0, 612.0, 792.0)
+
+
+def test_flate_compressed_stream():
+    rep = _one_page(runs=[TextRun("compressed run", 10, 20)], compress=True)
+    assert rep.text_elements[0].text == "compressed run"
+
+
+def test_unicode_and_escapes():
+    rep = _one_page(runs=[TextRun("ߒߞߏ (ꕉꕜꕮ) \\ ሰላም", 10, 20)])
+    assert rep.text_elements[0].text == "ߒߞߏ (ꕉꕜꕮ) \\ ሰላም"
+
+
+def test_multipage_order_and_count():
+    pdf = build_pdf(
+        [PageSpec(runs=[TextRun(f"page {i}", 72, 700)]) for i in range(1, 4)]
+    )
+    reports = parse_pdf(pdf)
+    assert [r.text_elements[0].text for r in reports] == ["page 1", "page 2", "page 3"]
+
+
+def test_image_bbox_via_ctm():
+    rep = _one_page(images=[ImageSpec(100, 200, 80, 60)])
+    assert len(rep.image_elements) == 1
+    bb = rep.image_elements[0].bbox
+    assert (bb.x0, bb.y0, bb.x1, bb.y1) == (100.0, 200.0, 180.0, 260.0)
+
+
+def test_merge_overlapping_images():
+    imgs = [
+        ImageElement("/Im0", BoundingBox(0, 0, 10, 10)),
+        ImageElement("/Im1", BoundingBox(10.4, 0, 20, 10)),  # within 0.5 tol
+        ImageElement("/Im2", BoundingBox(50, 50, 60, 60)),
+    ]
+    merged = merge_image_elements(imgs)
+    assert len(merged) == 2
+    big = next(m for m in merged if "+" in m.name)
+    assert (big.bbox.x0, big.bbox.x1) == (0, 20)
+
+
+def test_merge_quirk_over_100_returns_none():
+    imgs = [
+        ImageElement(f"/Im{i}", BoundingBox(i, i, i + 1, i + 1)) for i in range(101)
+    ]
+    assert merge_image_elements(imgs) is None
+
+
+def test_linearize_no_images_empty():
+    # Reference anchor.py:238-241: zero images → page anchors to "".
+    rep = _one_page(runs=[TextRun("text only", 72, 700)])
+    assert linearize_page_report(rep) == ""
+
+
+def test_linearize_under_budget_format_and_sort():
+    rep = _one_page(
+        runs=[TextRun("low", 100, 100), TextRun("high", 100, 700)],
+        images=[ImageSpec(50, 400, 10, 10)],
+    )
+    out = linearize_page_report(rep)
+    lines = out.splitlines()
+    assert lines[0] == "Page dimensions: 612.0x792.0"
+    # y-desc order: high(700), image(400), low(100)
+    assert lines[1] == "[100x700]high"
+    assert lines[2] == "[Image 50x400 to 60x410]"
+    assert lines[3] == "[100x100]low"
+
+
+def test_linearize_budget_lt_20_header_only():
+    rep = _one_page(runs=[TextRun("x", 1, 1)], images=[ImageSpec(0, 0, 1, 1)])
+    assert linearize_page_report(rep, max_length=19) == "Page dimensions: 612.0x792.0\n"
+
+
+def test_linearize_over_budget_deterministic_and_bounded():
+    runs = [TextRun(f"run number {i} with some padding text", 50 + i, 700 - 2 * i)
+            for i in range(300)]
+    rep = _one_page(runs=runs, images=[ImageSpec(5, 5, 2, 2)])
+    out1 = linearize_page_report(rep, max_length=4000, shuffle_seed=7)
+    out2 = linearize_page_report(rep, max_length=4000, shuffle_seed=7)
+    out3 = linearize_page_report(rep, max_length=4000, shuffle_seed=8)
+    assert out1 == out2  # same seed → identical
+    assert out1 != out3  # different seed → different fill
+    assert len(out1) <= 4000 + 200  # edge elements may overflow slightly
+    # edge elements always present: min-y and max-y text runs
+    assert "[50x700]" in out1 and "[349x102]" in out1
+
+
+def test_natural_text_single_column_reading_order():
+    rep = _one_page(
+        runs=[
+            TextRun("line two", 72, 680),
+            TextRun("line one", 72, 700),
+            TextRun("line three", 72, 660),
+        ]
+    )
+    assert page_natural_text(rep) == "line one\nline two\nline three"
+
+
+def test_natural_text_two_columns():
+    runs = [TextRun(f"L{i}", 60, 700 - 20 * i) for i in range(4)] + [
+        TextRun(f"R{i}", 400, 700 - 20 * i) for i in range(4)
+    ]
+    rep = _one_page(runs=runs)
+    # left column fully before right column
+    assert page_natural_text(rep) == "L0\nL1\nL2\nL3\nR0\nR1\nR2\nR3"
+
+
+def test_natural_text_same_line_x_order():
+    rep = _one_page(runs=[TextRun("world", 200, 700), TextRun("hello", 72, 700.5)])
+    # y within tolerance → same line, x ascending; gap below column
+    # threshold → single column
+    assert page_natural_text(rep) == "hello world"
