@@ -1,38 +1,340 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full extraction pipeline over a
+web_pages table derived (pure JVM) from sf0.001 documents.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 and
+the training-data operator set); each takes (spark, sf_dir).
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+query (same column names/types). Non-SQL-expressible ops (MinHash
+LSH, SimHash, hyperplane-LSH ANN — they depend on xxhash64) are
+rows-only checked here and golden-tested in tests/.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from karanta_ocr_spark.functions.text_analysis import (
+    avg_token_len,
+    fingerprint_md5,
+    lang_id_heuristic,
+    stopword_ratio,
+    token_count,
+)
+from karanta_ocr_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash_dedup,
+)
+from karanta_ocr_spark.operators.similarity import (
+    cosine_topk_per_probe,
+    embedding_near_dup,
+    lsh_bucketed_topk,
+)
+from karanta_ocr_spark.pipeline import run_extraction
+from karanta_ocr_spark.sources.web_pages import web_pages_from_documents
+
+_D = "documents.parquet"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{_D}")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extraction (boilerplate strip → text + spans) over
+    web pages derived from sf0.001 documents."""
+    web = web_pages_from_documents(spark, "/root/testdata/sf0.001")
+    return run_extraction(spark, web, num_partitions=8)
+
+
+# --------------------------------------------------------------- queries
+def _q_extract_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    web = web_pages_from_documents(spark, sf_dir)
+    docs = run_extraction(spark, web, num_partitions=8)
+    return docs.select(
+        "url",
+        "text",
+        F.col("n_pages").cast("int").alias("n_pages"),
+        F.element_at("spans", 1)["start"].cast("long").alias("span_start"),
+        F.element_at("spans", 1)["end"].cast("long").alias("span_end"),
+    )
+
+
+def _q_source_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1/T15 analog in pure SQL shape: per-source ordered concat.
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda p: p["text"],
+                ),
+                "\n",
+            ).alias("full_text"),
+        )
+        .withColumn("full_len", F.length("full_text").cast("long"))
+    )
+
+
+def _q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+def _q_workspace_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.when(F.col("n_chars") > 400, 1).otherwise(0))
+        .cast("long")
+        .alias("long_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+
+
+def _q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    committed = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    return docs.join(committed, on="doc_id", how="left_anti").select("doc_id", "lang")
+
+
+def _q_systematic_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O7: interval stride 7, phase 3.
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.pmod(F.col("doc_id") - 3, F.lit(7)) == 0)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+def _q_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy(F.desc("total_chars"), F.col("source"))
+        .limit(10)
+    )
+
+
+def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fingerprint"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+
+
+def _q_exact_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumn("pfx", F.substring(F.trim("text"), 1, 16))
+    return exact_dedup(d, ["pfx"], "doc_id").select("doc_id", "pfx")
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+        F.round(avg_token_len(F.col("text")), 6).alias("avg_tok_len"),
+    )
+
+
+def _q_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def _q_user_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F4 analog: drop users whose error rate exceeds the gate.
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_errors"),
+        )
+        .filter(F.col("n_errors") / F.col("n_events") <= 0.3)
+    )
+
+
+# ---- rows-only checked (hash-seeded ops not reproducible in DuckDB) ----
+def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_dedup(
+        _docs(spark, sf_dir), "text", "doc_id", num_perm=32, bands=8
+    ).select("doc_id", "lang", "source")
+
+
+def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_dedup(_docs(spark, sf_dir), "text", "doc_id").select(
+        "doc_id", "simhash"
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang_id_heuristic(F.col("text")).alias("lang_guess")
+    )
+
+
+def _q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return cosine_topk_per_probe(emb, probes, k=5)
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return lsh_bucketed_topk(emb, probes, k=5, num_planes=8)
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup(_emb(spark, sf_dir), threshold=0.99, num_planes=8).select(
+        "vec_id", "label"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_html_docs": _q_extract_html_docs,
+        "source_assembly": _q_source_assembly,
+        "lang_stats": _q_lang_stats,
+        "workspace_stats": _q_workspace_stats,
+        "resume_anti_join": _q_resume_anti_join,
+        "systematic_sampling": _q_systematic_sampling,
+        "top_sources": _q_top_sources,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "exact_dedup_prefix": _q_exact_dedup_prefix,
+        "quality_scores": _q_quality_scores,
+        "event_stats": _q_event_stats,
+        "user_error_gate": _q_user_error_gate,
+        # rows-only (hash-seeded / approximate):
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "lang_id": _q_lang_id,
+        "ann_brute_topk": _q_ann_brute_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOP_SQL = "('the','a','an','of','to','in','and','is','it','for','le','la','les','de','et','un','une','du','ya','wa','na','kwa','ni','za','da','ta','ba','ka','su')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_html_docs": """
+            SELECT 'https://docs.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || trim(text) AS text,
+                   1 AS n_pages,
+                   CAST(0 AS BIGINT) AS span_start,
+                   CAST(length('Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || trim(text)) AS BIGINT) AS span_end
+            FROM documents
+            WHERE length(trim(text)) >= 25
+        """,
+        "source_assembly": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   string_agg(text, chr(10) ORDER BY doc_id) AS full_text,
+                   CAST(length(string_agg(text, chr(10) ORDER BY doc_id)) AS BIGINT) AS full_len
+            FROM documents GROUP BY source
+        """,
+        "lang_stats": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "workspace_stats": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(CASE WHEN n_chars > 400 THEN 1 ELSE 0 END) AS BIGINT) AS long_docs,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents
+        """,
+        "resume_anti_join": """
+            SELECT doc_id, lang FROM documents WHERE doc_id % 3 <> 0
+        """,
+        "systematic_sampling": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE ((doc_id - 3) % 7 + 7) % 7 = 0
+        """,
+        "top_sources": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY source
+            ORDER BY total_chars DESC, source LIMIT 10
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "exact_dedup_prefix": """
+            SELECT min(doc_id) AS doc_id, substring(trim(text), 1, 16) AS pfx
+            FROM documents GROUP BY substring(trim(text), 1, 16)
+        """,
+        "quality_scores": f"""
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   round(CAST(len(list_filter(toks, x -> lower(x) IN {_STOP_SQL})) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+                   round(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks), 6) AS avg_tok_len
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+        """,
+        "event_stats": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY event_type
+        """,
+        "user_error_gate": """
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+            FROM events GROUP BY user_id
+            HAVING CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) <= 0.3
+        """,
+    }

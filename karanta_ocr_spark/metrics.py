@@ -1,0 +1,64 @@
+"""Lineage + metrics table (FIXTURES.md §5 schema).
+
+One row per extraction partition per run: input rows/pages, failure
+counts, a bounded sample of failures, wall time, docs/sec. The Spark
+analog of the reference's SQLite task ledger
+(``bulk_processing/utils/database.py:16-49``) and MetricsKeeper
+reporting (``karanta/pipeline.py:1404-1470``) — but append-only rows
+on a snapshot-committed table instead of mutable row state, so resume
+needs no coordination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+FAILURE_SAMPLE_N = 5
+
+
+def lineage_rows(pages: DataFrame, run_id: str, config_hash: str) -> DataFrame:
+    """Aggregate page-level extraction rows into per-partition lineage
+    records. Distributed groupBy — no driver collection."""
+    return (
+        pages.groupBy("partition_id")
+        .agg(
+            F.countDistinct("url").alias("rows_in"),
+            F.count(F.lit(1)).alias("pages_out"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("rows_ok"),
+            F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("rows_failed"),
+            F.slice(
+                F.collect_list(
+                    F.when(~F.col("ok"), F.struct("url", "error"))
+                ),
+                1,
+                FAILURE_SAMPLE_N,
+            ).alias("failure_samples"),
+            F.sum("extract_ms").alias("wall_ms_d"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(config_hash).alias("config_hash"),
+            F.col("partition_id"),
+            F.concat(F.lit("partition-"), F.col("partition_id")).alias("input_split"),
+            F.col("rows_in").cast("long"),
+            F.col("rows_ok").cast("long"),
+            F.col("rows_failed").cast("long"),
+            "failure_samples",
+            F.col("wall_ms_d").cast("long").alias("wall_ms"),
+            F.when(
+                F.col("wall_ms_d") > 0,
+                F.col("rows_in") / (F.col("wall_ms_d") / 1000.0),
+            ).otherwise(F.lit(0.0)).alias("docs_per_sec"),
+            F.current_timestamp().alias("committed_at"),
+        )
+    )
+
+
+def write_lineage(
+    spark: SparkSession,
+    pages: DataFrame,
+    metrics_path: str,
+    run_id: str,
+    config_hash: str,
+) -> None:
+    lineage_rows(pages, run_id, config_hash).write.mode("append").parquet(metrics_path)

@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`cosine_topk` — brute-force cosine top-k against one query
+  vector. The dot product is a single ``zip_with``+``aggregate`` pair
+  (JVM, codegen); top-k is ``orderBy(...).limit(k)`` which Spark
+  executes as per-partition TakeOrdered + driver merge — no global
+  sort materialization.
+* :func:`cosine_topk_per_probe` — many probes at once: broadcast the
+  (small) probe set, one shuffle for the per-probe window top-k.
+* :func:`lsh_bucketed_topk` — the scale path: random-hyperplane LSH
+  (sign bits of dot products with H seeded pseudo-random planes →
+  bucket id). Probes search only their bucket (plus optional
+  multi-probe neighbors at Hamming distance 1). At 10^12 vectors the
+  bucket join replaces the full scan; recall is tunable via H.
+
+Hyperplanes are generated from a seed with a splitmix-style integer
+mix — deterministic across runs/partitions, no stored model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force top-k by cosine similarity to *query*."""
+    q = F.array(*[F.lit(float(v)) for v in query])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    # Deterministic tie-break on id.
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def cosine_topk_per_probe(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id: str = "probe_id",
+) -> DataFrame:
+    """Top-k corpus neighbors for every probe row. Probes broadcast
+    (they are the small side by construction)."""
+    p = probes.select(
+        F.col(probe_id), F.col(vec_col).alias("_probe_vec")
+    )
+    joined = corpus.crossJoin(F.broadcast(p)).select(
+        probe_id,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("_probe_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+# ------------------------------------------------------ hyperplane LSH
+def _mix_expr(seed: int, h: int, d: int) -> str:
+    """Deterministic pseudo-random plane coefficient in [-1, 1] for
+    (hyperplane h, dimension d): Spark's built-in hash (Murmur3) of
+    the literals, normalized. Constant-folded by Catalyst (literals
+    only), ANSI-safe, identical on every executor."""
+    return f"(cast(hash({seed}, {h}, {d}) as double) / 2147483648.0)"
+
+
+def hyperplane_bits(
+    vec_col: str, num_planes: int = 16, dim: int = 64, seed: int = 42
+) -> Column:
+    """LSH bucket id: bit h = sign(v · plane_h). Pure SQL expression —
+    every executor derives identical planes from the seed."""
+    bits = []
+    for h in range(num_planes):
+        terms = " + ".join(
+            f"element_at({vec_col}, {d + 1}) * {_mix_expr(seed, h, d)}"
+            for d in range(dim)
+        )
+        bits.append(f"IF(({terms}) > 0, cast({1 << h} as bigint), cast(0 as bigint))")
+    return F.expr("(" + " + ".join(bits) + ")")
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id: str = "probe_id",
+    num_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate per-probe top-k: compare only within the probe's
+    LSH bucket. The bucket column is computed identically on both
+    sides (same seed), so this is one equi-join + windowed top-k."""
+    bucket = hyperplane_bits(vec_col, num_planes, dim, seed)
+    c = corpus.withColumn("_bucket", bucket)
+    p = probes.withColumn("_bucket", bucket).select(
+        probe_id, F.col(vec_col).alias("_probe_vec"), "_bucket"
+    )
+    joined = c.join(p, on="_bucket").select(
+        probe_id,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("_probe_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.98,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate removal: LSH-bucket self-join,
+    verify cosine ≥ threshold, drop the larger id of each pair."""
+    c = df.withColumn("_bucket", hyperplane_bits(vec_col, num_planes, dim, seed))
+    a = c.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "_bucket")
+    b = c.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "_bucket")
+    dups = (
+        a.join(b, on="_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    victims = dups.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(victims, on=id_col, how="left_anti")

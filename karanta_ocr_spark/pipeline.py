@@ -1,0 +1,249 @@
+"""The Spark extraction pipeline.
+
+Logical plan (SURVEY.md §7):
+
+::
+
+    web_pages (url, warc_ts, html binary, text, lang)
+      │ scan (column-pruned: only url/html/lang reach the extractor)
+      ├ resume: LEFT ANTI JOIN committed output ON url
+      ├ salt + size-bucket repartition          (plans/partitioning)
+      ├ mapInPandas(extract_pages)              (Arrow-batched kernel)
+      ├ groupBy(url) JVM assembly               (higher-order fns —
+      │    span math, sha1, error-rate gate; NO Python here)
+      ├ filter(text != '')
+      └ write parquet (Iceberg-ready)  +  lineage/metrics append
+
+The per-page extraction is the only Python stage, and it is
+Arrow-vectorized (one ``mapInPandas`` batch = many documents;
+``input_hint``: "no per-row Python" — i.e. no row-at-a-time Spark
+UDFs). Assembly replicates ``build_dolma_document``
+(``karanta/pipeline.py:538-591``) byte-exactly in Catalyst
+expressions, so the whole agg stage stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from karanta_ocr_spark.plans.partitioning import apply_engine_conf, prepare_for_extraction
+
+#: Output schema of the page-extraction stage.
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("lang", StringType()),
+        StructField("page_num", IntegerType()),
+        StructField("natural_text", StringType()),
+        StructField("anchor_text", StringType()),
+        StructField("ok", BooleanType()),
+        StructField("error", StringType()),
+        StructField("partition_id", IntegerType()),
+        StructField("extract_ms", DoubleType()),
+    ]
+)
+
+#: reference --max_page_error_rate default (karanta/pipeline.py:1146-1151)
+MAX_PAGE_ERROR_RATE = 0.004
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    max_page_error_rate: float = MAX_PAGE_ERROR_RATE
+    anchor_budget: int = 4000  # karanta/prompts/anchor.py:349
+    keep_anchor: bool = False  # anchor text is debug/parity output
+
+    def config_hash(self) -> str:
+        import hashlib
+        import json
+
+        blob = json.dumps(self.__dict__, sort_keys=True, default=str)
+        return hashlib.sha1(blob.encode()).hexdigest()[:16]
+
+
+def extract_pages(df: DataFrame, cfg: ExtractConfig | None = None) -> DataFrame:
+    """url/html → one row per extracted page, via the pure kernel
+    inside Arrow batches. Per-document failure isolation: a bad doc
+    becomes an ``ok=false`` row, never a task failure (mirrors
+    ``karanta/pipeline.py:522-532``)."""
+    cfg = cfg or ExtractConfig()
+    keep_anchor = cfg.keep_anchor
+
+    def run(batches: Iterator) -> Iterator:
+        # Imports inside the worker function: the kernel is pure
+        # stdlib, shipped with --py-files; nothing heavy loads here.
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from karanta_ocr_spark.kernel.extract import extract_document
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in PAGES_SCHEMA.fields}
+            urls = pdf["url"].tolist()
+            langs = pdf["lang"].tolist() if "lang" in pdf else [None] * len(urls)
+            payloads = pdf["html"].tolist()
+            for url, lang, payload in zip(urls, langs, payloads):
+                t0 = time.perf_counter()
+                pages = extract_document(url, payload if payload is not None else b"")
+                dt_ms = (time.perf_counter() - t0) * 1000.0
+                per_page = dt_ms / max(len(pages), 1)
+                for p in pages:
+                    out["url"].append(url)
+                    out["lang"].append(lang)
+                    out["page_num"].append(p.page_num)
+                    out["natural_text"].append(p.natural_text)
+                    out["anchor_text"].append(p.anchor_text if keep_anchor else None)
+                    out["ok"].append(p.ok)
+                    out["error"].append(p.error)
+                    out["partition_id"].append(pid)
+                    out["extract_ms"].append(per_page)
+            yield pd.DataFrame(out)
+
+    return df.select("url", "lang", "html").mapInPandas(run, schema=PAGES_SCHEMA)
+
+
+# SQL fragments for the JVM-side assembly. `pages` is the
+# page-num-sorted array<struct<page_num,natural_text,ok>>; `contents`
+# is the reference's per-page content: text + "\n" on every non-last
+# page, but a None page contributes "" with NO newline
+# (karanta/pipeline.py:544-550 — this is why array_join(texts, '\n')
+# would be wrong).
+_CONTENTS_EXPR = """
+transform(pages, (p, i) ->
+  CASE WHEN p.natural_text IS NULL THEN ''
+       ELSE p.natural_text || IF(i < size(pages) - 1, '\n', '')
+  END)
+"""
+
+_SPANS_EXPR = """
+aggregate(
+  arrays_zip(contents, pages),
+  named_struct(
+    'pos', cast(0 as bigint),
+    'spans', cast(array() as array<struct<start:bigint,end:bigint,page:int>>)),
+  (acc, z) -> named_struct(
+    'pos', acc.pos + length(z.contents),
+    'spans', array_append(acc.spans, named_struct(
+        'start', acc.pos,
+        'end', acc.pos + length(z.contents),
+        'page', cast(z.pages.page_num as int)))),
+  acc -> acc.spans)
+"""
+
+
+def assemble_documents(
+    pages: DataFrame, cfg: ExtractConfig | None = None
+) -> DataFrame:
+    """Per-page rows → assembled documents. 100% Catalyst expressions:
+    the span fold, sha1, sums and gates all run JVM-side (whole-stage
+    codegen), replicating ``build_dolma_document``
+    (``karanta/pipeline.py:538-591``) + the error-rate gate
+    (``:507-515``) byte-exactly."""
+    cfg = cfg or ExtractConfig()
+
+    per_doc = pages.groupBy("url").agg(
+        # array_sort on struct array sorts by leading field page_num —
+        # the explicit ordering the reference gets from task creation
+        # order (pipeline.py:497-505); never rely on collect order.
+        F.array_sort(
+            F.collect_list(F.struct("page_num", "natural_text", "ok"))
+        ).alias("pages"),
+        F.first("lang", ignorenulls=True).alias("lang"),
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_failed"),
+    )
+
+    # Error-rate gate BEFORE building text (cheap filter first).
+    gated = per_doc.filter(
+        F.col("n_failed") / F.col("n_pages") <= F.lit(cfg.max_page_error_rate)
+    )
+
+    assembled = (
+        gated.withColumn("contents", F.expr(_CONTENTS_EXPR))
+        .withColumn("text", F.array_join("contents", ""))
+        .filter(F.length("text") > 0)  # pipeline.py:557-559
+        .withColumn("spans", F.expr(_SPANS_EXPR))
+        .withColumn("doc_id", F.sha1(F.col("text")))  # pipeline.py:571
+    )
+    return assembled.select(
+        "url", "doc_id", "text", "spans",
+        F.col("n_pages").cast("int").alias("n_pages"),
+        F.col("n_failed").cast("int").alias("n_failed"),
+        "lang",
+    )
+
+
+def run_extraction(
+    spark: SparkSession,
+    web_pages: DataFrame,
+    cfg: ExtractConfig | None = None,
+    num_partitions: int | None = None,
+    output_path: str | None = None,
+    metrics_path: str | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """End-to-end: web_pages → assembled documents DataFrame.
+
+    If *output_path* is given, writes parquet (snapshot-commit
+    semantics come from the atomic parquet/Iceberg commit) and — when
+    *resume* — anti-joins the already-committed urls first, the
+    reference's skip-if-done (bulk_processing/workers/
+    inference_worker.py:316-321) done as one distributed join.
+    """
+    cfg = cfg or ExtractConfig()
+    apply_engine_conf(spark)
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 8)
+
+    df = web_pages
+    if output_path and resume:
+        from karanta_ocr_spark.resume import filter_already_committed
+
+        df = filter_already_committed(spark, df, output_path)
+
+    df = prepare_for_extraction(df, num_partitions)
+    pages = extract_pages(df, cfg)
+
+    if metrics_path:
+        # Cache page rows: they feed both assembly and lineage.
+        pages = pages.persist()
+
+    docs = assemble_documents(pages, cfg)
+
+    if output_path:
+        docs.write.mode("append").parquet(output_path)
+        if metrics_path:
+            from karanta_ocr_spark.metrics import write_lineage
+
+            write_lineage(
+                spark, pages, metrics_path,
+                run_id=uuid.uuid4().hex[:12], config_hash=cfg.config_hash(),
+            )
+            pages.unpersist()
+        return spark.read.parquet(output_path)
+
+    if metrics_path:
+        from karanta_ocr_spark.metrics import write_lineage
+
+        write_lineage(
+            spark, pages, metrics_path,
+            run_id=uuid.uuid4().hex[:12], config_hash=cfg.config_hash(),
+        )
+        docs = docs.persist()
+        docs.count()
+        pages.unpersist()
+    return docs

@@ -1,0 +1,96 @@
+"""Partitioning strategy: explicit skew salting + size-bucketed
+repartitioning + AQE (north rule: "partitioning / shuffle / skew
+handled explicitly").
+
+Why each knob exists at 10^12-document scale:
+
+* **Domain skew**: Common-Crawl URL keys are Zipf-distributed — a hot
+  domain can be 10^4× the median. Any operation keyed by domain (and
+  file-listing locality) would hot-spot one task. We salt with
+  ``pmod(xxhash64(url), n)`` — uniform by construction, deterministic,
+  and cheap (one JVM hash, no Python). The reference's analog is its
+  sampled pages-per-group work sizing (karanta/pipeline.py:1300-1333).
+* **Size skew**: blob sizes are heavy-tailed (a 200 MB PDF next to
+  2 KB pages). A task that draws several giant blobs OOMs its Arrow
+  batch. ``size_bucket = int(log2(len(html)))`` groups rows by
+  magnitude; range-repartitioning by (bucket, salt) gives the big
+  buckets their own partitions, which combined with a small
+  ``arrow.maxRecordsPerBatch`` bounds executor memory.
+* **AQE**: coalesces the small-bucket partitions back together at
+  runtime and handles residual skew in the resume anti-join
+  (``spark.sql.adaptive.skewJoin``).
+
+Everything here is column math — Catalyst sees through it, and no
+custom rules or RDDs are involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: Engine session configuration (documented, applied by the pipeline).
+ENGINE_CONF = {
+    # AQE: runtime coalesce + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow batches: bound batch memory when blobs are large. The
+    # extraction stage re-batches per partition anyway; 64 rows/batch
+    # keeps a worst-case batch of 64 × maxPartitionBytes manageable.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "64",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Scan granularity: 64 MB splits so wide binary scans parallelize.
+    "spark.sql.files.maxPartitionBytes": str(64 * 1024 * 1024),
+}
+
+
+def apply_engine_conf(spark) -> None:
+    for k, v in ENGINE_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable at runtime on some builds — builder sets it
+
+
+def with_domain(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Extract the host from the url (pure Catalyst regexp)."""
+    return df.withColumn(
+        "domain", F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    )
+
+
+def with_salt(df: DataFrame, buckets: int, url_col: str = "url") -> DataFrame:
+    """Deterministic uniform salt — breaks domain/key skew for any
+    downstream partitioning (xxhash64 is JVM-side, whole-stage
+    codegen friendly)."""
+    return df.withColumn("salt", F.pmod(F.xxhash64(F.col(url_col)), F.lit(buckets)))
+
+
+def with_size_bucket(df: DataFrame, blob_col: str = "html") -> DataFrame:
+    """log2 size bucket of the payload — isolates the heavy tail.
+
+    ``octet_length`` is exact byte size; +1 avoids log2(0)."""
+    return df.withColumn(
+        "size_bucket",
+        F.floor(F.log2(F.octet_length(F.col(blob_col)).cast("double") + F.lit(1.0))).cast("int"),
+    )
+
+
+def prepare_for_extraction(
+    df: DataFrame,
+    num_partitions: int,
+    blob_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Salt + size-bucket + range-repartition the input for the
+    extraction stage.
+
+    Range partitioning on (size_bucket, salt) sends same-magnitude
+    blobs to neighboring partitions (so the giant-blob partitions hold
+    few rows) while the salt spreads rows uniformly within a bucket.
+    The helper columns are dropped afterwards — downstream plans never
+    see them.
+    """
+    prepared = with_size_bucket(with_salt(df, num_partitions, url_col), blob_col)
+    prepared = prepared.repartitionByRange(num_partitions, "size_bucket", "salt")
+    return prepared.drop("salt", "size_bucket")

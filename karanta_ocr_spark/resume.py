@@ -1,0 +1,37 @@
+"""Snapshot/checkpoint resume: skip documents whose output is already
+committed.
+
+The reference resumes by checking result-file existence per task
+(``bulk_processing/workers/inference_worker.py:316-321``) and
+re-initializing its work queue (``karanta/pipeline.py:1357``). The
+Spark-native equivalent is ONE distributed LEFT ANTI join of the
+source against the last committed output snapshot — idempotent,
+coordination-free, and AQE turns it into a broadcast or skew-split
+join as appropriate. Restarting a killed job with the same
+output_path re-processes only the un-committed remainder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def committed_urls(spark: SparkSession, output_path: str) -> DataFrame | None:
+    """urls present in the committed output snapshot, or None if no
+    output exists yet (first run)."""
+    try:
+        return spark.read.parquet(output_path).select("url")
+    except Exception:
+        return None  # AnalysisException: path does not exist → fresh run
+
+
+def filter_already_committed(
+    spark: SparkSession, source: DataFrame, output_path: str
+) -> DataFrame:
+    done = committed_urls(spark, output_path)
+    if done is None:
+        return source
+    # LEFT ANTI on url — at 10^12 rows this is a shuffled hash/SMJ;
+    # AQE's skewJoin handles hot url prefixes, and when the committed
+    # side is small Catalyst broadcasts it automatically.
+    return source.join(done, on="url", how="left_anti")

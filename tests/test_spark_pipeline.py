@@ -1,0 +1,132 @@
+"""Spark pipeline vs single-process kernel goldens — the byte-identity
+contract (north rule: "byte-identical extracted text per url"), plus
+scale-invariance (partition count must not change bytes) and the
+resume anti-join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from karanta_ocr_spark.pipeline import (
+    ExtractConfig,
+    assemble_documents,
+    extract_pages,
+    run_extraction,
+)
+from karanta_ocr_spark.sources.web_pages import (
+    synthetic_web_pages,
+    web_pages_from_documents,
+)
+
+
+@pytest.fixture(scope="module")
+def spark_docs(spark, corpus_rows):
+    web = synthetic_web_pages(spark, n_docs=64, seed=42)
+    docs = run_extraction(spark, web, num_partitions=8).cache()
+    docs.count()
+    return docs
+
+
+def test_byte_identity_per_url(spark_docs, golden_docs):
+    got = {
+        r["url"]: r
+        for r in spark_docs.select("url", "doc_id", "text", "spans").collect()
+    }
+    assert set(got) == set(golden_docs)
+    for url, g in golden_docs.items():
+        row = got[url]
+        assert row["text"] == g.text, f"text mismatch for {url}"
+        assert row["doc_id"] == g.doc_id, f"doc_id mismatch for {url}"
+        spans = [(s["start"], s["end"], s["page"]) for s in row["spans"]]
+        assert spans == list(g.spans), f"span mismatch for {url}"
+
+
+def test_counts_match_golden(spark_docs, golden_docs, corpus_rows):
+    assert spark_docs.count() == len(golden_docs)
+    # the corrupt-PDF row was gated out
+    assert spark_docs.count() == len(corpus_rows) - 1
+
+
+def test_scale_invariance_partitions(spark, golden_docs):
+    # 2 vs 16 partitions (and a different salt layout) must produce
+    # byte-identical results — SURVEY.md §5 scale-invariance test.
+    web = synthetic_web_pages(spark, n_docs=64, seed=42)
+    d2 = run_extraction(spark, web, num_partitions=2)
+    d16 = run_extraction(spark, web, num_partitions=16)
+    rows2 = {r["url"]: (r["doc_id"], r["text"]) for r in d2.collect()}
+    rows16 = {r["url"]: (r["doc_id"], r["text"]) for r in d16.collect()}
+    assert rows2 == rows16
+    assert {u: (g.doc_id, g.text) for u, g in golden_docs.items()} == rows2
+
+
+def test_assembly_handles_none_pages_jvm(spark):
+    # JVM span fold must reproduce the None-page rule: no newline
+    # contribution (karanta/pipeline.py:549-550).
+    pages = spark.createDataFrame(
+        [
+            ("u", None, 1, "aa", None, True, None, 0, 0.0),
+            ("u", None, 2, None, None, True, None, 0, 0.0),
+            ("u", None, 3, "b", None, True, None, 0, 0.0),
+        ],
+        schema="url string, lang string, page_num int, natural_text string,"
+        " anchor_text string, ok boolean, error string, partition_id int,"
+        " extract_ms double",
+    )
+    out = assemble_documents(pages, ExtractConfig(max_page_error_rate=1.0)).collect()
+    assert len(out) == 1
+    assert out[0]["text"] == "aa\nb"
+    spans = [(s["start"], s["end"], s["page"]) for s in out[0]["spans"]]
+    assert spans == [(0, 3, 1), (3, 3, 2), (3, 4, 3)]
+
+
+def test_error_rate_gate_jvm(spark):
+    rows = [("u", None, i, f"t{i}", None, True, None, 0, 0.0) for i in range(1, 250)]
+    rows.append(("u", None, 250, None, None, False, "boom", 0, 0.0))
+    schema = (
+        "url string, lang string, page_num int, natural_text string,"
+        " anchor_text string, ok boolean, error string, partition_id int,"
+        " extract_ms double"
+    )
+    kept = assemble_documents(spark.createDataFrame(rows, schema=schema)).count()
+    assert kept == 1  # 1/250 == 0.004, not > 0.004
+    rows249 = rows[:248] + [("u", None, 249, None, None, False, "boom", 0, 0.0)]
+    kept = assemble_documents(spark.createDataFrame(rows249, schema=schema)).count()
+    assert kept == 0  # 1/249 > 0.004 → dropped
+
+
+def test_resume_anti_join(spark, tmp_path):
+    out = str(tmp_path / "extractions")
+    web = synthetic_web_pages(spark, n_docs=32, seed=42)
+    first_half = web.limit(16)
+    d1 = run_extraction(spark, first_half, output_path=out, num_partitions=4)
+    n1 = d1.count()
+    # Second run over the FULL table resumes: already-committed urls skipped.
+    d2 = run_extraction(spark, web, output_path=out, num_partitions=4)
+    n2 = d2.count()
+    assert n2 > n1
+    # No duplicates: every url exactly once.
+    dup = d2.groupBy("url").count().filter(F.col("count") > 1).count()
+    assert dup == 0
+
+
+def test_derived_web_pages_extraction(spark):
+    web = web_pages_from_documents(spark, "/root/testdata/sf0.001")
+    docs = run_extraction(spark, web, num_partitions=4)
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    expected = src.filter(F.length(F.trim(F.col("text"))) >= 25)
+    assert docs.count() == expected.count()
+    row = docs.orderBy("url").first()
+    assert row["text"].startswith("Doc ")
+    # extracted text == 'Doc <id>' \n trim(text)
+    joined = (
+        docs.withColumn(
+            "did", F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+        )
+        .join(src.withColumnRenamed("text", "src_text"), F.col("did") == src.doc_id)
+        .withColumn(
+            "expected_text",
+            F.concat(F.lit("Doc "), F.col("did").cast("string"), F.lit("\n"),
+                     F.trim(F.col("src_text"))),
+        )
+    )
+    bad = joined.filter(F.col("text") != F.col("expected_text")).count()
+    assert bad == 0
