@@ -1,0 +1,254 @@
+"""Benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "extraction": {...}, "scaling": {...}}
+
+The ``scaling`` block is the sandbox evidence for the north rule's
+N→4N-executor criterion: the SAME extraction job over the SAME input
+at two parallelism levels (local[8] vs local[32]), reporting docs/sec
+at each and efficiency = (throughput_32 / throughput_8) / 4.
+
+The extraction corpus is the sf documents table wrapped into
+Common-Crawl-style HTML pages JVM-side and replicated
+``$SPARK_GRAFT_BENCH_REP`` times (default 16 at sf0.1 → ~80k docs),
+so the measured stage is the Arrow-batched kernel, not fixed startup.
+All diagnostics go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REP = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "48"))
+#: paragraphs per doc: sf documents are ~300 chars; real web pages are
+#: 10-100 KB. 36 repeats ≈ 11 KB of article text per doc, so the
+#: per-row Arrow/task machinery amortizes the way it does in
+#: production and the measured quantity is the kernel.
+DOC_REP = int(os.environ.get("SPARK_GRAFT_BENCH_DOC_REP", "36"))
+SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_session(cores: int):
+    from pyspark.sql import SparkSession
+
+    from karanta_ocr_spark.plans.partitioning import ENGINE_CONF
+
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"karanta-bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            # Bound GC parallelism: at high core counts G1's GC threads
+            # otherwise compete with the Python kernel workers for the
+            # same CPUs (measured: ~25% of p32 wall).
+            os.environ.get(
+                "SPARK_GRAFT_JAVA_OPTS",
+                "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2",
+            ),
+        )
+    )
+    for k, v in ENGINE_CONF.items():
+        b = b.config(k, v)
+    batch = os.environ.get("SPARK_GRAFT_ARROW_BATCH")
+    if batch:
+        b = b.config("spark.sql.execution.arrow.maxRecordsPerBatch", batch)
+    return b.getOrCreate()
+
+
+def replicated_web_pages(spark, sf_dir: str, rep: int):
+    """sf documents → HTML web_pages × rep, all JVM.
+
+    Repartition the SLIM rows first (a 5000-row parquet is one split),
+    then replicate + wrap per partition — so corpus generation
+    parallelizes and no single task holds the expansion."""
+    from pyspark.sql import functions as F
+
+    from karanta_ocr_spark.sources.web_pages import wrap_documents_as_web_pages
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = docs.repartition(max(spark.sparkContext.defaultParallelism * 2, 32))
+    if rep > 1:
+        reps = spark.range(rep).withColumnRenamed("id", "_rep")
+        docs = docs.crossJoin(F.broadcast(reps)).withColumn(
+            "doc_id", F.col("doc_id") * rep + F.col("_rep")
+        ).drop("_rep")
+    if DOC_REP > 1:
+        docs = docs.withColumn(
+            "text", F.array_join(F.array_repeat(F.col("text"), DOC_REP), " ")
+        )
+    return wrap_documents_as_web_pages(docs)
+
+
+def materialized_corpus(spark, sf_dir: str, rep: int) -> tuple[str, int, int]:
+    """Write the replicated corpus to local parquet ONCE (the bench
+    then reads it like production reads an Iceberg table). Returns
+    (path, row_count, total_bytes)."""
+    import glob
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/karanta_bench_corpus_{sf_tag}_rep{rep}_doc{DOC_REP}"
+    if not glob.glob(f"{path}/_SUCCESS"):
+        log(f"  materializing corpus -> {path}")
+        replicated_web_pages(spark, sf_dir, rep).write.mode("overwrite").parquet(path)
+    files = glob.glob(f"{path}/*.parquet")
+    total = sum(os.path.getsize(f) for f in files)
+    n = spark.read.parquet(path).count()
+    return path, n, total
+
+
+def warmup(spark) -> None:
+    """Touch the Python worker pool + JIT so throughput timing starts
+    from a warm executor (what a long-running cluster job looks like)."""
+    import pandas as pd
+
+    def identity(it):
+        for b in it:
+            yield b
+
+    (
+        spark.range(256)
+        .selectExpr("cast(id as string) as url", "'x' as lang",
+                    "cast('<p>warm up the workers</p>' as binary) as html")
+        .mapInPandas(identity, "url string, lang string, html binary")
+        .write.format("noop").mode("overwrite").save()
+    )
+
+
+def run_extraction_bench(spark, sf_dir: str, rep: int) -> dict:
+    from karanta_ocr_spark.pipeline import run_extraction
+
+    path, n_in, total_bytes = materialized_corpus(spark, sf_dir, rep)
+    # Size scan splits for a CPU-bound stage: ~4 splits per core.
+    cores = spark.sparkContext.defaultParallelism
+    split = max(total_bytes // (cores * 4), 1 << 20)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 18))
+    # Hold storage constant across "cluster sizes": on a real cluster
+    # the scan parallelizes with the nodes (each reads its own splits
+    # from distributed storage); a single box's disk does not. Cache
+    # the input and time the warm pipeline — the quantity under test
+    # is the engine, not the local page cache.
+    web = spark.read.parquet(path).persist()
+    web.count()
+    warmup(spark)
+    best = None
+    for _ in range(2):  # 2 iterations; best-of smooths JIT/GC noise
+        t0 = time.perf_counter()
+        docs = run_extraction(spark, web, repartition_input=False)
+        docs.write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        best = wall if best is None or wall < best else best
+    web.unpersist()
+    return {"docs_in": n_in, "wall_sec": round(best, 2),
+            "docs_per_sec": round(n_in / best, 1)}
+
+
+def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    names = [
+        "extract_html_docs", "source_assembly", "lang_stats",
+        "doc_fingerprints", "exact_dedup_prefix", "quality_scores",
+        "minhash_dedup", "simhash_dedup", "ann_brute_topk",
+        "ann_lsh_topk", "event_stats", "user_error_gate",
+    ]
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 2)
+        log(f"  {name:22s} {out[name]:7.2f}s")
+    return out
+
+
+def scaling_subprocess(cores: int) -> dict:
+    """One scaling measurement in a fresh process pinned to *cores*
+    CPUs via taskset — the honest simulation of an N-core cluster:
+    JVM scan/serialization threads and Python workers all share
+    exactly that CPU budget (in-process local[8] on a 32-core box
+    would silently borrow idle cores for JVM work)."""
+    import subprocess
+
+    cmd = [
+        "taskset", "-c", f"0-{cores - 1}", sys.executable, os.path.abspath(__file__),
+    ]
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_SCALING_RUN"] = str(cores)
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=1200)
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    raise RuntimeError(f"scaling run {cores} produced no JSON: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    # Child mode: one pinned extraction run, JSON to stdout.
+    child_cores = os.environ.get("SPARK_GRAFT_BENCH_SCALING_RUN")
+    if child_cores:
+        cores = int(child_cores)
+        spark = make_session(cores)
+        r = run_extraction_bench(spark, SF_DIR, REP)
+        spark.stop()
+        print(json.dumps(r), flush=True)
+        return
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result: dict = {"sf": float(sf) if sf.replace(".", "").isdigit() else sf}
+
+    log(f"== headline queries @ {SF_DIR} on local[{CPUS}] ==")
+    spark = make_session(CPUS)
+    queries = run_headline_queries(spark, SF_DIR)
+    log(f"== extraction throughput (rep={REP}) ==")
+    extraction = run_extraction_bench(spark, SF_DIR, REP)
+    log(f"  extraction: {extraction}")
+    spark.stop()
+
+    scaling = {}
+    if SCALING:
+        for cores in (8, 32):
+            log(f"== scaling run: taskset 0-{cores - 1}, local[{cores}] ==")
+            r = scaling_subprocess(cores)
+            scaling[f"p{cores}"] = r
+            log(f"  pinned[{cores}]: {r}")
+        t8 = scaling["p8"]["docs_per_sec"]
+        t32 = scaling["p32"]["docs_per_sec"]
+        scaling["efficiency"] = round((t32 / t8) / 4.0, 3)
+
+    result.update(
+        {
+            "metric": "extraction docs/sec + headline query wall sec",
+            "value": round(sum(queries.values()) + extraction["wall_sec"], 2),
+            "unit": "sec",
+            "queries": queries,
+            "extraction": extraction,
+            "scaling": scaling,
+        }
+    )
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,9 +39,22 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- minhash
-def _shingles_expr(text_col: str, k: int) -> str:
-    """SQL text for the shingle array (substring with a dynamic start
-    needs expr; DataFrame substring() only takes literals)."""
+def _shingles_expr(text_col: str, k: int, unit: str = "word") -> str:
+    """SQL text for the distinct k-shingle array.
+
+    ``unit='word'`` (default): k-word shingles — the web-scale choice
+    (RefinedWeb/Gopher style): ~6× fewer elements per document than
+    char shingles, which matters because higher-order-function lambdas
+    are interpreted (per-element overhead dominates the stage).
+    ``unit='char'``: classic k-char shingles for short/CJK-ish text.
+    """
+    if unit == "word":
+        toks = f"split(lower(trim({text_col})), '\\\\s+')"
+        return (
+            f"CASE WHEN size({toks}) < {k} THEN array(array_join({toks}, ' ')) "
+            f"ELSE array_distinct(transform(sequence(1, size({toks}) - {k} + 1), "
+            f"i -> array_join(slice({toks}, i, {k}), ' '))) END"
+        )
     canon = f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))"
     return (
         f"CASE WHEN length({canon}) < {k} THEN array({canon}) "
@@ -50,30 +63,54 @@ def _shingles_expr(text_col: str, k: int) -> str:
     )
 
 
+#: 31-bit prime for the (a*h+b) mod p permutation family — the same
+#: construction Spark MLlib's MinHashLSH uses publicly.
+_MINHASH_PRIME = 2038074743
+
+
+def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs, a odd and nonzero — plain Python
+    ints baked into the plan as literals."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MINHASH_PRIME) | 1, rng.randrange(0, _MINHASH_PRIME))
+        for _ in range(num_perm)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     num_perm: int = 64,
-    shingle_k: int = 5,
+    shingle_k: int = 3,
+    seed: int = 42,
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """Add ``minhash: array<bigint>`` of length *num_perm*.
 
-    Permutation p's hash of shingle s is ``xxhash64(p, s)`` (seeding
-    by prepending the permutation index as a column — one JVM hash per
-    (p, shingle)); the signature entry is the min over shingles.
+    One ``xxhash64`` per shingle (masked to 31 bits), then each
+    permutation p applies ``(a_p*h + b_p) mod prime`` and takes the
+    array min. Products stay < 2^62, so the math is ANSI-overflow-safe
+    and the whole signature is ~num_perm fused array ops in codegen —
+    no per-permutation string hashing.
     """
-    df = df.withColumn("_shingles", F.expr(_shingles_expr(text_col, shingle_k)))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda p: F.aggregate(
-            F.col("_shingles"),
-            F.lit(None).cast("bigint"),
-            lambda acc, s: F.least(
-                F.coalesce(acc, F.lit(2**63 - 1)), F.xxhash64(p, s)
-            ),
-        ),
+    coeffs = _perm_coeffs(num_perm, seed)
+    df = df.withColumn("_shingles", F.expr(_shingles_expr(text_col, shingle_k, shingle_unit)))
+    df = df.withColumn(
+        "_sh_hashes",
+        F.expr("transform(_shingles, s -> xxhash64(s) & 2147483647)"),
     )
-    return df.withColumn("minhash", sig).drop("_shingles")
+    sig = F.array(
+        *[
+            F.array_min(
+                F.expr(f"transform(_sh_hashes, h -> pmod({a} * h + {b}, {_MINHASH_PRIME}))")
+            )
+            for a, b in coeffs
+        ]
+    )
+    return df.withColumn("minhash", sig).drop("_shingles", "_sh_hashes")
 
 
 def lsh_bands(num_perm: int, bands: int) -> "F.Column":
@@ -116,13 +153,14 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     num_perm: int = 64,
     bands: int = 16,
-    shingle_k: int = 5,
+    shingle_k: int = 3,
     threshold: float = 0.8,
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """Drop near-duplicates: keep the min-id representative of every
     near-dup pair group (estimated Jaccard = signature agreement ≥
     *threshold*). Returns the deduplicated rows of *df*."""
-    with_sig = minhash_signatures(df, text_col, num_perm, shingle_k).persist()
+    with_sig = minhash_signatures(df, text_col, num_perm, shingle_k, shingle_unit=shingle_unit).persist()
     pairs = candidate_pairs(with_sig, id_col, bands, num_perm)
     est = pairs.withColumn(
         "est_jaccard",
@@ -181,8 +219,9 @@ def ngram_jaccard_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    shingle_k: int = 5,
+    shingle_k: int = 3,
     threshold: float = 0.8,
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup removal.
 
@@ -190,7 +229,7 @@ def ngram_jaccard_dedup(
     standalone form here prefilters pairs by a cheap length-ratio
     bound (|a|/|b| ≥ threshold is necessary for J ≥ threshold)."""
     sh = df.select(
-        F.col(id_col), F.expr(_shingles_expr(text_col, shingle_k)).alias("sh")
+        F.col(id_col), F.expr(_shingles_expr(text_col, shingle_k, shingle_unit)).alias("sh")
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
                   F.size("sh").alias("n_a"))

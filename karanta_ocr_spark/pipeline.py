@@ -31,9 +31,11 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -58,6 +60,34 @@ PAGES_SCHEMA = StructType(
 
 #: reference --max_page_error_rate default (karanta/pipeline.py:1146-1151)
 MAX_PAGE_ERROR_RATE = 0.004
+
+#: Output schema of the fused extract+assemble stage.
+DOCS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("doc_id", StringType()),
+        StructField("text", StringType()),
+        StructField(
+            "spans",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("start", LongType()),
+                        StructField("end", LongType()),
+                        StructField("page", IntegerType()),
+                    ]
+                )
+            ),
+        ),
+        StructField("n_pages", IntegerType()),
+        StructField("n_failed", IntegerType()),
+        StructField("lang", StringType()),
+        StructField("ok", BooleanType()),
+        StructField("error", StringType()),
+        StructField("partition_id", IntegerType()),
+        StructField("extract_ms", DoubleType()),
+    ]
+)
 
 
 @dataclass(frozen=True)
@@ -114,6 +144,68 @@ def extract_pages(df: DataFrame, cfg: ExtractConfig | None = None) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("url", "lang", "html").mapInPandas(run, schema=PAGES_SCHEMA)
+
+
+def extract_documents_fused(df: DataFrame, cfg: ExtractConfig | None = None) -> DataFrame:
+    """Fused extract+assemble: one mapInPandas pass, ZERO shuffles.
+
+    A web document's bytes arrive as one row, so every page of a doc
+    is already colocated — the page fan-out + groupBy(url) of the
+    staged path (which mirrors the reference's worker architecture,
+    ``karanta/pipeline.py:496-521``) is a shuffle the data model
+    doesn't require. The kernel assembles in-process with the exact
+    same span math; ``tests/test_spark_pipeline.py`` proves fused and
+    staged outputs byte-identical. Use staged only when page-level
+    rows are themselves an output.
+    """
+    cfg = cfg or ExtractConfig()
+    rate = cfg.max_page_error_rate
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from karanta_ocr_spark.kernel.assemble import assemble_document
+        from karanta_ocr_spark.kernel.extract import extract_document
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in DOCS_SCHEMA.fields}
+            langs = pdf["lang"].tolist() if "lang" in pdf else [None] * len(pdf)
+            for url, lang, payload in zip(pdf["url"].tolist(), langs, pdf["html"].tolist()):
+                t0 = time.perf_counter()
+                pages = extract_document(url, payload if payload is not None else b"")
+                doc = assemble_document(url, pages, max_page_error_rate=rate)
+                dt_ms = (time.perf_counter() - t0) * 1000.0
+                out["url"].append(url)
+                out["lang"].append(lang)
+                out["partition_id"].append(pid)
+                out["extract_ms"].append(dt_ms)
+                if doc is None:
+                    # Dropped doc (empty text or error-rate gate): keep
+                    # the row for lineage; run_extraction filters it
+                    # out of the committed output.
+                    first_err = next((p.error for p in pages if p.error), None)
+                    out["doc_id"].append(None)
+                    out["text"].append(None)
+                    out["spans"].append([])
+                    out["n_pages"].append(len(pages))
+                    out["n_failed"].append(sum(1 for p in pages if not p.ok))
+                    out["ok"].append(False)
+                    out["error"].append(first_err or "empty_text_or_error_rate")
+                else:
+                    out["doc_id"].append(doc.doc_id)
+                    out["text"].append(doc.text)
+                    out["spans"].append(
+                        [{"start": s, "end": e, "page": p} for s, e, p in doc.spans]
+                    )
+                    out["n_pages"].append(doc.n_pages)
+                    out["n_failed"].append(doc.n_failed)
+                    out["ok"].append(True)
+                    out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select("url", "lang", "html").mapInPandas(run, schema=DOCS_SCHEMA)
 
 
 # SQL fragments for the JVM-side assembly. `pages` is the
@@ -187,6 +279,9 @@ def assemble_documents(
     )
 
 
+OUTPUT_COLS = ["url", "doc_id", "text", "spans", "n_pages", "n_failed", "lang"]
+
+
 def run_extraction(
     spark: SparkSession,
     web_pages: DataFrame,
@@ -195,14 +290,30 @@ def run_extraction(
     output_path: str | None = None,
     metrics_path: str | None = None,
     resume: bool = True,
+    mode: str = "fused",
+    repartition_input: bool = True,
 ) -> DataFrame:
     """End-to-end: web_pages → assembled documents DataFrame.
 
+    *mode* ``"fused"`` (default): extract+assemble in one mapInPandas
+    pass — zero shuffles, the right plan when each doc is one input
+    row. ``"staged"``: page rows → JVM groupBy assembly (one shuffle)
+    — use when page-level rows are an output of interest. Both produce
+    byte-identical documents (tested).
+
+    *repartition_input*: salt-shuffle the input to *num_partitions*
+    first. Right when the source's splits are few or skewed (one hot
+    domain's files, a directory of giant PDFs). Wrong when the scan
+    already yields balanced splits — extraction is map-only, so the
+    shuffle is a full extra disk round-trip of the corpus; pass False
+    and size ``spark.sql.files.maxPartitionBytes`` for the CPU-bound
+    scan instead.
+
     If *output_path* is given, writes parquet (snapshot-commit
     semantics come from the atomic parquet/Iceberg commit) and — when
-    *resume* — anti-joins the already-committed urls first, the
+    *resume* — anti-joins the already-committed urls first: the
     reference's skip-if-done (bulk_processing/workers/
-    inference_worker.py:316-321) done as one distributed join.
+    inference_worker.py:316-321) as one distributed join.
     """
     cfg = cfg or ExtractConfig()
     apply_engine_conf(spark)
@@ -215,35 +326,40 @@ def run_extraction(
 
         df = filter_already_committed(spark, df, output_path)
 
-    df = prepare_for_extraction(df, num_partitions)
-    pages = extract_pages(df, cfg)
+    if repartition_input:
+        df = prepare_for_extraction(df, num_partitions)
 
-    if metrics_path:
-        # Cache page rows: they feed both assembly and lineage.
-        pages = pages.persist()
+    if mode == "fused":
+        raw = extract_documents_fused(df, cfg)
+        if metrics_path:
+            raw = raw.persist()
+        docs = raw.filter(F.col("ok")).select(*OUTPUT_COLS)
+        lineage_src = raw
+    else:
+        pages = extract_pages(df, cfg)
+        if metrics_path:
+            pages = pages.persist()
+        docs = assemble_documents(pages, cfg)
+        lineage_src = pages
 
-    docs = assemble_documents(pages, cfg)
+    def _emit_metrics() -> None:
+        from karanta_ocr_spark.metrics import write_lineage
+
+        write_lineage(
+            spark, lineage_src, metrics_path,
+            run_id=uuid.uuid4().hex[:12], config_hash=cfg.config_hash(),
+        )
 
     if output_path:
         docs.write.mode("append").parquet(output_path)
         if metrics_path:
-            from karanta_ocr_spark.metrics import write_lineage
-
-            write_lineage(
-                spark, pages, metrics_path,
-                run_id=uuid.uuid4().hex[:12], config_hash=cfg.config_hash(),
-            )
-            pages.unpersist()
+            _emit_metrics()
+            lineage_src.unpersist()
         return spark.read.parquet(output_path)
 
     if metrics_path:
-        from karanta_ocr_spark.metrics import write_lineage
-
-        write_lineage(
-            spark, pages, metrics_path,
-            run_id=uuid.uuid4().hex[:12], config_hash=cfg.config_hash(),
-        )
+        _emit_metrics()
         docs = docs.persist()
         docs.count()
-        pages.unpersist()
+        lineage_src.unpersist()
     return docs

@@ -73,13 +73,11 @@ _HTML_TEMPLATE = (
 DOCS_URL_PREFIX = "https://docs.example.org/doc/"
 
 
-def web_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.parquet → input_hint-shaped web_pages, 100% JVM.
-
-    Deterministic and scale-free: no Python touches the data; the
-    html column is a Catalyst format_string over the document text.
-    """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def wrap_documents_as_web_pages(docs: DataFrame) -> DataFrame:
+    """Wrap a documents-shaped DataFrame (doc_id, text, lang) into the
+    input_hint web_pages shape. Pure Catalyst — repartition *before*
+    calling this if the upstream has too few splits, so the (cheap but
+    per-row) wrapping parallelizes."""
     return docs.select(
         F.concat(F.lit(DOCS_URL_PREFIX), F.col("doc_id").cast("string")).alias("url"),
         F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
@@ -95,3 +93,17 @@ def web_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
+
+
+def web_pages_from_documents(
+    spark: SparkSession, sf_dir: str, num_partitions: int | None = None
+) -> DataFrame:
+    """documents.parquet → input_hint-shaped web_pages, 100% JVM.
+
+    Deterministic and scale-free: no Python touches the data; the
+    html column is a Catalyst format_string over the document text.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if num_partitions:
+        docs = docs.repartition(num_partitions)
+    return wrap_documents_as_web_pages(docs)

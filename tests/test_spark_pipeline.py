@@ -58,6 +58,39 @@ def test_scale_invariance_partitions(spark, golden_docs):
     assert {u: (g.doc_id, g.text) for u, g in golden_docs.items()} == rows2
 
 
+def test_staged_equals_fused(spark, golden_docs):
+    # The zero-shuffle fused path and the page-shuffle staged path
+    # must produce byte-identical documents (and both match golden).
+    web = synthetic_web_pages(spark, n_docs=64, seed=42)
+    fused = run_extraction(spark, web, num_partitions=8, mode="fused")
+    staged = run_extraction(spark, web, num_partitions=8, mode="staged")
+    f = {r["url"]: (r["doc_id"], r["text"], [tuple(s) for s in r["spans"]])
+         for r in fused.collect()}
+    s = {r["url"]: (r["doc_id"], r["text"], [tuple(s) for s in r["spans"]])
+         for r in staged.collect()}
+    assert f == s
+    assert set(f) == set(golden_docs)
+
+
+def test_lineage_metrics_table(spark, tmp_path):
+    out = str(tmp_path / "extr")
+    met = str(tmp_path / "metrics")
+    web = synthetic_web_pages(spark, n_docs=64, seed=42)  # doc 49 is corrupt PDF
+    run_extraction(spark, web, output_path=out, metrics_path=met, num_partitions=4)
+    m = spark.read.parquet(met)
+    cols = set(m.columns)
+    assert {
+        "run_id", "config_hash", "partition_id", "input_split", "rows_in",
+        "rows_ok", "rows_failed", "failure_samples", "wall_ms",
+        "docs_per_sec", "committed_at",
+    } <= cols
+    agg = m.groupBy().sum("rows_in", "rows_failed").collect()[0]
+    assert agg[0] == 64  # every input doc accounted for
+    assert agg[1] >= 1  # the corrupt-PDF doc shows up as a failure
+    sample = m.filter(F.size("failure_samples") > 0).collect()
+    assert sample, "failure sample rows must be captured"
+
+
 def test_assembly_handles_none_pages_jvm(spark):
     # JVM span fold must reproduce the None-page rule: no newline
     # contribution (karanta/pipeline.py:549-550).
