@@ -192,7 +192,83 @@ def _q_user_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A9: integer budget split by largest-remainder apportionment.
+    from karanta_ocr_spark.operators.sampling import proportional_allocation
+
+    return proportional_allocation(
+        _docs(spark, sf_dir), "source", "n_chars", total_budget=1000
+    ).select(
+        "source",
+        F.col("total_weight").cast("long").alias("total_weight"),
+        F.col("allocation").cast("long").alias("allocation"),
+    )
+
+
+def _q_event_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A7: avg/min/max processing analytics per event type.
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+        )
+    )
+
+
+def _q_anchor_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F7: anchor-length branch — short docs dispatch to the image-page
+    # prompt path (reference karanta/training/pipeline_steps.py:128-131).
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.when(F.size(F.split(F.trim("text"), r"\s+")) > 10, F.lit("text_page"))
+        .otherwise(F.lit("image_page"))
+        .alias("branch"),
+    )
+
+
+def _q_manifest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J2: work-hash manifest lookup — docs join a small derived
+    # manifest (broadcast by AQE).
+    d = _docs(spark, sf_dir)
+    manifest = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_in_source"))
+        .filter(F.col("n_in_source") >= 20)
+        .withColumn("work_hash", F.md5("source"))
+    )
+    return d.join(manifest, on="source").select(
+        "doc_id", "source", "work_hash", "n_in_source"
+    )
+
+
 # ---- rows-only checked (hash-seeded ops not reproducible in DuckDB) ----
+def _q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from karanta_ocr_spark.sources.mix import MixSpec, mix_datasets
+
+    d = _docs(spark, sf_dir)
+    specs = [
+        MixSpec("small_caps", d.filter(F.col("n_chars") <= 200), count=50),
+        MixSpec("big_half", d.filter(F.col("n_chars") > 200), fraction=0.5),
+    ]
+    return mix_datasets(specs, "doc_id").select("doc_id", "mix_source")
+
+
+def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from karanta_ocr_spark.operators.multimodal import media_metadata
+
+    web = web_pages_from_documents(spark, sf_dir)
+    media = web.select(
+        F.xxhash64("url").alias("media_id"), F.col("html").alias("payload")
+    )
+    return media_metadata(media)
+
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(
         _docs(spark, sf_dir), "text", "doc_id", num_perm=32, bands=8
@@ -247,7 +323,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "event_stats": _q_event_stats,
         "user_error_gate": _q_user_error_gate,
+        "proportional_allocation": _q_proportional_allocation,
+        "event_analytics": _q_event_analytics,
+        "anchor_branch": _q_anchor_branch,
+        "manifest_join": _q_manifest_join,
         # rows-only (hash-seeded / approximate):
+        "dataset_mix": _q_dataset_mix,
+        "media_metadata": _q_media_metadata,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "lang_id": _q_lang_id,
@@ -336,5 +418,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
             FROM events GROUP BY user_id
             HAVING CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) <= 0.3
+        """,
+        "proportional_allocation": """
+            WITH t AS (SELECT source, sum(n_chars) AS w FROM documents GROUP BY source),
+            g AS (SELECT sum(w) AS gw FROM t),
+            r AS (SELECT source, w, (w / gw) * 1000 AS raw FROM t, g),
+            fl AS (SELECT source, w, raw, floor(raw) AS fa, raw - floor(raw) AS rem FROM r),
+            lt AS (SELECT *, 1000 - sum(fa) OVER () AS leftover,
+                          row_number() OVER (ORDER BY rem DESC, source) AS rk
+                   FROM fl)
+            SELECT source,
+                   CAST(w AS BIGINT) AS total_weight,
+                   CAST(fa + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS allocation
+            FROM lt
+        """,
+        "event_analytics": """
+            SELECT event_type,
+                   round(avg(value), 4) AS avg_value,
+                   round(min(value), 4) AS min_value,
+                   round(max(value), 4) AS max_value,
+                   CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+            FROM events GROUP BY event_type
+        """,
+        "anchor_branch": """
+            SELECT doc_id,
+                   CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 10
+                        THEN 'text_page' ELSE 'image_page' END AS branch
+            FROM documents
+        """,
+        "manifest_join": """
+            WITH m AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_in_source
+                FROM documents GROUP BY source HAVING count(*) >= 20
+            )
+            SELECT d.doc_id, d.source, md5(d.source) AS work_hash, m.n_in_source
+            FROM documents d JOIN m USING (source)
         """,
     }

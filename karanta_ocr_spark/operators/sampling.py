@@ -1,0 +1,125 @@
+"""Sampling + allocation operators (reference §2.6: O7/O8/O9, A3, A9).
+
+All deterministic and distributed; the only driver-side step is the
+integer largest-remainder fixup, mirroring the reference's own
+driver-side fixup (``karanta/data/create_training_docs_azure.py:44-91``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def systematic_sample(
+    df: DataFrame, stride: int, phase: int = 0, key_col: str = "doc_id"
+) -> DataFrame:
+    """O7: interval sampling — keep rows where (key - phase) ≡ 0 mod
+    stride (reference stride+random-phase page sampling,
+    ``karanta/data/create_training_docs_azure.py:11-41``; phase passed
+    explicitly for determinism)."""
+    return df.filter(F.pmod(F.col(key_col) - phase, F.lit(stride)) == 0)
+
+
+def seeded_sample_per_group(
+    df: DataFrame, group_col: str, k: int, seed: int = 42, order_col: str = "doc_id"
+) -> DataFrame:
+    """O9: k rows per group, chosen by a seeded deterministic hash
+    rank (reference random page sample,
+    ``karanta/data/create_batch_data_prompts.py:166-169`` — theirs is
+    unseeded; we rank by xxhash64(seed, key) so reruns and partition
+    layouts can't change the choice)."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.xxhash64(F.lit(seed), F.col(order_col)), F.col(order_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def proportional_allocation(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    total_budget: int,
+    min_per_group: int = 0,
+) -> DataFrame:
+    """A9: split an integer budget across groups proportionally to
+    summed weights, exact-integer via largest-remainder (Hamilton)
+    apportionment — reference
+    ``karanta/data/create_training_docs_azure.py:44-91``.
+
+    Group sums compute distributed; the remainder fixup runs on the
+    (small — one row per group) aggregated frame via window functions,
+    so no collect() is needed.
+    """
+    totals = df.groupBy(group_col).agg(F.sum(weight_col).alias("w"))
+    grand = totals.agg(F.sum("w").alias("gw")).select("gw")
+    t = totals.crossJoin(F.broadcast(grand))
+    t = t.withColumn(
+        "raw", (F.col("w") / F.col("gw")) * F.lit(total_budget - 0)
+    ).withColumn("floor_alloc", F.greatest(F.floor("raw"), F.lit(min_per_group)))
+    # leftover budget = total - sum(floors); give 1 each to the
+    # largest remainders (ties broken by group key for determinism).
+    t = t.withColumn("rem", F.col("raw") - F.floor("raw"))
+    w_sum = Window.partitionBy()
+    w_rank = Window.orderBy(F.desc("rem"), F.col(group_col))
+    t = t.withColumn("leftover", F.lit(total_budget) - F.sum("floor_alloc").over(w_sum))
+    t = t.withColumn("rk", F.row_number().over(w_rank))
+    t = t.withColumn(
+        "allocation",
+        (F.col("floor_alloc") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long"),
+    )
+    return t.select(group_col, F.col("w").alias("total_weight"), "allocation")
+
+
+def two_phase_coverage_sample(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    total_budget: int,
+    base_per_group: int = 1,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """O8: coverage + proportional two-phase sampling (reference
+    ``create_training_docs_azure.py:94-173``): phase 1 guarantees
+    ``base_per_group`` rows from every group; phase 2 fills the rest
+    of the budget proportionally to group weight. Returns sampled
+    rows."""
+    n_groups = df.select(group_col).distinct().count()
+    phase1 = seeded_sample_per_group(df, group_col, base_per_group, seed, id_col)
+    remaining_budget = max(total_budget - base_per_group * n_groups, 0)
+    if remaining_budget == 0:
+        return phase1
+    alloc = proportional_allocation(df, group_col, weight_col, remaining_budget)
+    rest = df.join(phase1.select(id_col), on=id_col, how="left_anti")
+    ranked = rest.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy(
+                F.xxhash64(F.lit(seed + 1), F.col(id_col)), F.col(id_col)
+            )
+        ),
+    )
+    phase2 = (
+        ranked.join(F.broadcast(alloc.select(group_col, "allocation")), on=group_col)
+        .filter(F.col("_rk") <= F.col("allocation"))
+        .drop("_rk", "allocation")
+    )
+    return phase1.unionByName(phase2)
+
+
+def sampled_avg(df: DataFrame, value_col: str, n: int = 100, seed: int = 42):
+    """A3: estimate a mean from a bounded deterministic sample
+    (reference samples ≤100 PDFs for avg page count to size work
+    groups, ``karanta/pipeline.py:1302-1333``). Returns a 1-row
+    DataFrame."""
+    w = Window.orderBy(F.xxhash64(F.lit(seed), F.col(value_col)))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .agg(F.avg(value_col).alias("avg_" + value_col))
+    )

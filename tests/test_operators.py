@@ -1,0 +1,234 @@
+"""Operator tests: dedup correctness, similarity vs numpy, sampling/
+allocation, dataset mixing, multimodal plumbing."""
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from karanta_ocr_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+)
+from karanta_ocr_spark.operators.multimodal import (
+    decode_images,
+    jpeg_dimensions,
+    media_kind_expr,
+    media_metadata,
+    png_dimensions,
+    sample_frames,
+)
+from karanta_ocr_spark.operators.sampling import (
+    proportional_allocation,
+    seeded_sample_per_group,
+    systematic_sample,
+    two_phase_coverage_sample,
+)
+from karanta_ocr_spark.operators.similarity import cosine_topk
+from karanta_ocr_spark.sources.mix import MixSpec, mix_datasets
+
+
+# --------------------------------------------------------------- dedup
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again", "a"),
+        (1, "the quick brown fox jumps over the lazy dog again and again", "a"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy dog again and AGAIN", "a"),  # near dup
+        (3, "completely different content about spark query engines at scale", "b"),
+        (4, "yet another unrelated document mentioning nothing in common", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, src string")
+
+
+def test_exact_dedup(docs_df):
+    out = exact_dedup(docs_df, ["text"], "doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 0 in ids and 1 not in ids
+    assert {2, 3, 4} <= ids
+
+
+def test_minhash_exact_dup_caught(docs_df):
+    out = minhash_lsh_dedup(docs_df, "text", "doc_id", num_perm=32, bands=8)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 0 in ids and 1 not in ids  # identical text → identical sig
+    assert 3 in ids and 4 in ids
+
+
+def test_minhash_near_dup_caught(docs_df):
+    # doc 2 differs by one token case → high Jaccard on lowercased
+    # word shingles → removed at threshold 0.8.
+    out = minhash_lsh_dedup(docs_df, "text", "doc_id", num_perm=32, bands=8,
+                            threshold=0.8)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 2 not in ids
+
+
+def test_minhash_signature_stable(docs_df, spark):
+    a = minhash_signatures(docs_df, "text", 16).select("doc_id", "minhash").collect()
+    b = minhash_signatures(docs_df.repartition(5), "text", 16).select(
+        "doc_id", "minhash"
+    ).collect()
+    assert {r["doc_id"]: r["minhash"] for r in a} == {
+        r["doc_id"]: r["minhash"] for r in b
+    }
+
+
+def test_simhash_dedup(docs_df):
+    out = simhash_dedup(docs_df, "text", "doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 0 in ids and 1 not in ids
+
+
+def test_ngram_jaccard_dedup(docs_df):
+    out = ngram_jaccard_dedup(docs_df, "text", "doc_id", threshold=0.8)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 0 in ids and 1 not in ids and 2 not in ids
+
+
+# ----------------------------------------------------------- similarity
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs[0]
+    got = [r["vec_id"] for r in cosine_topk(df, [float(x) for x in q], k=5).collect()]
+    sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    expected = list(np.argsort(-sims)[:5])
+    assert got == [int(x) for x in expected]
+
+
+# ------------------------------------------------------------- sampling
+def test_systematic_sample(spark):
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"] for r in systematic_sample(df, stride=7, phase=3).collect()}
+    assert got == {x for x in range(100) if (x - 3) % 7 == 0}
+
+
+def test_seeded_sample_deterministic_across_partitions(spark):
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(60)], "doc_id long, g string"
+    )
+    a = {r["doc_id"] for r in seeded_sample_per_group(df, "g", 4, seed=9).collect()}
+    b = {
+        r["doc_id"]
+        for r in seeded_sample_per_group(df.repartition(7), "g", 4, seed=9).collect()
+    }
+    assert a == b and len(a) == 12
+
+
+def test_proportional_allocation_hamilton(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 10.0), ("b", 50.0), ("c", 35.0)], "g string, w double"
+    )
+    # weights: a=20, b=50, c=35, total=105; budget 10 → raw 1.90/4.76/3.33
+    # floors 1/4/3 = 8, leftover 2 → largest remainders a(.90), b(.76)
+    out = {r["g"]: r["allocation"] for r in
+           proportional_allocation(df, "g", "w", 10).collect()}
+    assert out == {"a": 2, "b": 5, "c": 3}
+    assert sum(out.values()) == 10
+
+
+def test_two_phase_coverage(spark):
+    df = spark.createDataFrame(
+        [(i, f"g{i % 5}", 1.0 + i % 5) for i in range(100)],
+        "doc_id long, g string, w double",
+    )
+    out = two_phase_coverage_sample(df, "g", "w", total_budget=20, base_per_group=2)
+    rows = out.collect()
+    assert len(rows) == 20
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["g"], 0)
+        by_g[r["g"]] += 1
+    assert all(v >= 2 for v in by_g.values())  # coverage guarantee
+    assert len(set(r["doc_id"] for r in rows)) == 20  # no double-picks
+
+
+# ------------------------------------------------------------------ mix
+def test_mix_datasets(spark):
+    d1 = spark.createDataFrame([(i, f"t{i}") for i in range(20)], "doc_id long, text string")
+    d2 = spark.createDataFrame([(i, f"u{i}") for i in range(30)], "doc_id long, text string")
+    out = mix_datasets(
+        [MixSpec("one", d1, count=5), MixSpec("two", d2, fraction=0.5)], "doc_id"
+    )
+    counts = {r["mix_source"]: r["count"] for r in
+              out.groupBy("mix_source").count().collect()}
+    assert counts == {"one": 5, "two": 15}
+    # deterministic
+    out2 = mix_datasets(
+        [MixSpec("one", d1.repartition(3), count=5)], "doc_id"
+    )
+    assert {r["doc_id"] for r in out2.collect()} == {
+        r["doc_id"] for r in out.filter(F.col("mix_source") == "one").collect()
+    }
+
+
+# ----------------------------------------------------------- multimodal
+def _png(w, h):
+    return b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + struct.pack(
+        ">IIBBBBB", w, h, 8, 2, 0, 0, 0
+    )
+
+
+def _jpeg(w, h):
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x03"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_header_dim_sniff_no_decode():
+    assert png_dimensions(_png(640, 480)) == (640, 480)
+    assert jpeg_dimensions(_jpeg(1288, 1650)) == (1288, 1650)
+    assert png_dimensions(b"notapng") is None
+    assert jpeg_dimensions(b"\xff\xd8\xff") is None
+
+
+def test_media_metadata_and_kind(spark):
+    rows = [(1, _png(10, 20)), (2, _jpeg(30, 40)), (3, b"%PDF-1.4 x"), (4, b"junk")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    meta = {r["media_id"]: r for r in media_metadata(df).collect()}
+    assert (meta[1]["kind"], meta[1]["width"], meta[1]["height"]) == ("png", 10, 20)
+    assert (meta[2]["kind"], meta[2]["width"], meta[2]["height"]) == ("jpeg", 30, 40)
+    assert meta[3]["kind"] == "pdf" and meta[4]["kind"] == "unknown"
+    kinds = {r["media_id"]: r["k"] for r in
+             df.select("media_id", media_kind_expr("payload").alias("k")).collect()}
+    assert kinds == {1: "png", 2: "jpeg", 3: "pdf", 4: "unknown"}
+
+
+def test_decode_images_stub_strict_raises(spark):
+    df = spark.createDataFrame([(1, _png(4, 4))], "media_id long, payload binary")
+    with pytest.raises(Exception) as exc:
+        decode_images(df).collect()
+    assert "NotImplementedError" in str(exc.value) or "Pillow" in str(exc.value)
+
+
+def test_decode_images_fake_plumbing(spark):
+    df = spark.createDataFrame(
+        [(i, _png(4, 4) + bytes([i])) for i in range(6)],
+        "media_id long, payload binary",
+    )
+    out = decode_images(df, allow_fake=True).collect()
+    assert len(out) == 6
+    assert all(len(r["pixels"]) == 4 * 4 * 3 for r in out)
+    # deterministic
+    out2 = decode_images(df.repartition(3), allow_fake=True).collect()
+    assert {r["media_id"]: bytes(r["pixels"]) for r in out} == {
+        r["media_id"]: bytes(r["pixels"]) for r in out2
+    }
+
+
+def test_sample_frames_fanout(spark):
+    df = spark.createDataFrame([(1, b"videobytes"), (2, b"other")],
+                               "media_id long, payload binary")
+    out = sample_frames(df, every_n=5, max_frames=3, allow_fake=True).collect()
+    assert len(out) == 6
+    idx = sorted(r["frame_idx"] for r in out if r["media_id"] == 1)
+    assert idx == [0, 5, 10]
