@@ -54,6 +54,28 @@ def lineage_rows(pages: DataFrame, run_id: str, config_hash: str) -> DataFrame:
     )
 
 
+def job_statistics(metrics: DataFrame) -> DataFrame:
+    """A6/A7 analog: per-run status rollup over the lineage table —
+    the reference's SQLite ``COUNT(*) GROUP BY status`` + CASE-derived
+    job status (``bulk_processing/utils/database.py:100-129``) and
+    AVG/MIN/MAX analytics (``:224-241``)."""
+    per_run = metrics.groupBy("run_id", "config_hash").agg(
+        F.sum("rows_in").alias("rows_in"),
+        F.sum("rows_ok").alias("rows_ok"),
+        F.sum("rows_failed").alias("rows_failed"),
+        F.avg("docs_per_sec").alias("avg_docs_per_sec"),
+        F.min("docs_per_sec").alias("min_docs_per_sec"),
+        F.max("docs_per_sec").alias("max_docs_per_sec"),
+        F.sum("wall_ms").alias("total_wall_ms"),
+    )
+    return per_run.withColumn(
+        "status",
+        F.when(F.col("rows_failed") == 0, F.lit("completed"))
+        .when(F.col("rows_ok") > 0, F.lit("completed_with_errors"))
+        .otherwise(F.lit("failed")),
+    )
+
+
 def write_lineage(
     spark: SparkSession,
     pages: DataFrame,

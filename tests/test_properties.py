@@ -1,0 +1,82 @@
+"""Hypothesis property tests for the kernel invariants (no Spark —
+fast, wide input coverage)."""
+
+import unicodedata
+
+from hypothesis import given, settings, strategies as st
+
+from karanta_ocr_spark.kernel.assemble import assemble_document
+from karanta_ocr_spark.kernel.boilerplate import extract_main_text
+from karanta_ocr_spark.kernel.extract import PageExtract, extract_document
+from karanta_ocr_spark.kernel.textnorm import cap_split_string, fix_text
+
+texts = st.text(min_size=0, max_size=400)
+page_texts = st.lists(
+    st.one_of(st.none(), st.text(min_size=0, max_size=50)), min_size=1, max_size=12
+)
+
+
+@given(page_texts)
+@settings(max_examples=200)
+def test_spans_always_contiguous_and_cover(ptexts):
+    pages = [PageExtract(i + 1, t, "", True) for i, t in enumerate(ptexts)]
+    doc = assemble_document("u", pages, max_page_error_rate=1.0)
+    if doc is None:
+        # only when the concatenation is empty
+        joined = "".join(
+            (t + ("\n" if i < len(ptexts) - 1 else "")) if t is not None else ""
+            for i, t in enumerate(ptexts)
+        )
+        assert joined == ""
+        return
+    assert doc.spans[0][0] == 0
+    assert doc.spans[-1][1] == len(doc.text)
+    for a, b in zip(doc.spans, doc.spans[1:]):
+        assert a[1] == b[0]
+    assert [s[2] for s in doc.spans] == list(range(1, len(ptexts) + 1))
+
+
+@given(page_texts)
+@settings(max_examples=100)
+def test_assembly_page_order_invariant(ptexts):
+    pages = [PageExtract(i + 1, t, "", True) for i, t in enumerate(ptexts)]
+    doc1 = assemble_document("u", pages, max_page_error_rate=1.0)
+    doc2 = assemble_document("u", list(reversed(pages)), max_page_error_rate=1.0)
+    assert (doc1 is None) == (doc2 is None)
+    if doc1:
+        assert doc1.text == doc2.text and doc1.spans == doc2.spans
+
+
+@given(texts, st.integers(min_value=20, max_value=300))
+@settings(max_examples=200)
+def test_cap_split_bounded(s, cap):
+    out = cap_split_string(s, cap)
+    if len(s) <= cap:
+        assert out == s
+    else:
+        # head + " ... " + tail, each side ≤ cap//2 - 3 chars
+        assert len(out) <= cap + 5
+        assert " ... " in out
+
+
+@given(texts)
+@settings(max_examples=200)
+def test_fix_text_idempotent_and_nfc(s):
+    once = fix_text(s)
+    assert fix_text(once) == once  # idempotent
+    assert unicodedata.is_normalized("NFC", once)
+
+
+@given(st.binary(min_size=0, max_size=600))
+@settings(max_examples=150)
+def test_extract_document_never_raises(payload):
+    pages = extract_document("u", payload)
+    assert len(pages) >= 1
+    assert all(p.page_num >= 1 for p in pages)
+
+
+@given(st.text(min_size=0, max_size=2000))
+@settings(max_examples=100)
+def test_extract_main_text_total(html):
+    # any string input → a string out, never an exception
+    assert isinstance(extract_main_text(html), str)

@@ -1,0 +1,88 @@
+"""binaryFile source, manifest filter, JSONL/markdown sinks."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from karanta_ocr_spark.pipeline import run_extraction
+from karanta_ocr_spark.sources.binary_files import (
+    apply_manifest,
+    filter_valid_payloads,
+    read_binary_files,
+)
+from karanta_ocr_spark.sources.sinks import write_jsonl, write_markdown
+from karanta_ocr_spark.sources.web_pages import synthetic_web_pages
+
+
+def _dump_corpus(corpus_rows, root):
+    os.makedirs(f"{root}/sub", exist_ok=True)
+    for i, r in enumerate(corpus_rows[:12]):
+        ext = "pdf" if r["_kind"].startswith("pdf") else "html"
+        sub = "sub/" if i % 3 == 0 else ""
+        with open(f"{root}/{sub}doc{i:03d}.{ext}", "wb") as f:
+            f.write(r["html"])
+
+
+def test_binary_file_source_recursive(spark, corpus_rows, tmp_path):
+    root = str(tmp_path / "files")
+    _dump_corpus(corpus_rows, root)
+    df = read_binary_files(spark, root)
+    assert df.count() == 12
+    assert set(df.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    # glob filter
+    pdfs = read_binary_files(spark, root, glob="*.pdf")
+    assert 0 < pdfs.count() < 12
+    # non-recursive sees only the top level
+    flat = read_binary_files(spark, root, recursive=False)
+    assert flat.count() < 12
+
+
+def test_magic_validation_and_manifest(spark, corpus_rows, tmp_path):
+    root = str(tmp_path / "files")
+    _dump_corpus(corpus_rows, root)
+    df = read_binary_files(spark, root)
+    valid = filter_valid_payloads(df)
+    assert valid.count() == 12  # all fixture payloads are html or pdf
+    manifest = df.select("url").limit(5)
+    kept = apply_manifest(df, manifest)
+    assert kept.count() == 5
+
+
+def test_binary_source_extracts_end_to_end(spark, corpus_rows, tmp_path, golden_docs):
+    root = str(tmp_path / "files")
+    _dump_corpus(corpus_rows, root)
+    docs = run_extraction(spark, read_binary_files(spark, root), num_partitions=4)
+    got = {r["url"].rsplit("/", 1)[-1]: r["text"] for r in docs.collect()}
+    # file-based urls differ, but extracted text must match the golden
+    # extraction of the same payload bytes
+    for i, r in enumerate(corpus_rows[:12]):
+        g = golden_docs.get(r["url"])
+        key = f"doc{i:03d}." + ("pdf" if r["_kind"].startswith("pdf") else "html")
+        if g is None:
+            assert key not in got  # dropped doc stays dropped
+        else:
+            assert got[key] == g.text
+
+
+def test_jsonl_sink_rolls_files(spark, tmp_path):
+    web = synthetic_web_pages(spark, 32, seed=42)
+    docs = run_extraction(spark, web, num_partitions=2)
+    out = str(tmp_path / "jsonl")
+    write_jsonl(docs, out, max_records_per_file=10)
+    lines = spark.read.text(out).collect()
+    assert len(lines) == docs.count()
+    rec = json.loads(lines[0]["value"])
+    assert {"id", "text", "source", "attributes"} <= set(rec)
+    assert "pdf_page_numbers" in rec["attributes"]
+
+
+def test_markdown_sink(spark, tmp_path):
+    web = synthetic_web_pages(spark, 16, seed=42)
+    docs = run_extraction(spark, web, num_partitions=2)
+    out = str(tmp_path / "md")
+    n = write_markdown(docs, out)
+    files = [f for f in os.listdir(out) if f.endswith(".md")]
+    assert len(files) == n == docs.count()
+    sample = open(os.path.join(out, files[0]), encoding="utf-8").read()
+    assert len(sample) > 0
