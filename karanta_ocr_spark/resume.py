@@ -16,13 +16,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence check through Hadoop's FS API (so
+    s3a/hdfs paths work the same as local ones) — avoids probing via a
+    thrown-and-logged AnalysisException on every fresh run."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
 def committed_urls(spark: SparkSession, output_path: str) -> DataFrame | None:
     """urls present in the committed output snapshot, or None if no
     output exists yet (first run)."""
     try:
+        if not _path_exists(spark, output_path):
+            return None
         return spark.read.parquet(output_path).select("url")
     except Exception:
-        return None  # AnalysisException: path does not exist → fresh run
+        return None  # unreadable/empty path → treat as fresh run
 
 
 def filter_already_committed(
