@@ -75,6 +75,9 @@ def _build_html(rng: random.Random, domain: str, lang: str, big: bool):
     headline = _sentence(rng, lang, rng.randint(4, 7))
     n_paras = rng.randint(3, 6) * (50 if big else 1)
     paras = [_paragraph(rng, lang) for _ in range(n_paras)]
+    # expected extracted text per paragraph (differs from the raw HTML
+    # form for entity/inline-markup cases below)
+    expected_paras = list(paras)
 
     # One NFD paragraph (diacritic langs) — must NFC-collapse.
     if lang in ("yor", "fra") and not big:
@@ -86,6 +89,23 @@ def _build_html(rng: random.Random, domain: str, lang: str, big: bool):
         paras.append(_mojibake(moji_src))
 
     caption = _sentence(rng, lang, 2)  # short block kept by near-good rule
+
+    # Messy-web features (entities, comments, CDATA-ish script, inline
+    # markup, unclosed tags) that must not perturb extraction.
+    messy = rng.random() < 0.4 and not big
+    if messy:
+        ent_word = _sentence(rng, lang, 3)
+        tail = (
+            "text with entity éclat plus bold nested styling inline "
+            "that still reads as one paragraph of the article body"
+        )
+        paras.insert(
+            1,
+            f"{ent_word} &amp; more &lt;tagged&gt; "
+            + tail.replace("bold nested styling", "<b>bold <i>nested</b> styling</i>")
+            .replace("éclat", "&#233;clat"),
+        )
+        expected_paras.insert(1, f"{ent_word} & more <tagged> {tail}")
     nav = " ".join(f'<a href="/{label.lower()}">{label}</a>' for label in NAV_LABELS)
     related = "".join(
         f'<li><a href="/r/{i}">{_sentence(rng, lang, 3)}</a></li>' for i in range(5)
@@ -93,11 +113,15 @@ def _build_html(rng: random.Random, domain: str, lang: str, big: bool):
     footer_note = f"© 2025 {domain} — All rights reserved"
 
     body_paras = "\n".join(f"<p>{p}</p>" for p in paras)
+    comment = "<!-- rendered by synthcms; do not index -->"
     html = f"""<!DOCTYPE html>
 <html lang="{lang}"><head><title>{headline} — {domain}</title>
 <style>body {{ font: 16px serif }}</style>
-<script>var tracker = "{domain}"; trackPage();</script>
+<script>//<![CDATA[
+var tracker = "{domain}"; trackPage(1 < 2 && 3 > 2);
+//]]></script>
 </head><body>
+{comment}
 <header><div class="branding">{domain.upper()} PORTAL</div>
 <nav>{nav}</nav></header>
 <div id="content">
@@ -112,7 +136,7 @@ def _build_html(rng: random.Random, domain: str, lang: str, big: bool):
 </body></html>"""
 
     expect_present = [unicodedata.normalize("NFC", headline)] + [
-        unicodedata.normalize("NFC", p) for p in paras[:2]
+        unicodedata.normalize("NFC", p) for p in expected_paras[:2]
     ]
     if moji_src is not None:
         expect_present.append(unicodedata.normalize("NFC", moji_src))

@@ -91,6 +91,45 @@ def test_lineage_metrics_table(spark, tmp_path):
     assert sample, "failure sample rows must be captured"
 
 
+def test_salting_balances_hot_domain(spark):
+    # 90% of urls on one domain: after salt repartition no partition
+    # holds more than ~2x the mean (scale evidence for skew handling).
+    from karanta_ocr_spark.plans.partitioning import prepare_for_extraction
+
+    rows = [
+        (f"https://hot.example.com/{i}", None, b"<p>x</p>", None, None)
+        for i in range(900)
+    ] + [
+        (f"https://cold{i}.example.org/p", None, b"<p>x</p>", None, None)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).coalesce(1)
+    prepared = prepare_for_extraction(df, 8)
+    counts = [
+        r["count"]
+        for r in prepared.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    ]
+    assert len(counts) == 8
+    assert max(counts) <= 2 * (1000 / 8)
+
+
+def test_keep_anchor_flag(spark):
+    # staged mode retains the reference anchor format when asked.
+    # n_docs=40 includes a pdf_images doc (i=29) — the only kind with
+    # a non-empty anchor (zero images ⇒ "" per the reference quirk).
+    web = synthetic_web_pages(spark, n_docs=40, seed=42)
+    pages = extract_pages(web, ExtractConfig(keep_anchor=True))
+    pdf_pages = pages.filter(F.col("url").endswith(".pdf")).collect()
+    assert pdf_pages
+    anchors = [r["anchor_text"] for r in pdf_pages if r["anchor_text"]]
+    assert any(a.startswith("Page dimensions: ") for a in anchors)
+    # without the flag the column is null (not shipped downstream)
+    pages2 = extract_pages(web, ExtractConfig(keep_anchor=False))
+    assert pages2.filter(F.col("anchor_text").isNotNull()).count() == 0
+
+
 def test_assembly_handles_none_pages_jvm(spark):
     # JVM span fold must reproduce the None-page rule: no newline
     # contribution (karanta/pipeline.py:549-550).

@@ -34,7 +34,10 @@ def test_streaming_checkpoint_resume(spark, tmp_path):
     in_dir = str(tmp_path / "in")
     out_dir = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
-    first = synthetic_web_pages(spark, n_docs=16, seed=42)
+    # One corpus split into two disjoint file batches (distinct urls).
+    full = synthetic_web_pages(spark, n_docs=48, seed=42).cache()
+    idx = "cast(regexp_extract(url, '/(\\\\d{6})\\\\.', 1) as int)"
+    first = full.filter(f"{idx} < 16")
     first.write.parquet(in_dir)
     q = run_streaming_extraction(spark, in_dir, out_dir, ckpt, available_now=True)
     _wait(q)
@@ -42,7 +45,7 @@ def test_streaming_checkpoint_resume(spark, tmp_path):
 
     # New files arrive; restart from the same checkpoint → only the
     # new files are processed, nothing reprocessed.
-    more = synthetic_web_pages(spark, n_docs=32, seed=43)
+    more = full.filter(f"{idx} >= 16")
     more.write.mode("append").parquet(in_dir)
     q2 = run_streaming_extraction(spark, in_dir, out_dir, ckpt, available_now=True)
     _wait(q2)
