@@ -71,6 +71,56 @@ def _q_extract_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PDF_URL_PREFIX = "https://pdfs.example.org/doc/"
+
+
+def _q_extract_pdf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF path, oracle-checked: build a deterministic two-page PDF per
+    document row (two text runs per page at fixed coordinates), run the
+    full extraction, and expose text + page-2 span bounds — all
+    reproducible in SQL because we control the layout."""
+    from karanta_ocr_spark.pipeline import run_extraction
+    from karanta_ocr_spark.sources.web_pages import WEB_PAGES_SCHEMA
+
+    def build(batches):
+        import pandas as pd
+
+        from karanta_ocr_spark.fixtures.pdf_gen import PageSpec, TextRun, build_pdf
+
+        for pdf in batches:
+            out = {f.name: [] for f in WEB_PAGES_SCHEMA.fields}
+            for did, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+                t = (text or "").strip()
+                s1, s2 = t[:40], t[40:80]
+                pages = [
+                    PageSpec(runs=[TextRun(f"Doc {did} P1", 72, 700),
+                                   TextRun(s1, 72, 680)]),
+                    PageSpec(runs=[TextRun(f"Doc {did} P2", 72, 700),
+                                   TextRun(s2, 72, 680)]),
+                ]
+                out["url"].append(f"{PDF_URL_PREFIX}{did}")
+                out["warc_ts"].append(None)
+                out["html"].append(build_pdf(pages))
+                out["text"].append(None)
+                out["lang"].append(None)
+            yield pd.DataFrame(out)
+
+    web = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(8)
+        .mapInPandas(build, schema=WEB_PAGES_SCHEMA)
+    )
+    docs = run_extraction(spark, web, num_partitions=8, repartition_input=False)
+    return docs.select(
+        "url",
+        "text",
+        F.col("n_pages").cast("int").alias("n_pages"),
+        F.element_at("spans", 2)["start"].cast("long").alias("p2_start"),
+        F.element_at("spans", 2)["end"].cast("long").alias("p2_end"),
+    )
+
+
 def _q_source_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A1/T15 analog in pure SQL shape: per-source ordered concat.
     return (
@@ -312,6 +362,7 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_docs": _q_extract_html_docs,
+        "extract_pdf_docs": _q_extract_pdf_docs,
         "source_assembly": _q_source_assembly,
         "lang_stats": _q_lang_stats,
         "workspace_stats": _q_workspace_stats,
@@ -352,6 +403,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length('Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || trim(text)) AS BIGINT) AS span_end
             FROM documents
             WHERE length(trim(text)) >= 25
+        """,
+        "extract_pdf_docs": """
+            WITH b AS (
+                SELECT doc_id,
+                       trim(substring(trim(text), 1, 40)) AS s1,
+                       trim(substring(trim(text), 41, 40)) AS s2
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id,
+                       'Doc ' || doc_id || ' P1'
+                         || CASE WHEN s1 = '' THEN '' ELSE chr(10) || s1 END AS p1,
+                       'Doc ' || doc_id || ' P2'
+                         || CASE WHEN s2 = '' THEN '' ELSE chr(10) || s2 END AS p2
+                FROM b
+            )
+            SELECT 'https://pdfs.example.org/doc/' || doc_id AS url,
+                   p1 || chr(10) || p2 AS text,
+                   2 AS n_pages,
+                   CAST(length(p1) + 1 AS BIGINT) AS p2_start,
+                   CAST(length(p1) + 1 + length(p2) AS BIGINT) AS p2_end
+            FROM p
         """,
         "source_assembly": """
             SELECT source,
