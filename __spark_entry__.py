@@ -298,6 +298,21 @@ def _q_manifest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A8 analog: event-time tumbling windows (same expression the
+    # streaming path uses behind a watermark).
+    from karanta_ocr_spark.streaming.windows import windowed_event_counts
+
+    return windowed_event_counts(_events(spark, sf_dir), "1 hour")
+
+
+def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gap-based sessionization (30 min) — gaps-and-islands.
+    from karanta_ocr_spark.streaming.windows import sessionize
+
+    return sessionize(_events(spark, sf_dir), gap_minutes=30)
+
+
 # ---- rows-only checked (hash-seeded ops not reproducible in DuckDB) ----
 def _q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from karanta_ocr_spark.sources.mix import MixSpec, mix_datasets
@@ -378,6 +393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_analytics": _q_event_analytics,
         "anchor_branch": _q_anchor_branch,
         "manifest_join": _q_manifest_join,
+        "event_windows": _q_event_windows,
+        "user_sessions": _q_user_sessions,
         # rows-only (hash-seeded / approximate):
         "dataset_mix": _q_dataset_mix,
         "media_metadata": _q_media_metadata,
@@ -518,6 +535,34 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 10
                         THEN 'text_page' ELSE 'image_page' END AS branch
             FROM documents
+        """,
+        "event_windows": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "user_sessions": """
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                                 (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                            THEN 1 ELSE 0 END AS newf
+                FROM events
+            ), sess AS (
+                SELECT user_id, ts, value,
+                       sum(newf) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM flagged
+            )
+            SELECT user_id,
+                   CAST(session_seq AS BIGINT) AS session_seq,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM sess GROUP BY user_id, session_seq
         """,
         "manifest_join": """
             WITH m AS (

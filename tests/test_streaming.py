@@ -4,6 +4,11 @@ checkpoint resume."""
 from karanta_ocr_spark.pipeline import run_extraction
 from karanta_ocr_spark.sources.web_pages import synthetic_web_pages
 from karanta_ocr_spark.streaming.extraction import run_streaming_extraction
+from karanta_ocr_spark.streaming.windows import (
+    sessionize,
+    streaming_session_counts,
+    windowed_event_counts,
+)
 
 
 def _wait(q, timeout=120):
@@ -28,6 +33,72 @@ def test_streaming_equals_batch(spark, tmp_path):
         for r in run_extraction(spark, web, num_partitions=4).collect()
     }
     assert got == batch
+
+
+def test_windowed_counts_streaming_equals_batch(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "ev")
+    events.write.parquet(in_dir)
+    batch = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in windowed_event_counts(events, "1 hour").collect()
+    }
+    stream = (
+        spark.readStream.schema(events.schema).format("parquet").load(in_dir)
+    )
+    out = windowed_event_counts(stream, "1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("select * from wincounts").collect()
+    }
+    assert got == batch
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1)
+    rows = [
+        (1, base, "a", 1.0),
+        (1, base + dt.timedelta(minutes=10), "a", 1.0),
+        (1, base + dt.timedelta(minutes=50), "a", 1.0),  # 40min gap → new session
+        (2, base, "a", 2.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    sess = sessionize(df, gap_minutes=30).collect()
+    u1 = sorted([r for r in sess if r["user_id"] == 1], key=lambda r: r["session_seq"])
+    assert len(u1) == 2
+    assert u1[0]["n_events"] == 2 and u1[1]["n_events"] == 1
+    assert len([r for r in sess if r["user_id"] == 2]) == 1
+
+
+def test_streaming_session_window(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "ev2")
+    events.write.parquet(in_dir)
+    stream = spark.readStream.schema(events.schema).format("parquet").load(in_dir)
+    out = streaming_session_counts(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sessions").collect()
+    assert rows and all(r["n_events"] >= 1 for r in rows)
 
 
 def test_streaming_checkpoint_resume(spark, tmp_path):
