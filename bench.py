@@ -154,7 +154,9 @@ def run_extraction_bench(spark, sf_dir: str, rep: int) -> dict:
     best = None
     for _ in range(2):  # 2 iterations; best-of smooths JIT/GC noise
         t0 = time.perf_counter()
-        docs = run_extraction(spark, web, repartition_input=False)
+        docs = run_extraction(
+            spark, web, repartition_input=False, apply_conf=False
+        )
         docs.write.format("noop").mode("overwrite").save()
         wall = time.perf_counter() - t0
         best = wall if best is None or wall < best else best

@@ -43,7 +43,9 @@ class PageExtract:
     error: Optional[str] = None
 
 
-def extract_document(url: str, payload: bytes) -> list[PageExtract]:
+def extract_document(
+    url: str, payload: bytes, anchor_budget: int = ANCHOR_BUDGET
+) -> list[PageExtract]:
     """Extract one document (HTML or PDF bytes) into per-page results.
 
     HTML ⇒ exactly one page: boilerplate-stripped main text.
@@ -66,7 +68,7 @@ def extract_document(url: str, payload: bytes) -> list[PageExtract]:
             try:
                 natural = page_natural_text(report)
                 anchor = linearize_page_report(
-                    report, max_length=ANCHOR_BUDGET, shuffle_seed=seed + i
+                    report, max_length=anchor_budget, shuffle_seed=seed + i
                 )
                 pages.append(PageExtract(i, natural if natural else None, anchor, True))
             except Exception as exc:  # per-page isolation

@@ -195,10 +195,15 @@ class _Lexer:
 
     def _hex_string(self) -> bytes:
         end = self.d.find(b">", self.i)
-        raw = re.sub(rb"\s", b"", self.d[self.i + 1 : end])
+        if end < 0:
+            # Unterminated hex string (truncated/corrupt stream):
+            # consume to EOF. Must NOT become end+1 == 0 — that reset
+            # the cursor and looped callers forever.
+            end = self.n
+        raw = re.sub(rb"[^0-9A-Fa-f]", b"", self.d[self.i + 1 : end])
         if len(raw) % 2:
             raw += b"0"
-        self.i = end + 1
+        self.i = min(end + 1, self.n)
         return bytes.fromhex(raw.decode("ascii"))
 
     def _literal_string(self) -> bytes:
@@ -411,6 +416,10 @@ def _interpret_content(
     i, n = 0, len(content)
     while i < n:
         c = content[i]
+        if len(operands) > 4096:
+            # Corrupt stream accumulating operands without operators:
+            # bail rather than grow unboundedly.
+            operands = []
         if c in _WS:
             i += 1
             continue
@@ -421,23 +430,23 @@ def _interpret_content(
         lex = _Lexer(content, i)
         if c == 0x28:  # (
             operands.append(lex._literal_string())
-            i = lex.i
+            i = max(lex.i, i + 1)  # guarantee progress on corrupt input
             continue
         if content[i : i + 2] == b"<<":
             operands.append(lex._dict())
-            i = lex.i
+            i = max(lex.i, i + 1)
             continue
         if c == 0x3C:  # <
             operands.append(lex._hex_string())
-            i = lex.i
+            i = max(lex.i, i + 1)
             continue
         if c == 0x5B:  # [
             operands.append(lex._array())
-            i = lex.i
+            i = max(lex.i, i + 1)
             continue
         if c == 0x2F:  # /name
             operands.append(lex._name())
-            i = lex.i
+            i = max(lex.i, i + 1)
             continue
         m = _CONTENT_TOKEN.match(content, i)
         if m is None:

@@ -32,10 +32,15 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     groupBy + semi-join rather than a window: a window sorts every
     partition by the (possibly huge, possibly skewed) text key, while
     groupBy(min) does a partial-aggregate map-side and the join back
-    is broadcast/skew-handled by AQE.
+    is broadcast/skew-handled by AQE. The final dropDuplicates keeps
+    the contract even when physically duplicate (key, id) rows exist
+    (e.g. a shard ingested twice) — the semi-join alone would keep
+    both copies.
     """
     winners = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
-    return df.join(winners, on=key_cols + [id_col], how="left_semi")
+    return df.join(winners, on=key_cols + [id_col], how="left_semi").dropDuplicates(
+        key_cols + [id_col]
+    )
 
 
 # ------------------------------------------------------------- minhash
@@ -160,7 +165,9 @@ def minhash_lsh_dedup(
     """Drop near-duplicates: keep the min-id representative of every
     near-dup pair group (estimated Jaccard = signature agreement ≥
     *threshold*). Returns the deduplicated rows of *df*."""
-    with_sig = minhash_signatures(df, text_col, num_perm, shingle_k, shingle_unit=shingle_unit).persist()
+    with_sig = minhash_signatures(
+        df, text_col, num_perm, shingle_k, shingle_unit=shingle_unit
+    ).persist()
     pairs = candidate_pairs(with_sig, id_col, bands, num_perm)
     est = pairs.withColumn(
         "est_jaccard",
@@ -175,10 +182,15 @@ def minhash_lsh_dedup(
     dup_pairs = est.filter(F.col("est_jaccard") >= threshold)
     # Victims: the larger id of each pair (min-id representative
     # survives; transitive chains collapse because every non-minimal
-    # member loses at least one pair).
-    victims = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
-    out = with_sig.join(victims, on=id_col, how="left_anti").drop("minhash")
-    return out
+    # member loses at least one pair). localCheckpoint materializes the
+    # (small) victim set and truncates its lineage so the cached
+    # signatures can be released immediately — without it every call
+    # leaked a full corpus+signature cache for the application life.
+    victims = (
+        dup_pairs.select(F.col("id_b").alias(id_col)).distinct().localCheckpoint()
+    )
+    with_sig.unpersist()
+    return df.join(victims, on=id_col, how="left_anti")
 
 
 # ------------------------------------------------------------- simhash

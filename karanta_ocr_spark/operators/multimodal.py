@@ -80,14 +80,22 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int] | None:
             i += 1
             continue
         marker = payload[i + 1]
+        if marker == 0xFF:
+            # 0xFF fill/padding byte before the real marker (legal and
+            # common in crawled JPEGs): skip ONE byte, don't misread a
+            # garbage segment length.
+            i += 1
+            continue
         if marker in (0xC0, 0xC1, 0xC2, 0xC3):
             h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
             return int(w), int(h)
+        if marker == 0xD9:  # EOI — no SOF found
+            return None
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
         seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
-        i += 2 + seg_len
+        i += 2 + max(seg_len, 1)
     return None
 
 

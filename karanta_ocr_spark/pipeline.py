@@ -111,6 +111,7 @@ def extract_pages(df: DataFrame, cfg: ExtractConfig | None = None) -> DataFrame:
     ``karanta/pipeline.py:522-532``)."""
     cfg = cfg or ExtractConfig()
     keep_anchor = cfg.keep_anchor
+    anchor_budget = cfg.anchor_budget
 
     def run(batches: Iterator) -> Iterator:
         # Imports inside the worker function: the kernel is pure
@@ -128,7 +129,9 @@ def extract_pages(df: DataFrame, cfg: ExtractConfig | None = None) -> DataFrame:
             payloads = pdf["html"].tolist()
             for url, lang, payload in zip(urls, langs, payloads):
                 t0 = time.perf_counter()
-                pages = extract_document(url, payload if payload is not None else b"")
+                pages = extract_document(
+                    url, payload if payload is not None else b"", anchor_budget
+                )
                 dt_ms = (time.perf_counter() - t0) * 1000.0
                 per_page = dt_ms / max(len(pages), 1)
                 for p in pages:
@@ -160,6 +163,7 @@ def extract_documents_fused(df: DataFrame, cfg: ExtractConfig | None = None) -> 
     """
     cfg = cfg or ExtractConfig()
     rate = cfg.max_page_error_rate
+    anchor_budget = cfg.anchor_budget
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -174,7 +178,9 @@ def extract_documents_fused(df: DataFrame, cfg: ExtractConfig | None = None) -> 
             langs = pdf["lang"].tolist() if "lang" in pdf else [None] * len(pdf)
             for url, lang, payload in zip(pdf["url"].tolist(), langs, pdf["html"].tolist()):
                 t0 = time.perf_counter()
-                pages = extract_document(url, payload if payload is not None else b"")
+                pages = extract_document(
+                    url, payload if payload is not None else b"", anchor_budget
+                )
                 doc = assemble_document(url, pages, max_page_error_rate=rate)
                 dt_ms = (time.perf_counter() - t0) * 1000.0
                 out["url"].append(url)
@@ -292,6 +298,7 @@ def run_extraction(
     resume: bool = True,
     mode: str = "fused",
     repartition_input: bool = True,
+    apply_conf: bool = True,
 ) -> DataFrame:
     """End-to-end: web_pages → assembled documents DataFrame.
 
@@ -316,7 +323,12 @@ def run_extraction(
     inference_worker.py:316-321) as one distributed join.
     """
     cfg = cfg or ExtractConfig()
-    apply_engine_conf(spark)
+    if apply_conf:
+        # Engine defaults (AQE, Arrow batch size, scan split size).
+        # Pass apply_conf=False when the session owner tuned these —
+        # this runtime set would silently override builder/session
+        # values (it bit the bench's scan-split sizing once).
+        apply_engine_conf(spark)
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 8)
 

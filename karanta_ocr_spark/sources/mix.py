@@ -23,22 +23,25 @@ class MixSpec:
 def mix_datasets(specs: list[MixSpec], id_col: str, seed: int = 42) -> DataFrame:
     """Union the specs with a ``source`` tag, applying per-spec caps.
 
-    Caps select the lowest ``xxhash64(seed, id)`` ranks — deterministic
-    and uniformly random-like, independent of partitioning."""
+    Caps select the globally lowest ``xxhash64(seed, id)`` values —
+    deterministic, uniformly random-like, independent of partitioning.
+    Selection uses ``orderBy(hash).limit(k)``, which Spark executes as
+    per-partition TakeOrdered + a driver merge of k rows — NOT a
+    single-partition global sort (a window over a constant key would
+    funnel the whole source through one task)."""
     parts: list[DataFrame] = []
     for spec in specs:
         d = spec.df.withColumn("mix_source", F.lit(spec.name))
         if spec.fraction is not None or spec.count is not None:
-            w = Window.partitionBy("mix_source").orderBy(
-                F.xxhash64(F.lit(seed), F.col(id_col)), F.col(id_col)
+            k = (
+                spec.count
+                if spec.count is not None
+                else int(spec.df.count() * spec.fraction)
             )
-            d = d.withColumn("_rk", F.row_number().over(w))
-            if spec.count is not None:
-                d = d.filter(F.col("_rk") <= spec.count)
-            else:
-                total = spec.df.count()
-                d = d.filter(F.col("_rk") <= int(total * spec.fraction))
-            d = d.drop("_rk")
+            d = (
+                d.orderBy(F.xxhash64(F.lit(seed), F.col(id_col)), F.col(id_col))
+                .limit(k)
+            )
         parts.append(d)
     out = parts[0]
     for p in parts[1:]:

@@ -45,7 +45,13 @@ def write_jsonl(
 
 
 def _slug(url: str) -> str:
-    return re.sub(r"[^A-Za-z0-9._-]+", "_", url)[:180]
+    """Filesystem-safe name for a url. A sha1 suffix makes the name
+    collision-free: slug-sanitization and truncation both map distinct
+    urls together, and os.replace would silently drop the loser."""
+    import hashlib
+
+    safe = re.sub(r"[^A-Za-z0-9._-]+", "_", url)[:160]
+    return f"{safe}-{hashlib.sha1(url.encode()).hexdigest()[:10]}"
 
 
 def write_markdown(df: DataFrame, out_dir: str) -> int:
