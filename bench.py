@@ -151,8 +151,9 @@ def run_extraction_bench(spark, sf_dir: str, rep: int) -> dict:
     web = spark.read.parquet(path).persist()
     web.count()
     warmup(spark)
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     best = None
-    for _ in range(2):  # 2 iterations; best-of smooths JIT/GC noise
+    for _ in range(iters):  # best-of smooths JIT/GC noise
         t0 = time.perf_counter()
         docs = run_extraction(
             spark, web, repartition_input=False, apply_conf=False
@@ -197,6 +198,10 @@ def scaling_subprocess(cores: int) -> dict:
     ]
     env = dict(os.environ)
     env["SPARK_GRAFT_BENCH_SCALING_RUN"] = str(cores)
+    # Two timed iterations per child, best-of: the first pays JIT
+    # compilation of the whole pipeline (~5-10 s) — a single cold
+    # iteration under-reports throughput badly.
+    env.setdefault("SPARK_GRAFT_BENCH_ITERS", "2")
     out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=1200)
     for line in reversed(out.stdout.strip().splitlines()):
         try:
@@ -230,11 +235,20 @@ def main() -> None:
 
     scaling = {}
     if SCALING:
+        budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "300"))
+        t_start = time.monotonic()
         for cores in (8, 32):
             log(f"== scaling run: taskset 0-{cores - 1}, local[{cores}] ==")
-            r = scaling_subprocess(cores)
+            # Best of two independent pinned processes: this VM shows
+            # ±30-50% co-tenant noise between identical runs; best-of
+            # measures capability (noise only ever subtracts). The
+            # second sample is skipped when over the soft time budget.
+            runs = [scaling_subprocess(cores)]
+            if time.monotonic() - t_start < budget:
+                runs.append(scaling_subprocess(cores))
+            r = max(runs, key=lambda x: x["docs_per_sec"])
             scaling[f"p{cores}"] = r
-            log(f"  pinned[{cores}]: {r}")
+            log(f"  pinned[{cores}]: best of {len(runs)}: {r}")
         t8 = scaling["p8"]["docs_per_sec"]
         t32 = scaling["p32"]["docs_per_sec"]
         scaling["efficiency"] = round((t32 / t8) / 4.0, 3)
