@@ -360,6 +360,16 @@ def _q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_per_probe(emb, probes, k=5)
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from karanta_ocr_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return ivf_topk(emb, probes, k=5, n_centroids=8)
+
+
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < 3).select(
@@ -403,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "ann_brute_topk": _q_ann_brute_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_dup": _q_embedding_near_dup,
     }
 

@@ -139,6 +139,77 @@ def lsh_bucketed_topk(
     )
 
 
+def _assign_centroids(df: DataFrame, centroids, vec_col: str, out_col: str) -> DataFrame:
+    """Nearest-centroid assignment via a numpy-vectorized Arrow batch
+    (one matmul per batch — the K×dim argmin is the one step that
+    shouldn't be a Catalyst expression tree)."""
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    c = np.asarray(centroids, dtype="float64")
+    c_norm = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, IntegerType())])
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            if len(vecs):
+                v_norm = vecs / np.maximum(
+                    np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+                )
+                pdf[out_col] = np.argmax(v_norm @ c_norm.T, axis=1).astype("int32")
+            else:
+                pdf[out_col] = pd.Series([], dtype="int32")
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id: str = "probe_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: a deterministic centroid codebook
+    (seeded hash-rank sample of the corpus — one tiny collect; a
+    k-means refinement would slot in here unchanged), nearest-centroid
+    assignment on both sides, then per-probe search within the probe's
+    inverted list only. One equi-join on the centroid id replaces the
+    full scan — the IVF recall/speed trade at 10^12 vectors."""
+    sample = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.lit(seed), F.col(vec_col).cast("string")))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [list(r[vec_col]) for r in sample]
+
+    c_assigned = _assign_centroids(corpus, centroids, vec_col, "_cell")
+    p_assigned = _assign_centroids(
+        probes.select(probe_id, vec_col), centroids, vec_col, "_cell"
+    ).select(probe_id, F.col(vec_col).alias("_probe_vec"), "_cell")
+
+    joined = c_assigned.join(p_assigned, on="_cell").select(
+        probe_id,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("_probe_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.98,

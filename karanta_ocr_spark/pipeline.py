@@ -334,9 +334,16 @@ def run_extraction(
 
     df = web_pages
     if output_path and resume:
-        from karanta_ocr_spark.resume import filter_already_committed
+        from karanta_ocr_spark.resume import (
+            filter_already_committed,
+            filter_known_failures,
+        )
 
         df = filter_already_committed(spark, df, output_path)
+        if metrics_path:
+            # Quarantine docs that failed too many prior runs (they are
+            # never committed, so snapshot resume alone retries forever).
+            df = filter_known_failures(spark, df, metrics_path, max_attempts=3)
 
     if repartition_input:
         df = prepare_for_extraction(df, num_partitions)

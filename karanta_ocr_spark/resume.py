@@ -47,3 +47,37 @@ def filter_already_committed(
     # AQE's skewJoin handles hot url prefixes, and when the committed
     # side is small Catalyst broadcasts it automatically.
     return source.join(done, on="url", how="left_anti")
+
+
+def filter_known_failures(
+    spark: SparkSession,
+    source: DataFrame,
+    metrics_path: str,
+    max_attempts: int = 3,
+) -> DataFrame:
+    """Quarantine: skip documents that already failed *max_attempts*
+    times (counted from the lineage table's failure samples).
+
+    Failed docs are never committed, so plain snapshot resume retries
+    them forever; this mirrors the reference's bounded retry budget
+    (``autoretry_for`` max 10, bulk_processing/workers/
+    inference_worker.py:288-290) without any mutable task state —
+    attempts are just failure rows accumulated across runs.
+    """
+    from pyspark.sql import functions as F
+
+    if not _path_exists(spark, metrics_path):
+        return source
+    try:
+        metrics = spark.read.parquet(metrics_path)
+    except Exception:
+        return source
+    failed = (
+        metrics.select(F.explode("failure_samples").alias("f"))
+        .select(F.col("f.url").alias("url"))
+        .groupBy("url")
+        .count()
+        .filter(F.col("count") >= max_attempts)
+        .select("url")
+    )
+    return source.join(failed, on="url", how="left_anti")

@@ -105,6 +105,31 @@ def test_cosine_topk_matches_numpy(spark):
     assert got == [int(x) for x in expected]
 
 
+def test_ivf_topk_recall_and_determinism(spark):
+    from karanta_ocr_spark.operators.similarity import cosine_topk_per_probe, ivf_topk
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(200, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    probes = df.filter("vec_id < 4").selectExpr("vec_id as probe_id", "embedding")
+    exact = cosine_topk_per_probe(df, probes, k=5)
+    approx = ivf_topk(df, probes, k=5, n_centroids=4)
+    ex = {(r["probe_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["probe_id"], r["vec_id"]) for r in approx.collect()}
+    # the probe itself is always in its own cell → top-1 recall ≥ 1;
+    # overall recall should be substantial with few wide cells
+    assert len(ap & ex) >= len(ex) // 2
+    # deterministic under repartitioning
+    ap2 = {
+        (r["probe_id"], r["vec_id"])
+        for r in ivf_topk(df.repartition(7), probes, k=5, n_centroids=4).collect()
+    }
+    assert ap == ap2
+
+
 # ------------------------------------------------------------- sampling
 def test_systematic_sample(spark):
     df = spark.range(100).withColumnRenamed("id", "doc_id")
