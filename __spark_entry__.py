@@ -121,6 +121,50 @@ def _q_extract_pdf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pdf_anchor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference anchor linearization (get_anchor_text,
+    karanta/prompts/anchor.py:231-342), oracle-checked: single-page
+    PDFs with two text runs + one image at fixed coordinates make the
+    exact anchor string ('Page dimensions' header, y-desc order,
+    [XxY]text lines, merged [Image ...] line) SQL-constructible."""
+    from karanta_ocr_spark.pipeline import ExtractConfig, extract_pages
+    from karanta_ocr_spark.sources.web_pages import WEB_PAGES_SCHEMA
+
+    def build(batches):
+        import pandas as pd
+
+        from karanta_ocr_spark.fixtures.pdf_gen import (
+            ImageSpec,
+            PageSpec,
+            TextRun,
+            build_pdf,
+        )
+
+        for pdf in batches:
+            out = {f.name: [] for f in WEB_PAGES_SCHEMA.fields}
+            for did, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+                s1 = (text or "").strip()[:40]
+                page = PageSpec(
+                    runs=[TextRun(f"Doc {did} head", 72, 700), TextRun(s1, 72, 680)],
+                    images=[ImageSpec(100, 100, 80, 60)],
+                )
+                out["url"].append(f"{PDF_URL_PREFIX}anchor/{did}")
+                out["warc_ts"].append(None)
+                out["html"].append(build_pdf([page]))
+                out["text"].append(None)
+                out["lang"].append(None)
+            yield pd.DataFrame(out)
+
+    web = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(8)
+        .mapInPandas(build, schema=WEB_PAGES_SCHEMA)
+    )
+    pages = extract_pages(web, ExtractConfig(keep_anchor=True))
+    return pages.select("url", "anchor_text")
+
+
 def _q_source_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A1/T15 analog in pure SQL shape: per-source ordered concat.
     return (
@@ -388,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_docs": _q_extract_html_docs,
         "extract_pdf_docs": _q_extract_pdf_docs,
+        "pdf_anchor_report": _q_pdf_anchor_report,
         "source_assembly": _q_source_assembly,
         "lang_stats": _q_lang_stats,
         "workspace_stats": _q_workspace_stats,
@@ -453,6 +498,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(p1) + 1 AS BIGINT) AS p2_start,
                    CAST(length(p1) + 1 + length(p2) AS BIGINT) AS p2_end
             FROM p
+        """,
+        "pdf_anchor_report": """
+            SELECT 'https://pdfs.example.org/doc/anchor/' || doc_id AS url,
+                   'Page dimensions: 612.0x792.0' || chr(10)
+                   || '[72x700]Doc ' || doc_id || ' head' || chr(10)
+                   || '[72x680]' || trim(substring(trim(text), 1, 40)) || chr(10)
+                   || '[Image 100x100 to 180x160]' || chr(10) AS anchor_text
+            FROM documents
         """,
         "source_assembly": """
             SELECT source,
