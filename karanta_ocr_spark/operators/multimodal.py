@@ -212,6 +212,54 @@ def decode_images(
     return df.select(id_col, blob_col).mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+def grayscale_images(decoded: DataFrame) -> DataFrame:
+    """RGB → single-channel luma (ITU-R BT.601 weights), the real
+    transform (reference grayscale convert,
+    ``karanta/data/utils.py:186-225``) — operates on raw decoded
+    pixels, so no codec library is needed: pure numpy per Arrow batch."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        for pdf in batches:
+            out_px = []
+            for w, h, px in zip(pdf["width"], pdf["height"], pdf["pixels"]):
+                arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(int(h), int(w), 3)
+                gray = (
+                    arr[:, :, 0] * 0.299 + arr[:, :, 1] * 0.587 + arr[:, :, 2] * 0.114
+                ).astype(np.uint8)
+                out_px.append(gray.tobytes())
+            pdf = pdf.copy()
+            pdf["pixels"] = out_px
+            yield pdf
+
+    return decoded.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def resize_images(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize on raw RGB — real implementation
+    (reference render-dim targeting, ``karanta/pipeline.py:1171``
+    sizes pages to a longest dimension), pure numpy indexing."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        for pdf in batches:
+            out_px, out_wl, out_hl = [], [], []
+            for w, h, px in zip(pdf["width"], pdf["height"], pdf["pixels"]):
+                arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(int(h), int(w), 3)
+                yi = (np.arange(out_h) * int(h) // out_h).clip(0, int(h) - 1)
+                xi = (np.arange(out_w) * int(w) // out_w).clip(0, int(w) - 1)
+                out_px.append(arr[yi][:, xi].tobytes())
+                out_wl.append(out_w)
+                out_hl.append(out_h)
+            pdf = pdf.copy()
+            pdf["width"], pdf["height"], pdf["pixels"] = out_wl, out_hl, out_px
+            yield pdf
+
+    return decoded.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

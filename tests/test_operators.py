@@ -250,6 +250,32 @@ def test_decode_images_fake_plumbing(spark):
     }
 
 
+def test_grayscale_and_resize_real_transforms(spark):
+    from karanta_ocr_spark.operators.multimodal import (
+        decode_images,
+        grayscale_images,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(i, _png(4, 4) + bytes([i])) for i in range(4)],
+        "media_id long, payload binary",
+    )
+    decoded = decode_images(df, allow_fake=True)  # 4x4 RGB fakes
+    gray = grayscale_images(decoded).collect()
+    assert all(len(r["pixels"]) == 4 * 4 for r in gray)  # 1 channel
+    small = resize_images(decoded, 2, 2).collect()
+    assert all(
+        (r["width"], r["height"], len(r["pixels"])) == (2, 2, 2 * 2 * 3)
+        for r in small
+    )
+    # nearest-neighbor determinism
+    small2 = resize_images(decoded.repartition(3), 2, 2).collect()
+    assert {r["media_id"]: bytes(r["pixels"]) for r in small} == {
+        r["media_id"]: bytes(r["pixels"]) for r in small2
+    }
+
+
 def test_sample_frames_fanout(spark):
     df = spark.createDataFrame([(1, b"videobytes"), (2, b"other")],
                                "media_id long, payload binary")
