@@ -342,6 +342,24 @@ def _q_manifest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus vocabulary stats: explode tokens -> count + doc frequency
+    # -> top 20 (ties broken by token for determinism).
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.col("token"))
+        .limit(20)
+    )
+
+
 def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A8 analog: event-time tumbling windows (same expression the
     # streaming path uses behind a watermark).
@@ -450,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_join": _q_manifest_join,
         "event_windows": _q_event_windows,
         "user_sessions": _q_user_sessions,
+        "vocab_top_tokens": _q_vocab_top_tokens,
         # rows-only (hash-seeded / approximate):
         "dataset_mix": _q_dataset_mix,
         "media_metadata": _q_media_metadata,
@@ -599,6 +618,18 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 10
                         THEN 'text_page' ELSE 'image_page' END AS branch
             FROM documents
+        """,
+        "vocab_top_tokens": """
+            SELECT token,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+            FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+                FROM documents
+            )
+            GROUP BY token
+            ORDER BY n_occurrences DESC, token
+            LIMIT 20
         """,
         "event_windows": """
             SELECT date_trunc('hour', ts) AS window_start,
