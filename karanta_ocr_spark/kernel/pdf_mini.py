@@ -304,7 +304,13 @@ class PdfDocument:
         return v
 
     def resolve(self, v):
+        # Hostile/corrupt PDFs can contain reference cycles (A -> B -> A);
+        # an unbounded while-loop would hang the executor task forever.
+        seen: set[int] = set()
         while isinstance(v, Ref):
+            if v.num in seen:
+                return None
+            seen.add(v.num)
             v = self.objects.get(v.num, (None, None))[0]
         return v
 
@@ -319,9 +325,16 @@ class PdfDocument:
                 return val
         return None
 
-    def _walk_pages(self, node: dict, inherited: dict, out: list) -> None:
-        if not isinstance(node, dict):
+    def _walk_pages(self, node: dict, inherited: dict, out: list, seen=None, depth: int = 0) -> None:
+        # `seen` (node identity) + a depth cap guard against cyclic /Kids
+        # trees in corrupt PDFs, which would otherwise recurse forever.
+        if not isinstance(node, dict) or depth > 64:
             return
+        if seen is None:
+            seen = set()
+        if id(node) in seen:
+            return
+        seen.add(id(node))
         inh = dict(inherited)
         for k in ("/MediaBox", "/Resources"):
             if k in node:
@@ -330,7 +343,7 @@ class PdfDocument:
             out.append((node, inh))
             return
         for kid in self.resolve(node.get("/Kids")) or []:
-            self._walk_pages(self.resolve(kid), inh, out)
+            self._walk_pages(self.resolve(kid), inh, out, seen, depth + 1)
 
     def pages(self) -> list[tuple[dict, dict]]:
         """Ordered list of (page dict, inherited attrs)."""

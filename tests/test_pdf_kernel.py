@@ -134,3 +134,51 @@ def test_natural_text_same_line_x_order():
     # y within tolerance → same line, x ascending; gap below column
     # threshold → single column
     assert page_natural_text(rep) == "hello world"
+
+
+def _raw_pdf(objects: dict[int, bytes]) -> bytes:
+    """Assemble raw object syntax into a scannable PDF body."""
+    body = b"%PDF-1.4\n"
+    for num, obj in sorted(objects.items()):
+        body += b"%d 0 obj\n%s\nendobj\n" % (num, obj)
+    return body + b"%%EOF"
+
+
+def test_cyclic_indirect_reference_terminates():
+    # Hostile PDF: /MediaBox is a ref cycle 5 -> 6 -> 5. Must not hang
+    # (ADVICE r01 high); falls back to the default letter mediabox.
+    pdf = _raw_pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox 5 0 R /Contents 4 0 R >>",
+        4: b"<< /Length 24 >>\nstream\nBT 1 0 0 1 72 700 Tm (x) Tj ET\nendstream",
+        5: b"6 0 R",
+        6: b"5 0 R",
+    })
+    reports = parse_pdf(pdf)
+    assert len(reports) == 1
+    assert reports[0].mediabox == BoundingBox(0.0, 0.0, 612.0, 792.0)
+
+
+def test_self_referential_indirect_reference_terminates():
+    pdf = _raw_pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox 5 0 R >>",
+        5: b"5 0 R",
+    })
+    reports = parse_pdf(pdf)
+    assert reports[0].mediabox == BoundingBox(0.0, 0.0, 612.0, 792.0)
+
+
+def test_cyclic_kids_tree_terminates():
+    # Pages node whose /Kids contains itself: walk must not recurse forever.
+    pdf = _raw_pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 2 0 R] /Count 1 "
+           b"/MediaBox [0 0 100 200] >>",
+        3: b"<< /Type /Page /Parent 2 0 R >>",
+    })
+    reports = parse_pdf(pdf)
+    assert len(reports) == 1
+    assert reports[0].mediabox == BoundingBox(0.0, 0.0, 100.0, 200.0)
