@@ -53,24 +53,42 @@ def proportional_allocation(
     Group sums compute distributed; the remainder fixup runs on the
     (small — one row per group) aggregated frame via window functions,
     so no collect() is needed.
+
+    ``min_per_group`` is granted to every group off the top and the
+    REST of the budget is apportioned, so ``sum(allocation) ==
+    total_budget`` exactly whenever ``total_budget >= n_groups *
+    min_per_group`` (below that the minimum itself overshoots — the
+    documented degenerate case).
     """
     totals = df.groupBy(group_col).agg(F.sum(weight_col).alias("w"))
     grand = totals.agg(F.sum("w").alias("gw")).select("gw")
     t = totals.crossJoin(F.broadcast(grand))
+    w_sum = Window.partitionBy()
+    # Budget remaining after the per-group minimum; clamp at 0 so the
+    # degenerate budget < n_groups*min case yields min each, not junk.
     t = t.withColumn(
-        "raw", (F.col("w") / F.col("gw")) * F.lit(total_budget - 0)
-    ).withColumn("floor_alloc", F.greatest(F.floor("raw"), F.lit(min_per_group)))
-    # leftover budget = total - sum(floors); give 1 each to the
+        "eff",
+        F.greatest(
+            F.lit(total_budget) - F.lit(min_per_group) * F.count("*").over(w_sum),
+            F.lit(0),
+        ),
+    )
+    t = t.withColumn("raw", (F.col("w") / F.col("gw")) * F.col("eff")).withColumn(
+        "floor_alloc", F.floor("raw")
+    )
+    # leftover budget = eff - sum(floors); give 1 each to the
     # largest remainders (ties broken by group key for determinism).
     t = t.withColumn("rem", F.col("raw") - F.floor("raw"))
-    w_sum = Window.partitionBy()
     w_rank = Window.orderBy(F.desc("rem"), F.col(group_col))
-    t = t.withColumn("leftover", F.lit(total_budget) - F.sum("floor_alloc").over(w_sum))
+    t = t.withColumn("leftover", F.col("eff") - F.sum("floor_alloc").over(w_sum))
     t = t.withColumn("rk", F.row_number().over(w_rank))
     t = t.withColumn(
         "allocation",
-        (F.col("floor_alloc") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
-        .cast("long"),
+        (
+            F.lit(min_per_group)
+            + F.col("floor_alloc")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).cast("long"),
     )
     return t.select(group_col, F.col("w").alias("total_weight"), "allocation")
 
@@ -116,10 +134,14 @@ def sampled_avg(df: DataFrame, value_col: str, n: int = 100, seed: int = 42):
     """A3: estimate a mean from a bounded deterministic sample
     (reference samples ≤100 PDFs for avg page count to size work
     groups, ``karanta/pipeline.py:1302-1333``). Returns a 1-row
-    DataFrame."""
-    w = Window.orderBy(F.xxhash64(F.lit(seed), F.col(value_col)))
+    DataFrame.
+
+    Uses ``orderBy(...).limit(n)`` — Spark plans that as TakeOrdered
+    (per-partition top-n + driver merge of n rows), NOT a global sort;
+    a ``Window.orderBy`` with no partitionBy would funnel the whole
+    table through one task."""
     return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= n)
+        df.orderBy(F.xxhash64(F.lit(seed), F.col(value_col)))
+        .limit(n)
         .agg(F.avg(value_col).alias("avg_" + value_col))
     )

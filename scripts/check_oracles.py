@@ -12,7 +12,12 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_args = [a for a in sys.argv[1:] if not a.startswith("--only")]
+ONLY = None
+for _a in sys.argv[1:]:
+    if _a.startswith("--only="):
+        ONLY = set(_a.split("=", 1)[1].split(","))
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -61,6 +66,8 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failed = []
     for name, fn in qs.items():
+        if ONLY is not None and name not in ONLY:
+            continue
         t0 = time.time()
         sdf = fn(spark, SF_DIR)
         srows = sdf.collect()

@@ -161,6 +161,34 @@ def test_proportional_allocation_hamilton(spark):
     assert sum(out.values()) == 10
 
 
+def test_proportional_allocation_min_per_group_exact_budget(spark):
+    # min_per_group must not overshoot: minimum off the top, rest
+    # apportioned, sum == budget exactly (ADVICE r01).
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0), ("c", 98.0)], "g string, w double"
+    )
+    out = {r["g"]: r["allocation"] for r in
+           proportional_allocation(df, "g", "w", 10, min_per_group=2).collect()}
+    assert sum(out.values()) == 10
+    assert all(v >= 2 for v in out.values())
+    assert out["c"] == max(out.values())
+
+
+def test_sampled_avg_takeordered_plan_and_determinism(spark):
+    from karanta_ocr_spark.operators.sampling import sampled_avg
+
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "v double")
+    out = sampled_avg(df, "v", n=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # Must plan as TakeOrdered (per-partition top-n), never a
+    # single-partition Window/global Sort+Exchange (VERDICT r01 #2).
+    assert "TakeOrdered" in plan
+    assert "Window" not in plan
+    a = out.collect()[0][0]
+    b = sampled_avg(df.repartition(13), "v", n=50).collect()[0][0]
+    assert a == b
+
+
 def test_two_phase_coverage(spark):
     df = spark.createDataFrame(
         [(i, f"g{i % 5}", 1.0 + i % 5) for i in range(100)],
