@@ -92,19 +92,66 @@ def _mix_expr(seed: int, h: int, d: int) -> str:
     return f"(cast(hash({seed}, {h}, {d}) as double) / 2147483648.0)"
 
 
-def hyperplane_bits(
-    vec_col: str, num_planes: int = 16, dim: int = 64, seed: int = 42
-) -> Column:
-    """LSH bucket id: bit h = sign(v · plane_h). Pure SQL expression —
-    every executor derives identical planes from the seed."""
-    bits = []
-    for h in range(num_planes):
-        terms = " + ".join(
-            f"element_at({vec_col}, {d + 1}) * {_mix_expr(seed, h, d)}"
-            for d in range(dim)
-        )
-        bits.append(f"IF(({terms}) > 0, cast({1 << h} as bigint), cast(0 as bigint))")
-    return F.expr("(" + " + ".join(bits) + ")")
+def _plane_matrix(spark, num_planes: int, dim: int, seed: int):
+    """The num_planes×dim plane coefficients, materialized once on the
+    driver by letting Catalyst constant-fold the same literal hash
+    expressions the r01 SQL variant inlined per row — so buckets are
+    bit-identical to that version, but the per-row work moves to one
+    numpy matmul per Arrow batch instead of a dim×planes-term
+    expression tree (which at dim=64/12 planes already produced
+    >1.7 MiB task binaries, and at dim=768 would not plan at all)."""
+    import numpy as np
+
+    coeffs = []
+    # Chunk the constant-fold select: one array() of ~4096 literals per
+    # query keeps the driver-side plan small even at dim=768×32 planes.
+    flat = [
+        _mix_expr(seed, h, d) for h in range(num_planes) for d in range(dim)
+    ]
+    for i in range(0, len(flat), 4096):
+        row = spark.range(1).select(
+            F.expr("array(" + ",".join(flat[i : i + 4096]) + ")").alias("c")
+        ).first()
+        coeffs.extend(row["c"])
+    return np.asarray(coeffs, dtype="float64").reshape(num_planes, dim)
+
+
+def with_hyperplane_bucket(
+    df: DataFrame,
+    vec_col: str,
+    out_col: str = "_bucket",
+    num_planes: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Append the LSH bucket id column: bit h = sign(v · plane_h).
+    Projection runs as a numpy matmul inside ``mapInPandas`` (Arrow
+    batches); planes ship to executors as a tiny broadcast ndarray,
+    not as an expression tree."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    planes = _plane_matrix(df.sparkSession, num_planes, dim, seed)
+    weights = (1 << np.arange(num_planes)).astype("int64")
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType())])
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n:
+                vecs = np.array(
+                    [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+                )
+                proj = vecs @ planes.T  # n × num_planes
+                pdf[out_col] = ((proj > 0).astype("int64") @ weights)
+            else:
+                pdf[out_col] = pd.Series([], dtype="int64")
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
 
 
 def lsh_bucketed_topk(
@@ -121,11 +168,10 @@ def lsh_bucketed_topk(
     """Approximate per-probe top-k: compare only within the probe's
     LSH bucket. The bucket column is computed identically on both
     sides (same seed), so this is one equi-join + windowed top-k."""
-    bucket = hyperplane_bits(vec_col, num_planes, dim, seed)
-    c = corpus.withColumn("_bucket", bucket)
-    p = probes.withColumn("_bucket", bucket).select(
-        probe_id, F.col(vec_col).alias("_probe_vec"), "_bucket"
-    )
+    c = with_hyperplane_bucket(corpus, vec_col, "_bucket", num_planes, dim, seed)
+    p = with_hyperplane_bucket(
+        probes, vec_col, "_bucket", num_planes, dim, seed
+    ).select(probe_id, F.col(vec_col).alias("_probe_vec"), "_bucket")
     joined = c.join(p, on="_bucket").select(
         probe_id,
         id_col,
@@ -221,7 +267,7 @@ def embedding_near_dup(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate removal: LSH-bucket self-join,
     verify cosine ≥ threshold, drop the larger id of each pair."""
-    c = df.withColumn("_bucket", hyperplane_bits(vec_col, num_planes, dim, seed))
+    c = with_hyperplane_bucket(df, vec_col, "_bucket", num_planes, dim, seed)
     a = c.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "_bucket")
     b = c.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "_bucket")
     dups = (

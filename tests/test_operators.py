@@ -130,6 +130,48 @@ def test_ivf_topk_recall_and_determinism(spark):
     assert ap == ap2
 
 
+def test_hyperplane_bucket_matches_sql_expr_and_scales_to_768(spark):
+    from karanta_ocr_spark.operators.similarity import (
+        _mix_expr,
+        with_hyperplane_bucket,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(80, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    # Reference bucket: the r01 inline-SQL formulation (kept here as
+    # the spec; production path is the numpy mapInPandas variant).
+    bits = []
+    for h in range(8):
+        terms = " + ".join(
+            f"element_at(embedding, {d + 1}) * {_mix_expr(42, h, d)}"
+            for d in range(16)
+        )
+        bits.append(f"IF(({terms}) > 0, cast({1 << h} as bigint), cast(0 as bigint))")
+    want = {
+        r["vec_id"]: r["b"]
+        for r in df.select("vec_id", F.expr("+".join(bits)).alias("b")).collect()
+    }
+    got = {
+        r["vec_id"]: r["_bucket"]
+        for r in with_hyperplane_bucket(
+            df, "embedding", num_planes=8, dim=16
+        ).collect()
+    }
+    assert got == want
+    # dim=768 (the plan the SQL variant could not survive) just works.
+    big = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=768)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    out = with_hyperplane_bucket(big, "embedding", num_planes=16, dim=768)
+    assert out.count() == 20
+
+
 # ------------------------------------------------------------- sampling
 def test_systematic_sample(spark):
     df = spark.range(100).withColumnRenamed("id", "doc_id")
