@@ -408,6 +408,22 @@ def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_simhash_banded_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from karanta_ocr_spark.operators.dedup import simhash_dedup_banded
+
+    return simhash_dedup_banded(
+        _docs(spark, sf_dir), "text", "doc_id", max_hamming=3, bands=4
+    ).select("doc_id", "lang", "source")
+
+
+def _q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from karanta_ocr_spark.operators.dedup import ngram_jaccard_dedup
+
+    return ngram_jaccard_dedup(
+        _docs(spark, sf_dir), "text", "doc_id", threshold=0.8
+    ).select("doc_id", "lang", "source")
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", lang_id_heuristic(F.col("text")).alias("lang_guess")
@@ -474,6 +490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_metadata,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
+        "simhash_banded_dedup": _q_simhash_banded_dedup,
+        "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "lang_id": _q_lang_id,
         "ann_brute_topk": _q_ann_brute_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,

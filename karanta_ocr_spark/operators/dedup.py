@@ -14,10 +14,12 @@ All are DataFrame compositions designed for the shuffle profile at
   Everything up to the bucket join is Catalyst higher-order functions
   over ``xxhash64`` — zero Python.
 * :func:`simhash64` / :func:`simhash_dedup` — 64-bit SimHash (Charikar
-  '02) via JVM bit math; near-dups = equal simhash (Hamming-0 fast
-  path; band-rotated variants give Hamming>0 at scale).
-* :func:`ngram_jaccard_dedup` — exact n-gram Jaccard verification used
-  standalone (small data) or as the LSH verify stage.
+  '02); Hamming-0 fast path over one shuffle.
+* :func:`simhash_dedup_banded` — Hamming ≤ k near-dups via the Manku
+  WWW'07 pigeonhole band trick: k+1 bit slices, equi-join per slice,
+  ``bit_count(xor)`` verify.
+* :func:`ngram_jaccard_dedup` — exact n-gram Jaccard verify over LSH
+  candidate pairs (all-pairs cross join only behind ``small_data``).
 """
 
 from __future__ import annotations
@@ -129,27 +131,56 @@ def lsh_bands(num_perm: int, bands: int) -> "F.Column":
 
 
 def candidate_pairs(
-    with_sig: DataFrame, id_col: str, bands: int, num_perm: int
+    with_sig: DataFrame, id_col: str, bands: int, num_perm: int,
+    bucket_cap: int = 64,
 ) -> DataFrame:
     """Bucket-join candidate generation: explode band hashes, self-join
     within (band, bucket). Only same-bucket rows ever meet — this is
-    the step that keeps near-dup detection sub-quadratic at scale."""
+    the step that keeps near-dup detection sub-quadratic at scale.
+
+    Hot buckets (boilerplate-identical or empty docs all landing in one
+    bucket) would make the self-join quadratic in the bucket size:
+    1k identical docs → 500k pairs PER BAND. Buckets over *bucket_cap*
+    therefore switch to star linking — every member pairs with the
+    bucket's min-id anchor only (O(n) pairs), which still collapses
+    identical/near-identical groups transitively because each
+    non-anchor member loses its pair against the anchor. The recall
+    trade (a pair similar to each other but not to the anchor) only
+    applies inside oversized buckets, where all-pairs was never viable.
+    """
     exploded = with_sig.select(
         F.col(id_col), F.col("minhash"),
         F.posexplode(lsh_bands(num_perm, bands)).alias("band", "bucket"),
     )
-    left = exploded.select(
+    anchors = exploded.groupBy("band", "bucket").agg(
+        F.min(id_col).alias("_anchor_id"),
+        F.min_by("minhash", F.col(id_col)).alias("_anchor_mh"),
+        F.count("*").alias("_bn"),
+    )
+    sized = exploded.join(anchors, on=["band", "bucket"])
+    small = sized.filter(F.col("_bn") <= bucket_cap)
+    left = small.select(
         F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"), "band", "bucket"
     )
-    right = exploded.select(
+    right = small.select(
         F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"), "band", "bucket"
     )
-    return (
+    pairs_small = (
         left.join(right, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "mh_a", "mh_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    pairs_big = (
+        sized.filter(F.col("_bn") > bucket_cap)
+        .filter(F.col(id_col) != F.col("_anchor_id"))
+        .select(
+            F.col("_anchor_id").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.col("_anchor_mh").alias("mh_a"),
+            F.col("minhash").alias("mh_b"),
+        )
+    )
+    return pairs_small.unionByName(pairs_big).dropDuplicates(["id_a", "id_b"])
 
 
 def minhash_lsh_dedup(
@@ -219,11 +250,125 @@ def simhash64(text_col: str) -> Column:
     )
 
 
+def with_simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """Append the 64-bit SimHash, numerically identical to
+    :func:`simhash64` but ~an order of magnitude cheaper per byte:
+    token hashing stays JVM-side (one ``xxhash64`` per token), while
+    the O(tokens × 64) ±1 bit-count accumulation — interpreted HOF
+    lambdas in the Catalyst variant, the whole cost of the 8 s r01
+    ``simhash_dedup`` headline — runs as one vectorized numpy
+    ``reduceat`` per Arrow batch."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    hashed = df.withColumn("_tok_h", F.expr(f"transform({toks}, t -> xxhash64(t))"))
+    schema = StructType(list(hashed.schema.fields) + [StructField(out_col, LongType())])
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n:
+                lens = pdf["_tok_h"].map(len).to_numpy()
+                flat = np.concatenate(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["_tok_h"]]
+                ).astype(np.uint64)
+                # bit matrix (total_tokens × 64) of ±1 contributions
+                bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+                contrib = 2 * bits - 1
+                offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                counts = np.add.reduceat(contrib, offsets, axis=0)
+                # rows with zero tokens: reduceat on equal offsets
+                # copies the next row; split() never yields [], so
+                # lens >= 1 always holds (split('') == ['']).
+                sig = ((counts > 0).astype(np.uint64) << shifts).sum(
+                    axis=1, dtype=np.uint64
+                )
+                pdf[out_col] = sig.astype(np.int64)
+            else:
+                pdf[out_col] = pd.Series([], dtype="int64")
+            yield pdf
+
+    return hashed.mapInPandas(run, schema=schema).drop("_tok_h")
+
+
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact-simhash dedup (Hamming distance 0): one shuffle on the
     64-bit key."""
-    with_sh = df.withColumn("simhash", simhash64(text_col))
+    with_sh = with_simhash64(df, text_col, "simhash")
     return exact_dedup(with_sh, ["simhash"], id_col)
+
+
+def simhash_dedup_banded(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """Near-dup removal at Hamming distance ≤ *max_hamming* (Manku et
+    al., WWW'07): split the 64-bit simhash into *bands* equal bit
+    slices — a pair within Hamming ≤ bands-1 shares at least one exact
+    slice (pigeonhole), so candidates come from *bands* equi-joins on
+    (band, slice) instead of an all-pairs scan — then verify exact
+    Hamming distance with ``bit_count(xor)``. Requires
+    ``max_hamming < bands``; hot slices (e.g. all-zero simhash of empty
+    docs) are star-linked past *bucket_cap* like the MinHash path."""
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole requires max_hamming < bands")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    with_sh = with_simhash64(df, text_col, "simhash").persist()
+    slices = F.array(
+        *[
+            (F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)))
+            for b in range(bands)
+        ]
+    )
+    exploded = with_sh.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(slices).alias("band", "slice"),
+    )
+    anchors = exploded.groupBy("band", "slice").agg(
+        F.min(id_col).alias("_anchor_id"),
+        F.min_by("simhash", F.col(id_col)).alias("_anchor_sh"),
+        F.count("*").alias("_bn"),
+    )
+    sized = exploded.join(anchors, on=["band", "slice"])
+    small = sized.filter(F.col("_bn") <= bucket_cap)
+    pairs_small = (
+        small.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+                     "band", "slice")
+        .join(
+            small.select(F.col(id_col).alias("id_b"),
+                         F.col("simhash").alias("sh_b"), "band", "slice"),
+            on=["band", "slice"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+    )
+    pairs_big = (
+        sized.filter(F.col("_bn") > bucket_cap)
+        .filter(F.col(id_col) != F.col("_anchor_id"))
+        .select(
+            F.col("_anchor_id").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.col("_anchor_sh").alias("sh_a"),
+            F.col("simhash").alias("sh_b"),
+        )
+    )
+    pairs = pairs_small.unionByName(pairs_big).dropDuplicates(["id_a", "id_b"])
+    dup = pairs.filter(
+        F.bit_count(F.expr("sh_a ^ sh_b")) <= max_hamming
+    )
+    victims = dup.select(F.col("id_b").alias(id_col)).distinct().localCheckpoint()
+    with_sh.unpersist()
+    return df.join(victims, on=id_col, how="left_anti")
 
 
 # ------------------------------------------------------- n-gram jaccard
@@ -234,31 +379,61 @@ def ngram_jaccard_dedup(
     shingle_k: int = 3,
     threshold: float = 0.8,
     shingle_unit: str = "word",
+    small_data: bool = False,
+    num_perm: int = 64,
+    bands: int = 32,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup removal.
 
-    Quadratic verify — at scale this runs only on LSH candidates; the
-    standalone form here prefilters pairs by a cheap length-ratio
-    bound (|a|/|b| ≥ threshold is necessary for J ≥ threshold)."""
+    Default path: MinHash-LSH candidate generation (sub-quadratic —
+    with rows-per-band = num_perm/bands = 2 a J ≥ 0.8 pair is a
+    candidate with probability 1-(1-J²)^32 ≈ 1-10⁻⁶) followed by the
+    EXACT Jaccard verify on candidate pairs only, so the answer is
+    exact up to LSH recall. The all-pairs cross join — O(n²) rows
+    shuffled, fatal beyond toy inputs — must be requested explicitly
+    via ``small_data=True``."""
     sh = df.select(
         F.col(id_col), F.expr(_shingles_expr(text_col, shingle_k, shingle_unit)).alias("sh")
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
-                  F.size("sh").alias("n_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
-                  F.size("sh").alias("n_b"))
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.least("n_a", "n_b") >= F.greatest("n_a", "n_b") * F.lit(threshold)
+    if small_data:
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
+                      F.size("sh").alias("n_a"))
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
+                      F.size("sh").alias("n_b"))
+        pairs = (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                F.least("n_a", "n_b") >= F.greatest("n_a", "n_b") * F.lit(threshold)
+            )
         )
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+    else:
+        with_sig = minhash_signatures(
+            df, text_col, num_perm, shingle_k, shingle_unit=shingle_unit
+        ).persist()
+        cand = candidate_pairs(with_sig, id_col, bands, num_perm).select(
+            "id_a", "id_b"
         )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    victims = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        pairs = (
+            cand.join(
+                sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+                on="id_a",
+            )
+            .join(
+                sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+                on="id_b",
+            )
+            .filter(
+                F.least(F.size("sh_a"), F.size("sh_b"))
+                >= F.greatest(F.size("sh_a"), F.size("sh_b")) * F.lit(threshold)
+            )
+        )
+    pairs = pairs.withColumn(
+        "jaccard",
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+    ).filter(F.col("jaccard") >= threshold)
+    victims = pairs.select(F.col("id_b").alias(id_col)).distinct().localCheckpoint()
+    if not small_data:
+        with_sig.unpersist()
     return df.join(victims, on=id_col, how="left_anti")

@@ -90,6 +90,75 @@ def test_ngram_jaccard_dedup(docs_df):
     assert 0 in ids and 1 not in ids and 2 not in ids
 
 
+def test_ngram_jaccard_candidate_path_matches_cross_join(spark):
+    # Default (LSH-candidate) path must reproduce the explicit
+    # small_data cross-join output on fixture-scale data (VERDICT #4).
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota KAPPA",
+        "one two three four five six seven eight nine ten",
+        "one two three four five six seven eight nine ten",
+        "totally different words in this particular document here now",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    fast = {r["doc_id"] for r in
+            ngram_jaccard_dedup(df, "text", "doc_id", threshold=0.8).collect()}
+    slow = {r["doc_id"] for r in
+            ngram_jaccard_dedup(df, "text", "doc_id", threshold=0.8,
+                                small_data=True).collect()}
+    assert fast == slow
+
+
+def test_simhash_numpy_matches_catalyst(docs_df):
+    from karanta_ocr_spark.operators.dedup import simhash64, with_simhash64
+
+    want = {
+        r["doc_id"]: r["sh"]
+        for r in docs_df.select("doc_id", simhash64("text").alias("sh")).collect()
+    }
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in with_simhash64(docs_df, "text").select("doc_id", "simhash").collect()
+    }
+    assert got == want
+
+
+def test_simhash_banded_catches_flipped_bits(spark):
+    from karanta_ocr_spark.operators.dedup import simhash_dedup_banded
+
+    # ~60 tokens; altering two tokens flips 3 simhash bits (measured).
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok28 ", "tok28x ").replace("tok29 ", "tok29x ")
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, "utterly unrelated short text")],
+        "doc_id long, text string",
+    )
+    from karanta_ocr_spark.operators.dedup import with_simhash64
+    shs = {r["doc_id"]: r["simhash"]
+           for r in with_simhash64(df, "text").select("doc_id", "simhash").collect()}
+    ham = bin((shs[0] ^ shs[1]) & (2**64 - 1)).count("1")
+    assert 0 < ham <= 3  # fixture premise: a genuine near-dup
+    out = {r["doc_id"] for r in
+           simhash_dedup_banded(df, "text", "doc_id", max_hamming=3).collect()}
+    assert out == {0, 2}  # 1 removed as near-dup of 0; exact path would keep it
+
+
+def test_minhash_hot_bucket_star_linking(spark):
+    # 1k identical docs share every band bucket; all-pairs would be
+    # 500k pairs/band. The star path must finish fast and still dedup
+    # everything to the min id (VERDICT #10).
+    df = spark.createDataFrame(
+        [(i, "same boilerplate text repeated across the whole crawl") for i in range(1000)]
+        + [(5000, "a unique document that must survive the dedup pass")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"] for r in
+           minhash_lsh_dedup(df, "text", "doc_id", num_perm=32, bands=8).collect()}
+    assert out == {0, 5000}
+
+
 # ----------------------------------------------------------- similarity
 def test_cosine_topk_matches_numpy(spark):
     rng = np.random.default_rng(7)
