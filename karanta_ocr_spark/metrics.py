@@ -76,6 +76,23 @@ def job_statistics(metrics: DataFrame) -> DataFrame:
     )
 
 
+def failures_path(metrics_path: str) -> str:
+    """Sibling table of the lineage/metrics table holding EVERY failed
+    url per run (not a bounded sample). The quarantine reads this: with
+    only the FAILURE_SAMPLE_N-bounded ``failure_samples``, a partition
+    with many failures would hide most failing urls from the attempt
+    counter and they'd be retried forever."""
+    return metrics_path.rstrip("/") + "_failures"
+
+
+def failure_rows(pages: DataFrame, run_id: str) -> DataFrame:
+    return pages.filter(~F.col("ok")).select(
+        F.lit(run_id).alias("run_id"),
+        "url",
+        "error",
+    )
+
+
 def write_lineage(
     spark: SparkSession,
     pages: DataFrame,
@@ -84,3 +101,6 @@ def write_lineage(
     config_hash: str,
 ) -> None:
     lineage_rows(pages, run_id, config_hash).write.mode("append").parquet(metrics_path)
+    failure_rows(pages, run_id).write.mode("append").parquet(
+        failures_path(metrics_path)
+    )

@@ -66,18 +66,35 @@ def filter_known_failures(
     """
     from pyspark.sql import functions as F
 
-    if not _path_exists(spark, metrics_path):
-        return source
-    try:
-        metrics = spark.read.parquet(metrics_path)
-    except Exception:
-        return source
+    from karanta_ocr_spark.metrics import failures_path
+
+    # Preferred source: the unbounded per-url failures table — the
+    # bounded lineage failure_samples hide urls on partitions with many
+    # failures, which would defeat the quarantine exactly where it
+    # matters. Fall back to samples for pre-existing metrics dirs.
+    fpath = failures_path(metrics_path)
+    per_run_url = None
+    if _path_exists(spark, fpath):
+        try:
+            per_run_url = spark.read.parquet(fpath).select("run_id", "url")
+        except Exception:
+            per_run_url = None
+    if per_run_url is None:
+        if not _path_exists(spark, metrics_path):
+            return source
+        try:
+            metrics = spark.read.parquet(metrics_path)
+        except Exception:
+            return source
+        per_run_url = metrics.select(
+            "run_id", F.explode("failure_samples").alias("f")
+        ).select("run_id", F.col("f.url").alias("url"))
+    # Attempts = distinct runs in which the url failed (staged mode can
+    # log several failed pages of one url in one run).
     failed = (
-        metrics.select(F.explode("failure_samples").alias("f"))
-        .select(F.col("f.url").alias("url"))
-        .groupBy("url")
-        .count()
-        .filter(F.col("count") >= max_attempts)
+        per_run_url.groupBy("url")
+        .agg(F.countDistinct("run_id").alias("attempts"))
+        .filter(F.col("attempts") >= max_attempts)
         .select("url")
     )
     return source.join(failed, on="url", how="left_anti")

@@ -57,8 +57,16 @@ def _slug(url: str) -> str:
 def write_markdown(df: DataFrame, out_dir: str) -> int:
     """One ``.md`` per document under *out_dir*, written inside
     ``foreachPartition`` (each executor writes its own partition's
-    files; nothing is collected to the driver). Returns doc count."""
-    from pyspark.sql import Row
+    files; nothing is collected to the driver). Returns doc count.
+
+    *out_dir* must be on a filesystem shared by all executors (NFS
+    etc.) — on a multi-node cluster with node-local paths the files
+    would land scattered across machines while "succeeding". Local
+    mode (this sandbox) trivially satisfies it. The count comes from
+    an accumulator inside the same pass, not a second action —
+    ``foreachPartition`` is an action, so task-level retries count
+    once and the upstream plan executes exactly once."""
+    acc = df.sparkSession.sparkContext.accumulator(0)
 
     def write_part(rows) -> None:
         import os
@@ -70,7 +78,7 @@ def write_markdown(df: DataFrame, out_dir: str) -> int:
             with open(tmp, "w", encoding="utf-8") as f:
                 f.write(row["text"])
             os.replace(tmp, p)  # atomic per file, like pipeline.py:632-648
+            acc.add(1)
 
-    slim = df.select("url", "text")
-    slim.foreachPartition(write_part)
-    return slim.count()
+    df.select("url", "text").foreachPartition(write_part)
+    return acc.value

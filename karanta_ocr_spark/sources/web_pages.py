@@ -78,6 +78,20 @@ def wrap_documents_as_web_pages(docs: DataFrame) -> DataFrame:
     input_hint web_pages shape. Pure Catalyst — repartition *before*
     calling this if the upstream has too few splits, so the (cheap but
     per-row) wrapping parallelizes."""
+    # HTML-escape the text before interpolation (& first): raw '<'/'&'
+    # would parse as markup/entities and break the 'Doc N\n' || trim(text)
+    # round-trip the oracle asserts. The extractor's html.parser runs
+    # with convert_charrefs=True, so entities decode back to the
+    # original characters and the round-trip holds for any corpus.
+    escaped = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
     return docs.select(
         F.concat(F.lit(DOCS_URL_PREFIX), F.col("doc_id").cast("string")).alias("url"),
         F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
@@ -85,7 +99,7 @@ def wrap_documents_as_web_pages(docs: DataFrame) -> DataFrame:
             F.format_string(
                 _HTML_TEMPLATE,
                 F.col("doc_id").cast("string"),
-                F.col("text"),
+                escaped,
                 F.col("lang"),
             ),
             "UTF-8",

@@ -35,3 +35,36 @@ def test_quarantine_no_metrics_is_noop(spark, tmp_path):
     web = synthetic_web_pages(spark, n_docs=8, seed=42)
     same = filter_known_failures(spark, web, str(tmp_path / "nope"), 3)
     assert same.count() == web.count()
+
+
+def test_quarantine_not_capped_by_failure_sample_bound(spark, tmp_path):
+    # >FAILURE_SAMPLE_N failing urls in ONE partition: the bounded
+    # lineage sample alone would hide most of them from the attempt
+    # counter; the dedicated failures table must quarantine all of
+    # them after max_attempts runs (ADVICE r01).
+    import datetime
+
+    from karanta_ocr_spark.metrics import FAILURE_SAMPLE_N
+    from karanta_ocr_spark.sources.web_pages import WEB_PAGES_SCHEMA
+
+    n_bad = FAILURE_SAMPLE_N + 4
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [
+        (f"https://bad.example.org/{i}", ts,
+         b"%PDF-1.4\nnot a real pdf body at all", None, "en")
+        for i in range(n_bad)
+    ] + [
+        (f"https://good.example.org/{i}", ts,
+         ("<html><body><article><h1>T</h1><p>" + "words " * 40 +
+          "</p></article></body></html>").encode(), None, "en")
+        for i in range(4)
+    ]
+    web = spark.createDataFrame(rows, WEB_PAGES_SCHEMA).coalesce(1)
+    out, met = str(tmp_path / "extr"), str(tmp_path / "metrics")
+    for _ in range(3):
+        run_extraction(spark, web, output_path=out, metrics_path=met,
+                       num_partitions=1)
+    remaining = filter_known_failures(spark, web, met, max_attempts=3)
+    kept = {r["url"] for r in remaining.select("url").collect()}
+    assert not any(u.startswith("https://bad.") for u in kept)
+    assert sum(u.startswith("https://good.") for u in kept) == 4

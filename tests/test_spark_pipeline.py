@@ -202,3 +202,20 @@ def test_derived_web_pages_extraction(spark):
     )
     bad = joined.filter(F.col("text") != F.col("expected_text")).count()
     assert bad == 0
+
+
+def test_wrapped_markup_text_round_trips(spark):
+    # Document text containing '<', '>' and '&' must survive the
+    # wrap -> extract round-trip: the wrapper HTML-escapes, the
+    # extractor's parser (convert_charrefs=True) decodes back
+    # (ADVICE r01).
+    from karanta_ocr_spark.sources.web_pages import wrap_documents_as_web_pages
+
+    tricky = ("the inequality a < b & b > c holds " * 4).strip()
+    docs = spark.createDataFrame(
+        [(7, tricky, "en")], "doc_id long, text string, lang string"
+    )
+    web = wrap_documents_as_web_pages(docs)
+    out = run_extraction(spark, web, num_partitions=2).collect()
+    assert len(out) == 1
+    assert out[0]["text"] == "Doc 7\n" + tricky
