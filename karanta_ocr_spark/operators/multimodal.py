@@ -8,12 +8,15 @@ expensive decode (the reference's base64-PNG dimension sniff,
 byte arithmetic without decoding — reimplemented here over raw
 bytes), and the heavy work in Arrow-batched UDFs.
 
-Decode / resize / frame-sample need codec libraries that are NOT in
-this container (PIL/ffmpeg), so the transform bodies are stubbed: the
-Spark-side plumbing (schemas, mapInPandas batch shape, partitioning)
-is real and tested; the inner pixel transform either raises
-``NotImplementedError`` (strict mode) or produces a deterministic
-fake (test mode) clearly marked as such.
+PNG payloads decode for real through the pure-stdlib
+``kernel.png_mini`` (zlib inflate + scanline unfilter), so
+``decode_images → grayscale_images → resize_images`` runs un-faked
+end-to-end on PNGs. JPEG decode and video frame-sampling need codec
+libraries that are NOT in this container (PIL/ffmpeg), so those
+transform bodies are stubbed: the Spark-side plumbing (schemas,
+mapInPandas batch shape, partitioning) is real and tested; the inner
+pixel transform either raises ``NotImplementedError`` (strict mode)
+or produces a deterministic fake (test mode) clearly marked as such.
 """
 
 from __future__ import annotations
@@ -168,14 +171,21 @@ def decode_images(
     id_col: str = "media_id",
     allow_fake: bool = False,
 ) -> DataFrame:
-    """Decode image bytes → raw RGB. STUB: PIL/libjpeg are not in this
-    container. With ``allow_fake=True`` a deterministic fake exercises
+    """Decode image bytes → raw RGB.
+
+    Decodable PNGs (8-bit, non-interlaced — the overwhelming majority
+    of web PNGs) decode for real via the pure-stdlib
+    :mod:`karanta_ocr_spark.kernel.png_mini` — no codec library
+    needed. Other formats need PIL/libjpeg, which are NOT in this
+    container: with ``allow_fake=True`` a deterministic fake exercises
     the full Spark path (schema, Arrow batches, downstream ops);
     otherwise the task raises ``NotImplementedError`` with the exact
     dependency needed."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
+
+        from karanta_ocr_spark.kernel.png_mini import PngError, decode_png
 
         try:
             from PIL import Image  # noqa: F401  (absent in sandbox)
@@ -185,24 +195,32 @@ def decode_images(
             have_pil = False
 
         for pdf in batches:
-            if not have_pil and not allow_fake:
-                raise NotImplementedError(
-                    "decode_images needs Pillow on executors "
-                    "(pip install pillow + spark-submit --py-files); "
-                    "pass allow_fake=True to exercise the plumbing."
-                )
             rows = {f.name: [] for f in DECODED_SCHEMA.fields}
             for mid, blob in zip(pdf[id_col].tolist(), pdf[blob_col].tolist()):
                 blob = bytes(blob) if blob is not None else b""
-                if have_pil:  # pragma: no cover - not installed here
-                    import io
+                w = h = px = None
+                if blob[:4] == b"\x89PNG":
+                    try:
+                        w, h, px = decode_png(blob)
+                    except PngError:
+                        w = None  # unsupported/corrupt → codec fallback
+                if w is None:
+                    if have_pil:  # pragma: no cover - not installed here
+                        import io
 
-                    from PIL import Image
+                        from PIL import Image
 
-                    img = Image.open(io.BytesIO(blob)).convert("RGB")
-                    w, h, px = img.width, img.height, img.tobytes()
-                else:
-                    w, h, px = _fake_decode(blob, mid)
+                        img = Image.open(io.BytesIO(blob)).convert("RGB")
+                        w, h, px = img.width, img.height, img.tobytes()
+                    elif allow_fake:
+                        w, h, px = _fake_decode(blob, mid)
+                    else:
+                        raise NotImplementedError(
+                            "decode_images needs Pillow on executors for "
+                            "non-PNG payloads (pip install pillow + "
+                            "spark-submit --py-files); pass allow_fake=True "
+                            "to exercise the plumbing."
+                        )
                 rows["media_id"].append(mid)
                 rows["width"].append(w)
                 rows["height"].append(h)

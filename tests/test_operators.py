@@ -422,3 +422,68 @@ def test_sample_frames_fanout(spark):
     assert len(out) == 6
     idx = sorted(r["frame_idx"] for r in out if r["media_id"] == 1)
     assert idx == [0, 5, 10]
+
+
+# ------------------------------------------------------ png_mini decode
+def test_png_decode_all_filters_roundtrip():
+    from karanta_ocr_spark.kernel.png_mini import decode_png, encode_png
+
+    w, h = 9, 7
+    rgb = bytes(((x * 23 + y * 41 + c * 7) & 0xFF)
+                for y in range(h) for x in range(w) for c in range(3))
+    for f in range(5):  # None/Sub/Up/Average/Paeth unfilter paths
+        assert decode_png(encode_png(w, h, rgb, filter_type=f)) == (w, h, rgb)
+
+
+def test_png_decode_committed_golden_pixel_hash():
+    import hashlib
+    import os
+
+    from karanta_ocr_spark.kernel.png_mini import decode_png
+
+    path = os.path.join(os.path.dirname(__file__), "data", "golden_16x12.png")
+    with open(path, "rb") as fh:
+        w, h, rgb = decode_png(fh.read())
+    assert (w, h) == (16, 12)
+    assert hashlib.sha1(rgb).hexdigest() == (
+        "7e59c376bbb57983d0364f63936d04be067173ed"
+    )
+
+
+def test_png_decode_rejects_unsupported():
+    import pytest as _pytest
+
+    from karanta_ocr_spark.kernel.png_mini import PngError, decode_png
+
+    with _pytest.raises(PngError):
+        decode_png(b"nope")
+    with _pytest.raises(PngError):
+        decode_png(_png(4, 4))  # header-only, no IDAT
+
+
+def test_decode_gray_resize_unfaked_on_real_png(spark):
+    # The full multimodal chain runs WITHOUT allow_fake on a real PNG:
+    # stdlib decode -> BT.601 grayscale -> nearest resize (VERDICT #6).
+    import hashlib
+    import os
+
+    from karanta_ocr_spark.operators.multimodal import (
+        grayscale_images,
+        resize_images,
+    )
+
+    path = os.path.join(os.path.dirname(__file__), "data", "golden_16x12.png")
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    df = spark.createDataFrame([(1, blob)], "media_id long, payload binary")
+    decoded = decode_images(df)  # strict mode: PNG path must not raise
+    rows = decoded.collect()
+    assert (rows[0]["width"], rows[0]["height"]) == (16, 12)
+    assert hashlib.sha1(bytes(rows[0]["pixels"])).hexdigest() == (
+        "7e59c376bbb57983d0364f63936d04be067173ed"
+    )
+    gray = grayscale_images(decoded).collect()
+    assert len(gray[0]["pixels"]) == 16 * 12
+    small = resize_images(decoded, 8, 6).collect()
+    assert (small[0]["width"], small[0]["height"]) == (8, 6)
+    assert len(small[0]["pixels"]) == 8 * 6 * 3
