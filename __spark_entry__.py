@@ -68,6 +68,8 @@ def _q_extract_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pages").cast("int").alias("n_pages"),
         F.element_at("spans", 1)["start"].cast("long").alias("span_start"),
         F.element_at("spans", 1)["end"].cast("long").alias("span_end"),
+        "rotation_correction",
+        "is_rotation_valid",
     )
 
 
@@ -118,6 +120,8 @@ def _q_extract_pdf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pages").cast("int").alias("n_pages"),
         F.element_at("spans", 2)["start"].cast("long").alias("p2_start"),
         F.element_at("spans", 2)["end"].cast("long").alias("p2_end"),
+        "rotation_correction",
+        "is_rotation_valid",
     )
 
 
@@ -510,7 +514,9 @@ def oracle_sql() -> dict[str, str]:
                    'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || trim(text) AS text,
                    1 AS n_pages,
                    CAST(0 AS BIGINT) AS span_start,
-                   CAST(length('Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || trim(text)) AS BIGINT) AS span_end
+                   CAST(length('Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || trim(text)) AS BIGINT) AS span_end,
+                   0 AS rotation_correction,
+                   TRUE AS is_rotation_valid
             FROM documents
             WHERE length(trim(text)) >= 25
         """,
@@ -533,7 +539,9 @@ def oracle_sql() -> dict[str, str]:
                    p1 || chr(10) || p2 AS text,
                    2 AS n_pages,
                    CAST(length(p1) + 1 AS BIGINT) AS p2_start,
-                   CAST(length(p1) + 1 + length(p2) AS BIGINT) AS p2_end
+                   CAST(length(p1) + 1 + length(p2) AS BIGINT) AS p2_end,
+                   0 AS rotation_correction,
+                   TRUE AS is_rotation_valid
             FROM p
         """,
         "pdf_anchor_report": """

@@ -288,6 +288,18 @@ def assemble_documents(
 OUTPUT_COLS = ["url", "doc_id", "text", "spans", "n_pages", "n_failed", "lang"]
 
 
+def with_rotation_attributes(docs: DataFrame) -> DataFrame:
+    """Schema parity with the reference's Dolma attributes
+    (``karanta/pipeline.py:582-589``): it carries the VLM retry loop's
+    ``rotation_correction`` / ``is_rotation_valid`` per document
+    (``karanta/data/utils.py:619``). This pipeline has no VLM rotation
+    loop (SURVEY T5: metadata retained), so the values are the
+    constants the reference emits on the no-rotation path: 0/true."""
+    return docs.withColumn("rotation_correction", F.lit(0).cast("int")).withColumn(
+        "is_rotation_valid", F.lit(True)
+    )
+
+
 def run_extraction(
     spark: SparkSession,
     web_pages: DataFrame,
@@ -360,6 +372,7 @@ def run_extraction(
             pages = pages.persist()
         docs = assemble_documents(pages, cfg)
         lineage_src = pages
+    docs = with_rotation_attributes(docs)
 
     def _emit_metrics() -> None:
         from karanta_ocr_spark.metrics import write_lineage

@@ -33,6 +33,18 @@ def write_jsonl(
                     F.col("spans").alias("pdf_page_numbers"),
                     F.col("n_pages"),
                     F.col("n_failed"),
+                    # Dolma rotation attributes (karanta/pipeline.py:582-589);
+                    # constants when the doc frame predates the columns.
+                    (
+                        F.col("rotation_correction")
+                        if "rotation_correction" in df.columns
+                        else F.lit(0)
+                    ).alias("rotation_correction"),
+                    (
+                        F.col("is_rotation_valid")
+                        if "is_rotation_valid" in df.columns
+                        else F.lit(True)
+                    ).alias("is_rotation_valid"),
                 ).alias("attributes"),
             )
         ).alias("value")
