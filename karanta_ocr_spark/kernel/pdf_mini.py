@@ -297,7 +297,48 @@ class PdfDocument:
                         except zlib.error:
                             pass
             self.objects[num] = (val, stream)
+        self._load_object_streams()
         self._page_cache: list[tuple[dict, bytes, BoundingBox]] | None = None
+
+    def _load_object_streams(self) -> None:
+        """PDF 1.5+ compressed object streams (/Type /ObjStm): page
+        dicts of real-world PDFs frequently live inside these, where
+        the sequential ``N 0 obj`` scan can't see them. Tolerant
+        fallback instead of a full xref-stream reader: the scan already
+        found and inflated the ObjStm containers, so parse their
+        ``N`` (objnum, offset) header pairs and register each embedded
+        object. Directly-scanned objects win on number collisions."""
+        embedded: dict[int, tuple] = {}
+        for val, stream in list(self.objects.values()):
+            if not (isinstance(val, dict) and val.get("/Type") == "/ObjStm"):
+                continue
+            if not isinstance(stream, (bytes, bytearray)):
+                continue
+            n = val.get("/N")
+            first = val.get("/First")
+            if not (isinstance(n, int) and isinstance(first, int) and first <= len(stream)):
+                continue
+            head = _Lexer(bytes(stream[:first]))
+            pairs = []
+            try:
+                for _ in range(min(n, 10000)):
+                    objnum = head.value()
+                    off = head.value()
+                    if not (isinstance(objnum, int) and isinstance(off, int)):
+                        break
+                    pairs.append((objnum, off))
+            except Exception:
+                pass
+            body = bytes(stream)
+            for objnum, off in pairs:
+                pos = first + off
+                if objnum in self.objects or objnum in embedded or pos > len(body):
+                    continue
+                try:
+                    embedded[objnum] = (_Lexer(body, pos).value(), None)
+                except Exception:
+                    continue
+        self.objects.update(embedded)
 
     @staticmethod
     def _resolve_later(v):
@@ -473,6 +514,31 @@ def _interpret_content(
         op = m.group(0)
 
         # ---- operators -------------------------------------------------
+        if op == b"ID":
+            # Inline image (BI <params> ID <binary> EI): the binary
+            # payload is not token syntax — scan past it to the EI
+            # delimiter (whitespace-framed, the standard heuristic for
+            # payloads that may contain the bytes 'EI'). The reference's
+            # pypdf visitors don't emit inline images as image elements
+            # (anchor.py:105-120 sees only /XObject Do), so neither do
+            # we — the point is that the REST of the stream still
+            # parses instead of the page failing.
+            j = i
+            if j < n and content[j] in _WS:
+                j += 1
+            while True:
+                k = content.find(b"EI", j)
+                if k < 0:
+                    i = n
+                    break
+                before_ok = k == 0 or content[k - 1] in _WS
+                after_ok = k + 2 >= n or content[k + 2] in _WS
+                if before_ok and after_ok:
+                    i = k + 2
+                    break
+                j = k + 2
+            operands = []
+            continue
         if op == b"q":
             stack.append(list(cm))
         elif op == b"Q":

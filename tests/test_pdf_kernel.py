@@ -182,3 +182,56 @@ def test_cyclic_kids_tree_terminates():
     reports = parse_pdf(pdf)
     assert len(reports) == 1
     assert reports[0].mediabox == BoundingBox(0.0, 0.0, 100.0, 200.0)
+
+
+def test_inline_image_skipped_text_survives():
+    # BI ... ID <binary with embedded 'EI' bytes> EI between two text
+    # runs: the payload must be skipped, both runs extracted, and no
+    # image element emitted (reference pypdf visitors only see /XObject
+    # Do images).
+    payload = b"\x00\x01EIx\xff" * 8  # contains non-delimiter 'EI'
+    content = (
+        b"BT 1 0 0 1 72 700 Tm (before) Tj ET\n"
+        b"BI /W 4 /H 4 /BPC 8 /CS /RGB ID " + payload + b" EI\n"
+        b"BT 1 0 0 1 72 680 Tm (after) Tj ET"
+    )
+    pdf = _raw_pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>",
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+    })
+    rep = parse_pdf(pdf)[0]
+    assert [e.text for e in rep.text_elements] == ["before", "after"]
+    assert rep.image_elements == []
+
+
+def test_object_stream_pages_found():
+    # PDF 1.5 layout: catalog/pages/page dicts live inside a compressed
+    # /ObjStm; only the container and the content stream are
+    # sequentially scannable. The tolerant ObjStm fallback must find
+    # the page.
+    import zlib as _zlib
+
+    inner = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 300 400] /Contents 5 0 R >>",
+    }
+    header = b""
+    body = b""
+    for num, obj in inner.items():
+        header += b"%d %d " % (num, len(body))
+        body += obj + b" "
+    first = len(header)
+    payload = _zlib.compress(header + body)
+    content = b"BT 1 0 0 1 10 20 Tm (objstm text) Tj ET"
+    pdf = _raw_pdf({
+        4: b"<< /Type /ObjStm /N 3 /First %d /Filter /FlateDecode /Length %d >>"
+           b"\nstream\n%s\nendstream" % (first, len(payload), payload),
+        5: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+    })
+    reports = parse_pdf(pdf)
+    assert len(reports) == 1
+    assert reports[0].mediabox == BoundingBox(0.0, 0.0, 300.0, 400.0)
+    assert reports[0].text_elements[0].text == "objstm text"
