@@ -82,20 +82,37 @@ _SCRIPT_RANGES = [
     ("ara", r"[؀-ۿ]"),   # Arabic
 ]
 
-_LATIN_MARKERS = [
-    ("yor", r"[ẹọṣàáèéìíòóùú̀́]"),  # Yoruba diacritics
-    ("igb", r"[ụịọṅẹ]"),
-    ("fra", r"[àâçéèêëîïôûù]"),
+# Latin-script languages are disambiguated by WEIGHTED marker counts,
+# not first-match priority: plain French accents (à é è ù) are a
+# subset of Yoruba's tone-marked vowels, so a priority list made every
+# French text 'yor' (r01 wart). Strong markers are characters
+# (near-)exclusive to the language; weak markers are shared-but-
+# suggestive and only tip the scale.
+_LATIN_SCORED = [
+    # (code, strong pattern ×3, weak pattern ×1)
+    ("yor", r"[ẹọṣ]", r"[áíóúàèìòù̀́]"),   # dot-below + tone-marked vowels
+    ("igb", r"[ụịṅ]", r"[ẹọ́̀]"),           # dot-below u/i + n-dot
+    ("fra", r"[âçêëîïôûœ]", r"[àéèù]"),    # circumflex/cedilla/diaeresis
 ]
 
 
 def lang_id_heuristic(col: Column) -> Column:
-    """Script/character-range language ID. Returns the first matching
-    script code, a Latin-diacritic guess, else 'und'. Deterministic
-    priority order; pure regexp (JVM)."""
-    # Build from lowest to highest priority: the last .when wrapped
-    # (= first list entry) wins.
-    expr = F.lit("und")
-    for code, pat in reversed(_SCRIPT_RANGES + _LATIN_MARKERS):
+    """Script/character-range language ID, fully JVM.
+
+    Non-Latin scripts (Ge'ez, N'Ko, Vai, Arabic) are exact block-range
+    matches in priority order. Latin-script candidates score
+    ``3×strong + 1×weak`` marker occurrences; the highest score wins
+    (ties broken by list order), zero everywhere → 'und'."""
+    scores = [
+        (code, F.regexp_count(col, F.lit(strong)) * 3 + F.regexp_count(col, F.lit(weak)))
+        for code, strong, weak in _LATIN_SCORED
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    latin = F.lit("und")
+    # Wrap lowest→highest priority so the FIRST list entry wins ties.
+    for code, s in reversed(scores):
+        latin = F.when((best > 0) & (s == best), F.lit(code)).otherwise(latin)
+    expr = latin
+    for code, pat in reversed(_SCRIPT_RANGES):
         expr = F.when(col.rlike(pat), F.lit(code)).otherwise(expr)
     return expr

@@ -35,3 +35,18 @@ def test_yoruba_diacritics_detected(spark):
     ).collect()
     if yor:  # Yoruba diacritic markers present in every fixture doc
         assert all(r["guess"] == "yor" for r in yor)
+
+
+def test_french_not_shadowed_by_yoruba(spark):
+    # Plain French accents are a subset of Yoruba tone-marked vowels;
+    # the scored markers must classify French as fra (VERDICT r01 wart).
+    rows = [
+        (0, "le château était déjà fermé, la fenêtre donnait sur la forêt"),
+        (1, "ọmọ mi fẹ́ràn oúnjẹ aládùn àti ẹja ṣíṣè"),
+        (2, "ụmụ anyị na-aṅụ mmiri ọhụrụ n'ụtụtụ"),
+        (3, "plain ascii text with no diacritics at all"),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {r["i"]: r["g"] for r in
+           df.select("i", lang_id_heuristic(F.col("text")).alias("g")).collect()}
+    assert got == {0: "fra", 1: "yor", 2: "igb", 3: "und"}
