@@ -26,7 +26,15 @@ from html.parser import HTMLParser
 _ASCII_WS = re.compile(r"[ \t\r\n\f\v]+")
 
 
+#: any character the collapse would actually rewrite (a ws char other
+#: than ' ', or a double space). When absent, sub() is the identity and
+#: one C-speed search beats building a new string.
+_WS_REWRITE = re.compile(r"[\t\r\n\f\v]|  ")
+
+
 def _collapse_ws(s: str) -> str:
+    if _WS_REWRITE.search(s) is None:
+        return s.strip()
     return _ASCII_WS.sub(" ", s).strip()
 
 
@@ -177,12 +185,196 @@ class _Flattener(HTMLParser):
         self._flush()
 
 
+# ---------------------------------------------------------- fast path
+# A regex tokenizer that emits the SAME event stream html.parser
+# (convert_charrefs=True) produces — pinned on its observed behavior
+# for tolerant start/end tags, quoted '>' in attributes, bare '<' as
+# data, script/style raw-text mode, comments/declarations/CDATA/PIs,
+# and charref conversion on text runs only. html.parser spends ~80% of
+# the kernel's per-doc time in per-character Python bookkeeping the
+# flattener never uses (attribute parsing, position tracking); at 32
+# concurrent CPython workers that overhead is also the main source of
+# shared-cache pressure. Equivalence is enforced by tests
+# (fixture-corpus + adversarial + hypothesis event-stream comparison);
+# any exception falls back to the html.parser path.
+
+# Reuse the stdlib's OWN tolerant start-tag matcher as the fallback so
+# attribute pathologies (quotes in unquoted values, junk names)
+# resolve exactly as html.parser resolves them.
+from html.parser import locatestarttagend_tolerant as _FAST_STARTTAG_END  # noqa: E402
+
+_ASCII_LETTERS = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+# A '<' anywhere inside the tag (even in a quoted value) punts to the
+# stdlib-tolerant fallback — that is exactly the territory where
+# html.parser's recovery rules are subtle.
+# Quotes open a span only directly after '=' (attribute value); a bare
+# quote elsewhere (e.g. unquoted value "it's") punts to the fallback,
+# where stdlib tolerant parsing treats it as literal value text.
+_FAST_STARTTAG = re.compile(
+    r"<([a-zA-Z][^\t\n\r\f />\x00]*)"
+    r"((?:[^<>\"'=]|=\s*+\"[^\"<]*+\"|=\s*+'[^'<]*+'|=)*?)>",
+    re.S,
+)
+_FAST_TAGNAME = re.compile(r"<([a-zA-Z][^\t\n\r\f />\x00]*)")
+_FAST_ENDTAG = re.compile(r"</\s*([a-zA-Z][^\t\n\r\f />\x00]*)[^>]*>", re.S)
+
+
+def _selfclosing(seg: str) -> bool:
+    """html.parser marks a start tag XHTML-self-closing only when the
+    trailing '/' is NOT swallowed by a bare (unquoted) attribute
+    value: '<br/>', '<hr//>', '<p / x/>' and '<a href=x />' are
+    self-closing; '<a href=http://x/>' is not (the '/' is value
+    text). Mirrors tagfind/attrfind_tolerant token boundaries."""
+    if not seg.endswith("/"):
+        return False
+    parts = seg.rsplit(None, 1)
+    # Leading '/'s are separators (tagfind consumes them), not token
+    # text: in '<p /=x/>' the attribute name is '=x'.
+    tok = (parts[-1] if parts else seg).lstrip("/")
+    eq = tok.find("=")
+    if eq <= 0:
+        # No '=', or '=' leads the token (then it's part of a valueless
+        # attribute NAME per tagfind/attrfind): '/' stands alone.
+        return True
+    val = tok[eq:].lstrip("=")
+    if val[:1] in "\"'":
+        e = val.find(val[0], 1)
+        return e >= 0 and val[e + 1 :].endswith("/")
+    return False  # unquoted value swallows the trailing slash
+_FAST_RAW_CLOSE = {
+    "script": re.compile(r"</\s*script", re.I),
+    "style": re.compile(r"</\s*style", re.I),
+}
+
+
+def _fast_events(html: str, h: "_Flattener") -> None:
+    from html import unescape
+
+    data = h.handle_data
+    start = h.handle_starttag
+    end = h.handle_endtag
+    i, n = 0, len(html)
+    while i < n:
+        lt = html.find("<", i)
+        if lt < 0:
+            run = html[i:]
+            data(unescape(run) if "&" in run else run)
+            break
+        if lt > i:
+            run = html[i:lt]
+            data(unescape(run) if "&" in run else run)
+        i = lt
+        c = html[lt + 1 : lt + 2]
+        if c in _ASCII_LETTERS:
+            m = _FAST_STARTTAG.match(html, i)
+            if m is not None:
+                tag = m.group(1).lower()
+                sc = _selfclosing(m.group(2))
+                i = m.end()
+            else:
+                # Fallback: quote/junk pathologies, resolved exactly as
+                # the stdlib's tolerant matcher resolves them.
+                j = _FAST_STARTTAG_END.match(html, i).end()
+                nxt = html[j : j + 1]
+                if nxt == "/" and html[j : j + 2] == "/>":
+                    sc = True
+                    j += 2
+                elif nxt == ">":
+                    sc = False
+                    j += 1
+                else:
+                    # Unterminated-at-EOF or bogus mid-tag input:
+                    # mirror html.parser's close-time recovery —
+                    # everything through the next '>' (or up to the
+                    # next '<', or one char) becomes one data chunk,
+                    # charref-converted like any text run.
+                    k = html.find(">", i + 1)
+                    if k >= 0:
+                        k += 1
+                    else:
+                        k = html.find("<", i + 1)
+                        if k < 0:
+                            k = i + 1
+                    chunk = html[i:k]
+                    data(unescape(chunk) if "&" in chunk else chunk)
+                    i = k
+                    continue
+                tag = _FAST_TAGNAME.match(html, i).group(1).lower()
+                i = j
+            start(tag, [])
+            if sc:  # <tag/> = startendtag = start + end
+                end(tag)
+            elif tag in _FAST_RAW_CLOSE:
+                # Raw-text content mode: everything up to </tag is one
+                # data chunk, NOT charref-converted (html.parser drops
+                # unterminated raw content at EOF — so do we).
+                mc = _FAST_RAW_CLOSE[tag].search(html, i)
+                if mc is None:
+                    break
+                if mc.start() > i:
+                    data(html[i : mc.start()])
+                me = _FAST_ENDTAG.match(html, mc.start())
+                if me is None:  # '</script' at EOF without '>'
+                    end(tag)
+                    break
+                end(me.group(1).lower())
+                i = me.end()
+        elif c == "/":
+            m = _FAST_ENDTAG.match(html, i)
+            if m is not None:
+                end(m.group(1).lower())
+                i = m.end()
+                continue
+            gt = html.find(">", i)
+            if gt < 0:
+                # Unterminated '</…' at EOF: html.parser's close-time
+                # recovery emits everything up to the next '<' (or one
+                # char) as a charref-converted data chunk.
+                k = html.find("<", i + 1)
+                if k < 0:
+                    k = i + 1
+                chunk = html[i:k]
+                data(unescape(chunk) if "&" in chunk else chunk)
+                i = k
+                continue
+            i = gt + 1  # '</>' and other bogus: consumed, no event
+        elif c == "!":
+            if html.startswith("<!--", i):
+                e = html.find("-->", i + 4)
+                if e < 0:  # unterminated comment: html.parser emits
+                    data("<")  # '<' + remaining text at close()
+                    i += 1
+                    continue
+                i = e + 3
+            elif html.startswith("<![CDATA[", i):
+                e = html.find("]]>", i + 9)
+                i = n if e < 0 else e + 3
+            else:  # <!doctype ...> and other declarations
+                gt = html.find(">", i)
+                i = n if gt < 0 else gt + 1
+        elif c == "?":
+            gt = html.find(">", i)
+            i = n if gt < 0 else gt + 1
+        else:  # bare '<' (including at EOF): emitted as its own chunk
+            data("<")
+            i += 1
+
+
 def flatten_html(html: str) -> list[Block]:
     """Flatten an HTML document into an ordered block-node array.
 
     Deterministic: document order, whitespace-collapsed text, link
     char counts, boilerplate-container flags.
     """
+    p = _Flattener()
+    try:
+        _fast_events(html, p)
+        p._flush()
+        return p.blocks
+    except Exception:
+        pass
+    # Fallback: the battle-tested stdlib parser (also the behavioral
+    # spec the fast path is pinned against).
     p = _Flattener()
     try:
         p.feed(html)

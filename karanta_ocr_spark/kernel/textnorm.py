@@ -110,12 +110,18 @@ def clean_element_text(element_text: str) -> str:
 
 _WS_RUN = re.compile(r"[ \t\r\f\v]+")
 _NL_RUN = re.compile(r"\n{3,}")
+#: any char that makes the canonicalization below non-identity; block
+#: text arriving from the flattener is already space-collapsed, so one
+#: C-speed search usually replaces three substitution passes.
+_NORM_REWRITE = re.compile(r"[\t\r\f\v\n]|  ")
 
 
 def normalize_block_text(s: str) -> str:
     """Whitespace canonicalization for HTML block text: collapse
     horizontal whitespace runs, strip line edges, collapse 3+ newlines
     to 2, then mojibake-repair + NFC. Deterministic."""
+    if _NORM_REWRITE.search(s) is None:
+        return fix_text(s.strip(" "))
     ascii_ws = " \t\r\f\v\n"
     s = _WS_RUN.sub(" ", s)
     s = "\n".join(line.strip(ascii_ws) for line in s.split("\n"))
