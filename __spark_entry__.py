@@ -657,6 +657,28 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_occurrences DESC, token
             LIMIT 20
         """,
+        "lang_id": """
+            WITH s AS (
+                SELECT doc_id, text,
+                       (len(regexp_split_to_array(text, '[ẹọṣ]')) - 1) * 3
+                         + (len(regexp_split_to_array(text, '[áíóúàèìòù̀́]')) - 1) AS yor,
+                       (len(regexp_split_to_array(text, '[ụịṅ]')) - 1) * 3
+                         + (len(regexp_split_to_array(text, '[ẹọ́̀]')) - 1) AS igb,
+                       (len(regexp_split_to_array(text, '[âçêëîïôûœ]')) - 1) * 3
+                         + (len(regexp_split_to_array(text, '[àéèù]')) - 1) AS fra
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(text, '[ሀ-፿]') THEN 'amh'
+                        WHEN regexp_matches(text, '[߀-߿]') THEN 'nqo'
+                        WHEN regexp_matches(text, '[ꔀ-꘿]') THEN 'vai'
+                        WHEN regexp_matches(text, '[؀-ۿ]') THEN 'ara'
+                        WHEN greatest(yor, igb, fra) = 0 THEN 'und'
+                        WHEN yor = greatest(yor, igb, fra) THEN 'yor'
+                        WHEN igb = greatest(yor, igb, fra) THEN 'igb'
+                        ELSE 'fra' END AS lang_guess
+            FROM s
+        """,
         "event_windows": """
             SELECT date_trunc('hour', ts) AS window_start,
                    event_type,

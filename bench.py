@@ -235,20 +235,33 @@ def main() -> None:
 
     scaling = {}
     if SCALING:
-        budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "300"))
+        budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
+        samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
         t_start = time.monotonic()
+        # INTERLEAVED, EQUAL sample counts per level: this VM shows
+        # ±30-50% co-tenant noise between identical runs; best-of-k
+        # measures capability (noise only ever subtracts), and
+        # interleaving means a noisy window hits both levels alike
+        # instead of biasing the ratio. The r01 asymmetry (p8
+        # best-of-2 vs p32 best-of-1 after a budget cut) understated
+        # efficiency by itself.
+        runs: dict[int, list] = {8: [], 32: []}
+        for s in range(samples):
+            for cores in (8, 32):
+                if s > 0 and time.monotonic() - t_start > budget and \
+                        len(runs[8]) == len(runs[32]):
+                    break
+                log(f"== scaling sample {s + 1}/{samples}: "
+                    f"taskset 0-{cores - 1}, local[{cores}] ==")
+                r = scaling_subprocess(cores)
+                runs[cores].append(r)
+                log(f"  pinned[{cores}]: {r}")
         for cores in (8, 32):
-            log(f"== scaling run: taskset 0-{cores - 1}, local[{cores}] ==")
-            # Best of two independent pinned processes: this VM shows
-            # ±30-50% co-tenant noise between identical runs; best-of
-            # measures capability (noise only ever subtracts). The
-            # second sample is skipped when over the soft time budget.
-            runs = [scaling_subprocess(cores)]
-            if time.monotonic() - t_start < budget:
-                runs.append(scaling_subprocess(cores))
-            r = max(runs, key=lambda x: x["docs_per_sec"])
-            scaling[f"p{cores}"] = r
-            log(f"  pinned[{cores}]: best of {len(runs)}: {r}")
+            best = max(runs[cores], key=lambda x: x["docs_per_sec"])
+            best = dict(best, samples=len(runs[cores]),
+                        all_docs_per_sec=[x["docs_per_sec"] for x in runs[cores]])
+            scaling[f"p{cores}"] = best
+            log(f"  pinned[{cores}]: best of {len(runs[cores])}: {best}")
         t8 = scaling["p8"]["docs_per_sec"]
         t32 = scaling["p32"]["docs_per_sec"]
         scaling["efficiency"] = round((t32 / t8) / 4.0, 3)
