@@ -94,30 +94,67 @@ def minhash_signatures(
     shingle_k: int = 3,
     seed: int = 42,
     shingle_unit: str = "word",
+    use_numpy: bool = True,
 ) -> DataFrame:
     """Add ``minhash: array<bigint>`` of length *num_perm*.
 
-    One ``xxhash64`` per shingle (masked to 31 bits), then each
-    permutation p applies ``(a_p*h + b_p) mod prime`` and takes the
-    array min. Products stay < 2^62, so the math is ANSI-overflow-safe
-    and the whole signature is ~num_perm fused array ops in codegen —
-    no per-permutation string hashing.
-    """
+    One ``xxhash64`` per shingle (masked to 31 bits) stays JVM-side;
+    each permutation p then applies ``(a_p*h + b_p) mod prime`` and
+    takes the min. Products stay < 2^62, so the math is ANSI-overflow-
+    safe and exact in int64 either way.
+
+    The permutation fold is ``num_perm`` interpreted HOF lambdas in
+    Catalyst — the whole cost of the minhash headline query — so by
+    default it runs as one numpy outer-product + ``minimum.reduceat``
+    per Arrow batch (``use_numpy=False`` keeps the pure-Catalyst
+    formulation, bit-identical, as spec and fallback)."""
     coeffs = _perm_coeffs(num_perm, seed)
     df = df.withColumn("_shingles", F.expr(_shingles_expr(text_col, shingle_k, shingle_unit)))
     df = df.withColumn(
         "_sh_hashes",
         F.expr("transform(_shingles, s -> xxhash64(s) & 2147483647)"),
-    )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.expr(f"transform(_sh_hashes, h -> pmod({a} * h + {b}, {_MINHASH_PRIME}))")
-            )
-            for a, b in coeffs
-        ]
-    )
-    return df.withColumn("minhash", sig).drop("_shingles", "_sh_hashes")
+    ).drop("_shingles")
+    if not use_numpy:
+        sig = F.array(
+            *[
+                F.array_min(
+                    F.expr(f"transform(_sh_hashes, h -> pmod({a} * h + {b}, {_MINHASH_PRIME}))")
+                )
+                for a, b in coeffs
+            ]
+        )
+        return df.withColumn("minhash", sig).drop("_sh_hashes")
+
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    A = np.asarray([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.asarray([b for _, b in coeffs], dtype=np.int64)[:, None]
+    out_fields = [f for f in df.schema.fields if f.name != "_sh_hashes"]
+    schema = StructType(out_fields + [StructField("minhash", ArrayType(LongType()))])
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf):
+                lens = pdf["_sh_hashes"].map(len).to_numpy()
+                flat = np.concatenate(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["_sh_hashes"]]
+                )
+                # (num_perm × total_shingles); products < 2^62, exact.
+                perm = (A * flat[None, :] + B) % _MINHASH_PRIME
+                offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                # _shingles_expr guarantees >= 1 element per row, so
+                # reduceat segments are never empty.
+                mins = np.minimum.reduceat(perm, offsets, axis=1)
+                pdf = pdf.drop(columns=["_sh_hashes"])
+                pdf["minhash"] = [mins[:, j].tolist() for j in range(mins.shape[1])]
+            else:
+                pdf = pdf.drop(columns=["_sh_hashes"])
+                pdf["minhash"] = []
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
 
 
 def lsh_bands(num_perm: int, bands: int) -> "F.Column":

@@ -487,3 +487,13 @@ def test_decode_gray_resize_unfaked_on_real_png(spark):
     small = resize_images(decoded, 8, 6).collect()
     assert (small[0]["width"], small[0]["height"]) == (8, 6)
     assert len(small[0]["pixels"]) == 8 * 6 * 3
+
+
+def test_minhash_numpy_matches_catalyst(docs_df):
+    a = {r["doc_id"]: r["minhash"] for r in
+         minhash_signatures(docs_df, "text", 32, use_numpy=False)
+         .select("doc_id", "minhash").collect()}
+    b = {r["doc_id"]: r["minhash"] for r in
+         minhash_signatures(docs_df, "text", 32, use_numpy=True)
+         .select("doc_id", "minhash").collect()}
+    assert a == b
