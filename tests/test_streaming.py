@@ -125,3 +125,50 @@ def test_streaming_checkpoint_resume(spark, tmp_path):
     assert n2 > n1
     dup = out.groupBy("url").count().filter("count > 1").count()
     assert dup == 0
+
+
+def test_stateful_domain_health_across_microbatches(spark, tmp_path):
+    # applyInPandasWithState: per-domain state must accumulate ACROSS
+    # micro-batches (maxFilesPerTrigger=1 forces one batch per file)
+    # and flip quarantined once the failure streak crosses the
+    # threshold.
+    import pandas as pd
+
+    from karanta_ocr_spark.streaming.stateful import running_domain_health
+
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    schema = "url string, ok boolean"
+    # batch 1: good.com 2 ok; bad.com 1 ok then 1 fail (streak 1)
+    b1 = [("https://good.com/a", True), ("https://good.com/b", True),
+          ("https://bad.com/a", True), ("https://bad.com/b", False)]
+    # batch 2: bad.com 2 more fails -> streak 3 -> quarantined
+    b2 = [("https://bad.com/c", False), ("https://bad.com/d", False),
+          ("https://good.com/c", True)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(in_dir / "b1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(in_dir / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(in_dir) + "/*")
+    )
+    out = running_domain_health(stream, streak_threshold=3)
+    q = (
+        out.writeStream.format("memory").queryName("domhealth")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from domhealth").collect()
+    # final cumulative state per domain = the row with max docs
+    final = {}
+    for r in rows:
+        if r["domain"] not in final or r["docs"] > final[r["domain"]]["docs"]:
+            final[r["domain"]] = r
+    g, b = final["good.com"], final["bad.com"]
+    assert (g["docs"], g["failed"], g["fail_streak"], g["quarantined"]) == (3, 0, 0, False)
+    assert (b["docs"], b["failed"], b["quarantined"]) == (4, 3, True)
+    assert b["fail_streak"] == 3
+    # state really crossed batches: bad.com appears twice with growing docs
+    bad_rows = sorted([r["docs"] for r in rows if r["domain"] == "bad.com"])
+    assert bad_rows == [2, 4]
