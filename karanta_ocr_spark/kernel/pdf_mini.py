@@ -415,6 +415,76 @@ class PdfDocument:
         return b"\n".join(parts)
 
 
+_BF_CHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BF_RANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CMAP_TOKEN_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
+
+
+def _utf16be(hexs: bytes) -> str:
+    try:
+        return bytes.fromhex(hexs.decode("ascii")).decode("utf-16-be")
+    except (ValueError, UnicodeDecodeError):
+        return ""
+
+
+def parse_tounicode_cmap(data: bytes) -> tuple[int, dict[int, str]]:
+    """ToUnicode CMap → (code byte width, code → text map).
+
+    Covers the bfchar and bfrange sections (single-destination and
+    array forms) that Type0/CID fonts with multi-byte encodings emit —
+    the standard way crawled PDFs carry extractable text for CJK and
+    subsetted fonts. Code width inferred from the source hex length
+    (Identity-H → 2 bytes)."""
+    width = 2
+    mapping: dict[int, str] = {}
+    for m in _BF_CHAR_RE.finditer(data):
+        toks = _CMAP_TOKEN_RE.findall(m.group(1))
+        hexes = [t[0] for t in toks if t[0]]
+        for j in range(0, len(hexes) - 1, 2):
+            src, dst = hexes[j], hexes[j + 1]
+            width = max(1, len(src) // 2)
+            mapping[int(src, 16)] = _utf16be(dst)
+    for m in _BF_RANGE_RE.finditer(data):
+        toks = _CMAP_TOKEN_RE.findall(m.group(1))
+        j = 0
+        while j < len(toks):
+            if not (toks[j][0] and j + 2 < len(toks) and toks[j + 1][0]):
+                j += 1
+                continue
+            lo, hi = int(toks[j][0], 16), int(toks[j + 1][0], 16)
+            width = max(1, len(toks[j][0]) // 2)
+            if toks[j + 2][0]:  # <lo> <hi> <dstStart>
+                base_hex = toks[j + 2][0]
+                base = int(base_hex, 16)
+                nbytes = len(base_hex) // 2
+                for code in range(lo, min(hi, lo + 65535) + 1):
+                    mapping[code] = _utf16be(
+                        b"%0*X" % (nbytes * 2, base + (code - lo))
+                    )
+                j += 3
+            elif toks[j + 2][1]:  # <lo> <hi> [ <d1> <d2> ... ]
+                j += 3
+                code = lo
+                while j < len(toks) and not toks[j][2]:
+                    if toks[j][0]:
+                        mapping[code] = _utf16be(toks[j][0])
+                        code += 1
+                    j += 1
+                j += 1  # closing ]
+            else:
+                j += 1
+    return width, mapping
+
+
+def _decode_with_cmap(raw: bytes, cmap: tuple[int, dict[int, str]]) -> str:
+    width, mapping = cmap
+    out: list[str] = []
+    for j in range(0, len(raw) - width + 1, width):
+        code = int.from_bytes(raw[j : j + width], "big")
+        out.append(mapping.get(code, ""))
+    return "".join(out)
+
+
 def _decode_pdf_string(raw: bytes) -> str:
     """Decode a PDF string payload. UTF-16BE with BOM per spec; else we
     try UTF-8 (what our generator and most modern producers emit for
@@ -450,22 +520,31 @@ def _interpret_content(
     doc: PdfDocument,
     text_elements: list[TextElement],
     image_elements: list[ImageElement],
+    fonts: dict | None = None,
 ) -> None:
     """Execute the content stream, emitting elements exactly as the
     reference visitors do (``anchor.py:87-120``): text position =
-    ``mult(tm, cm)`` translation; image bbox = unit square through cm."""
+    ``mult(tm, cm)`` translation; image bbox = unit square through cm.
+
+    *fonts* maps resource font names (e.g. '/F1') to a parsed
+    ToUnicode cmap (or None); while a cmap'd font is selected via
+    ``Tf``, show-text strings decode as multi-byte CIDs through it."""
     cm = list(_IDENTITY)
     stack: list[list[float]] = []
     tm = list(_IDENTITY)
     tlm = list(_IDENTITY)
     leading = 0.0
     operands: list = []
+    cur_cmap: tuple | None = None
 
     def emit_text(raw: bytes) -> None:
         txt2user = _mult(tm, cm)
-        text_elements.append(
-            TextElement(_decode_pdf_string(raw), txt2user[4], txt2user[5])
+        text = (
+            _decode_with_cmap(raw, cur_cmap)
+            if cur_cmap is not None
+            else _decode_pdf_string(raw)
         )
+        text_elements.append(TextElement(text, txt2user[4], txt2user[5]))
 
     i, n = 0, len(content)
     while i < n:
@@ -563,6 +642,11 @@ def _interpret_content(
             tm = list(tlm)
         elif op == b"TL" and operands:
             leading = float(operands[-1])
+        elif op == b"Tf" and len(operands) >= 2:
+            name = operands[-2]
+            cur_cmap = (
+                fonts.get(name) if (fonts and isinstance(name, str)) else None
+            )
         elif op == b"T*":
             tlm = _mult([1, 0, 0, 1, 0, -leading], tlm)
             tm = list(tlm)
@@ -612,10 +696,31 @@ def parse_pdf(data: bytes) -> list[PageReport]:
         mediabox = BoundingBox(float(mb[0]), float(mb[1]), float(mb[2]), float(mb[3]))
         resources = doc.resolve(page.get("/Resources", inh.get("/Resources"))) or {}
         xobjects = doc.resolve(resources.get("/XObject")) or {}
+        # Fonts with a ToUnicode CMap (Type0/CID multi-byte encodings):
+        # their show-text strings decode through the cmap.
+        fonts: dict = {}
+        font_res = doc.resolve(resources.get("/Font")) or {}
+        if isinstance(font_res, dict):
+            for fname, fref in font_res.items():
+                fdict = doc.resolve(fref)
+                cmap = None
+                if isinstance(fdict, dict) and "/ToUnicode" in fdict:
+                    tu = fdict["/ToUnicode"]
+                    stream = None
+                    if isinstance(tu, Ref):
+                        _, stream = doc.objects.get(tu.num, (None, None))
+                    if stream:
+                        try:
+                            cmap = parse_tounicode_cmap(stream)
+                        except Exception:
+                            cmap = None
+                fonts[fname] = cmap
         text_elements: list[TextElement] = []
         image_elements: list[ImageElement] = []
         content = doc.page_content(page)
         if content:
-            _interpret_content(content, xobjects, doc, text_elements, image_elements)
+            _interpret_content(
+                content, xobjects, doc, text_elements, image_elements, fonts
+            )
         reports.append(PageReport(mediabox, text_elements, image_elements))
     return reports

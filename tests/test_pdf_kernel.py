@@ -235,3 +235,50 @@ def test_object_stream_pages_found():
     assert len(reports) == 1
     assert reports[0].mediabox == BoundingBox(0.0, 0.0, 300.0, 400.0)
     assert reports[0].text_elements[0].text == "objstm text"
+
+
+def test_type0_cid_font_tounicode_decode():
+    # Type0/Identity-H font: Tj strings are 2-byte CIDs mapped to text
+    # through the /ToUnicode CMap (bfchar + both bfrange forms).
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar\n<0001> <0048>\n<0002> <0065>\nendbfchar\n"
+        b"2 beginbfrange\n<0010> <0011> <006C>\n"
+        b"<0020> <0021> [<006F> <0021>]\nendbfrange\n"
+        b"endcmap\nend\n"
+    )
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm <00010002001000100020 0021> Tj ET"
+    pdf = _raw_pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        5: b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake "
+           b"/Encoding /Identity-H /ToUnicode 6 0 R >>",
+        6: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+    })
+    rep = parse_pdf(pdf)[0]
+    assert len(rep.text_elements) == 1
+    el = rep.text_elements[0]
+    # 0001->H 0002->e 0010->l (range, twice) 0020->o 0021->! (array)
+    assert el.text == "Hello!"
+    assert (el.x, el.y) == (72.0, 700.0)
+
+
+def test_non_cid_font_still_decodes_plain_strings():
+    # Tf selecting a plain (no ToUnicode) font must not change the
+    # default literal-string decoding.
+    content = b"BT /F9 10 Tf 1 0 0 1 10 20 Tm (plain text) Tj ET"
+    pdf = _raw_pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Resources << /Font << /F9 5 0 R >> >> /Contents 4 0 R >>",
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    })
+    rep = parse_pdf(pdf)[0]
+    assert rep.text_elements[0].text == "plain text"
