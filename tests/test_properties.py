@@ -80,3 +80,39 @@ def test_extract_document_never_raises(payload):
 def test_extract_main_text_total(html):
     # any string input → a string out, never an exception
     assert isinstance(extract_main_text(html), str)
+
+
+@settings(max_examples=150, deadline=2000)
+@given(st.data())
+def test_pdf_parser_terminates_on_mutated_input(data):
+    # Hostile-input property: random byte mutations of a valid PDF
+    # (flips, truncations, splices) must neither hang nor raise out of
+    # parse_pdf's per-page isolation — a hung executor task is the
+    # worst failure mode at crawl scale (cf. the r01 resolve-cycle
+    # hang, ADVICE high).
+    from karanta_ocr_spark.fixtures.pdf_gen import PageSpec, TextRun, build_pdf
+    from karanta_ocr_spark.kernel.pdf_mini import parse_pdf
+
+    base = bytearray(build_pdf([
+        PageSpec(runs=[TextRun("mutation fixture text", 72, 700)]),
+        PageSpec(runs=[TextRun("second page", 72, 700)]),
+    ]))
+    n_mut = data.draw(st.integers(1, 8))
+    buf = bytearray(base)
+    for _ in range(n_mut):
+        kind = data.draw(st.integers(0, 2))
+        if kind == 0 and buf:  # byte flip
+            i = data.draw(st.integers(0, len(buf) - 1))
+            buf[i] = data.draw(st.integers(0, 255))
+        elif kind == 1 and len(buf) > 4:  # truncate
+            buf = buf[: data.draw(st.integers(1, len(buf) - 1))]
+        else:  # splice a chunk of itself somewhere else
+            i = data.draw(st.integers(0, max(len(buf) - 1, 0)))
+            j = data.draw(st.integers(0, max(len(buf) - 1, 0)))
+            k = data.draw(st.integers(1, 64))
+            buf = buf[:i] + base[j : j + k] + buf[i:]
+    try:
+        reports = parse_pdf(bytes(buf))
+        assert isinstance(reports, list)
+    except Exception:
+        pass  # raising is acceptable; hanging (deadline) is not
