@@ -8,12 +8,13 @@ expensive decode (the reference's base64-PNG dimension sniff,
 byte arithmetic without decoding — reimplemented here over raw
 bytes), and the heavy work in Arrow-batched UDFs.
 
-PNG payloads decode for real through the pure-stdlib
-``kernel.png_mini`` (zlib inflate + scanline unfilter), so
-``decode_images → grayscale_images → resize_images`` runs un-faked
-end-to-end on PNGs. JPEG decode and video frame-sampling need codec
-libraries that are NOT in this container (PIL/ffmpeg), so those
-transform bodies are stubbed: the Spark-side plumbing (schemas,
+PNG and baseline JPEG payloads decode for real through the
+pure-stdlib ``kernel.png_mini`` (zlib inflate + scanline unfilter)
+and ``kernel.jpeg_mini`` (Huffman entropy decode + IDCT + YCbCr),
+so ``decode_images → grayscale_images → resize_images`` runs
+un-faked end-to-end on web images. Progressive JPEG and video
+frame-sampling need codec libraries that are NOT in this container
+(PIL/ffmpeg), so those paths are stubbed: the Spark-side plumbing (schemas,
 mapInPandas batch shape, partitioning) is real and tested; the inner
 pixel transform either raises ``NotImplementedError`` (strict mode)
 or produces a deterministic fake (test mode) clearly marked as such.
@@ -173,11 +174,12 @@ def decode_images(
 ) -> DataFrame:
     """Decode image bytes → raw RGB.
 
-    Decodable PNGs (8-bit, non-interlaced — the overwhelming majority
-    of web PNGs) decode for real via the pure-stdlib
-    :mod:`karanta_ocr_spark.kernel.png_mini` — no codec library
-    needed. Other formats need PIL/libjpeg, which are NOT in this
-    container: with ``allow_fake=True`` a deterministic fake exercises
+    Decodable PNGs (8-bit, non-interlaced) and baseline JPEGs —
+    together the overwhelming majority of web images — decode for
+    real via the pure-stdlib :mod:`~karanta_ocr_spark.kernel.png_mini`
+    and :mod:`~karanta_ocr_spark.kernel.jpeg_mini`; no codec library
+    needed. Other formats (progressive JPEG, webp, …) need
+    PIL/libjpeg, which are NOT in this container: with ``allow_fake=True`` a deterministic fake exercises
     the full Spark path (schema, Arrow batches, downstream ops);
     otherwise the task raises ``NotImplementedError`` with the exact
     dependency needed."""
@@ -185,6 +187,7 @@ def decode_images(
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from karanta_ocr_spark.kernel.jpeg_mini import JpegError, decode_jpeg
         from karanta_ocr_spark.kernel.png_mini import PngError, decode_png
 
         try:
@@ -204,6 +207,11 @@ def decode_images(
                         w, h, px = decode_png(blob)
                     except PngError:
                         w = None  # unsupported/corrupt → codec fallback
+                elif blob[:3] == b"\xff\xd8\xff":
+                    try:
+                        w, h, px = decode_jpeg(blob)
+                    except (JpegError, IndexError, struct.error):
+                        w = None  # progressive/corrupt → codec fallback
                 if w is None:
                     if have_pil:  # pragma: no cover - not installed here
                         import io

@@ -497,3 +497,47 @@ def test_minhash_numpy_matches_catalyst(docs_df):
          minhash_signatures(docs_df, "text", 32, use_numpy=True)
          .select("doc_id", "minhash").collect()}
     assert a == b
+
+
+def test_jpeg_roundtrip_and_unfaked_spark_decode(spark):
+    # Baseline JPEG decodes for real (no PIL): flat 8x8 blocks survive
+    # quant=1 encode->decode exactly; the strict-mode Spark chain runs
+    # on it end to end.
+    from karanta_ocr_spark.kernel.jpeg_mini import decode_jpeg, encode_jpeg_gray
+    from karanta_ocr_spark.operators.multimodal import grayscale_images
+
+    w, h = 16, 8
+    img = bytes((100 if x < 8 else 200) for y in range(h) for x in range(w))
+    jpg = encode_jpeg_gray(w, h, img)
+    dw, dh, rgb = decode_jpeg(jpg)
+    assert (dw, dh) == (w, h)
+    assert all(rgb[3 * i] == img[i] == rgb[3 * i + 1] == rgb[3 * i + 2]
+               for i in range(w * h))
+    # header sniff agrees with full decode
+    assert jpeg_dimensions(jpg) == (w, h)
+    df = spark.createDataFrame([(1, jpg)], "media_id long, payload binary")
+    decoded = decode_images(df)  # strict mode: JPEG path must not raise
+    rows = decoded.collect()
+    assert (rows[0]["width"], rows[0]["height"]) == (w, h)
+    assert bytes(rows[0]["pixels"]) == rgb
+    gray = grayscale_images(decoded).collect()
+    assert len(gray[0]["pixels"]) == w * h
+
+
+def test_jpeg_gradient_near_exact():
+    from karanta_ocr_spark.kernel.jpeg_mini import decode_jpeg, encode_jpeg_gray
+
+    w, h = 24, 16
+    img = bytes(((x * 13 + y * 7) % 256) for y in range(h) for x in range(w))
+    _, _, rgb = decode_jpeg(encode_jpeg_gray(w, h, img))
+    assert max(abs(rgb[3 * i] - img[i]) for i in range(w * h)) <= 1
+
+
+def test_jpeg_rejects_progressive():
+    import pytest as _pytest
+
+    from karanta_ocr_spark.kernel.jpeg_mini import JpegError, decode_jpeg
+    # SOF2 (progressive) marker right after SOI+APP0-less stream
+    bad = b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00" + b"\xff\xd9"
+    with _pytest.raises(JpegError):
+        decode_jpeg(bad)
