@@ -400,6 +400,51 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return media_metadata(media)
 
+
+def _q_media_decode_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full un-faked multimodal chain: deterministic grayscale images
+    derived from doc ids → pure-stdlib baseline-JPEG encode →
+    decode_images (no PIL) → BT.601 grayscale → nearest resize →
+    pixel fingerprint. Rows-only (pixel bytes not SQL-expressible),
+    deterministic across partitionings."""
+    from karanta_ocr_spark.operators.multimodal import (
+        decode_images,
+        grayscale_images,
+        resize_images,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def make_jpegs(batches):
+        import pandas as pd
+
+        from karanta_ocr_spark.kernel.jpeg_mini import encode_jpeg_gray
+
+        w, h = 16, 8
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["doc_id"].tolist():
+                img = bytes(
+                    (int(did) * 31 + y * 13 + x * 7) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                out["media_id"].append(int(did))
+                out["payload"].append(encode_jpeg_gray(w, h, img))
+            yield pd.DataFrame(out)
+
+    media = docs.repartition(8).mapInPandas(
+        make_jpegs, "media_id long, payload binary"
+    )
+    decoded = decode_images(media)  # strict: stdlib JPEG path
+    small = grayscale_images(resize_images(decoded, 8, 4))
+    return small.select(
+        "media_id",
+        "width",
+        "height",
+        F.md5(F.col("pixels")).alias("pixel_md5"),
+    )
+
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(
         _docs(spark, sf_dir), "text", "doc_id", num_perm=32, bands=8
@@ -492,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (hash-seeded / approximate):
         "dataset_mix": _q_dataset_mix,
         "media_metadata": _q_media_metadata,
+        "media_decode_chain": _q_media_decode_chain,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "simhash_banded_dedup": _q_simhash_banded_dedup,
