@@ -270,33 +270,36 @@ def main() -> None:
                 r = scaling_subprocess(cores)
                 runs[cores].append(r)
                 log(f"  pinned[{cores}]: {r}")
-        # Adaptive extras under contention: co-tenant load on this VM
-        # is strongly asymmetric — a fixed-size external load barely
+        # Adaptive extension under contention: co-tenant load on this
+        # VM is strongly asymmetric — a fixed-size external load barely
         # dents the 19 s p8 window but crushes the 5 s p32 window
-        # (observed p32 spread 19k..48k docs/s for identical runs). If
-        # the planned samples land in a contended window, take up to
-        # `extra` more interleaved pairs; every sample is recorded in
-        # the output so the spread stays auditable, and best-of remains
-        # the (documented) capability estimator.
+        # (observed p32 spread 19k..48k docs/s for identical runs).
+        # The trigger is the SAMPLE SPREAD (max/min per level), which
+        # is a contention detector independent of the efficiency
+        # statistic being reported — NOT "resample until the ratio
+        # passes", which would bias the estimate. Once triggered, a
+        # FIXED number of extra interleaved pairs runs to completion;
+        # every sample lands in the output, so the spread is auditable
+        # and best-of remains the documented capability estimator.
         extra = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
         hard_budget = budget * 2
 
-        def _eff() -> float:
-            b8 = max(x["docs_per_sec"] for x in runs[8])
-            b32 = max(x["docs_per_sec"] for x in runs[32])
-            return (b32 / b8) / 4.0
+        def _spread(cores: int) -> float:
+            vals = [x["docs_per_sec"] for x in runs[cores]]
+            return max(vals) / max(min(vals), 1.0)
 
-        while (
-            extra > 0
-            and _eff() < 0.8
-            and time.monotonic() - t_start < hard_budget
-        ):
-            log(f"== contended window (eff={_eff():.2f}): extra sample pair ==")
-            for cores in (8, 32):
-                r = scaling_subprocess(cores)
-                runs[cores].append(r)
-                log(f"  pinned[{cores}]: {r}")
-            extra -= 1
+        contended = max(_spread(8), _spread(32)) > 1.4
+        if contended:
+            log(f"== contended window (spread p8={_spread(8):.2f} "
+                f"p32={_spread(32):.2f}): {extra} extra sample pairs ==")
+            for _ in range(extra):
+                if time.monotonic() - t_start > hard_budget:
+                    log("  hard budget reached; stopping extension")
+                    break
+                for cores in (8, 32):
+                    r = scaling_subprocess(cores)
+                    runs[cores].append(r)
+                    log(f"  pinned[{cores}]: {r}")
 
         for cores in (8, 32):
             best = max(runs[cores], key=lambda x: x["docs_per_sec"])

@@ -339,22 +339,38 @@ def _fast_events(html: str, h: "_Flattener") -> None:
                 continue
             i = gt + 1  # '</>' and other bogus: consumed, no event
         elif c == "!":
+            # All unterminated forms below: html.parser's close-time
+            # recovery emits '<' alone, then the tail flows on as an
+            # ordinary text run — dropping it would silently lose the
+            # rest of a truncated fetch.
             if html.startswith("<!--", i):
                 e = html.find("-->", i + 4)
-                if e < 0:  # unterminated comment: html.parser emits
-                    data("<")  # '<' + remaining text at close()
+                if e < 0:
+                    data("<")
                     i += 1
                     continue
                 i = e + 3
             elif html.startswith("<![CDATA[", i):
                 e = html.find("]]>", i + 9)
-                i = n if e < 0 else e + 3
+                if e < 0:
+                    data("<")
+                    i += 1
+                    continue
+                i = e + 3
             else:  # <!doctype ...> and other declarations
                 gt = html.find(">", i)
-                i = n if gt < 0 else gt + 1
+                if gt < 0:
+                    data("<")
+                    i += 1
+                    continue
+                i = gt + 1
         elif c == "?":
             gt = html.find(">", i)
-            i = n if gt < 0 else gt + 1
+            if gt < 0:
+                data("<")
+                i += 1
+                continue
+            i = gt + 1
         else:  # bare '<' (including at EOF): emitted as its own chunk
             data("<")
             i += 1

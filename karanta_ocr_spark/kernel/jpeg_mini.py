@@ -199,10 +199,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
             nc = body[5]
             comps = []
             for c in range(nc):
+                if 9 + 3 * c > len(body):
+                    raise JpegError("truncated SOF0")
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
-                )
+                h_f, v_f = hv >> 4, hv & 0xF
+                if not (1 <= h_f <= 4 and 1 <= v_f <= 4):
+                    raise JpegError(f"bad sampling factors {h_f}x{v_f}")
+                comps.append({"id": cid, "h": h_f, "v": v_f, "tq": tq})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
             raise JpegError("only baseline SOF0 supported")
         elif marker == 0xC4:  # DHT

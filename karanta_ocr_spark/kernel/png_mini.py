@@ -62,8 +62,10 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     idat = bytearray()
     for ctype, body in _chunks(data):
         if ctype == b"IHDR":
+            if len(body) < 13:
+                raise PngError("truncated IHDR")
             width, height, depth, color_type, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
+                ">IIBBBBB", body[:13]
             )
             if depth != 8:
                 raise PngError(f"unsupported bit depth {depth}")

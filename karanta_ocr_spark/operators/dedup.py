@@ -134,24 +134,48 @@ def minhash_signatures(
     out_fields = [f for f in df.schema.fields if f.name != "_sh_hashes"]
     schema = StructType(out_fields + [StructField("minhash", ArrayType(LongType()))])
 
+    #: bound the (num_perm × chunk_tokens) int64 working set per step
+    #: (~64 MB at num_perm=64) — independent of Arrow batch sizing.
+    chunk_tokens = 1 << 17
+
     def run(batches):
         for pdf in batches:
-            if len(pdf):
-                lens = pdf["_sh_hashes"].map(len).to_numpy()
-                flat = np.concatenate(
-                    [np.asarray(v, dtype=np.int64) for v in pdf["_sh_hashes"]]
-                )
-                # (num_perm × total_shingles); products < 2^62, exact.
-                perm = (A * flat[None, :] + B) % _MINHASH_PRIME
-                offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-                # _shingles_expr guarantees >= 1 element per row, so
-                # reduceat segments are never empty.
-                mins = np.minimum.reduceat(perm, offsets, axis=1)
-                pdf = pdf.drop(columns=["_sh_hashes"])
-                pdf["minhash"] = [mins[:, j].tolist() for j in range(mins.shape[1])]
-            else:
+            if not len(pdf):
                 pdf = pdf.drop(columns=["_sh_hashes"])
                 pdf["minhash"] = []
+                yield pdf
+                continue
+            # NULL text → NULL _sh_hashes; the pure-Catalyst
+            # formulation then yields an array of num_perm nulls
+            # (array_min over a null array per permutation) — match it.
+            arrs = [
+                None if v is None else np.asarray(v, dtype=np.int64)
+                for v in pdf["_sh_hashes"]
+            ]
+            null_sig = [None] * num_perm
+            sigs: list = [null_sig] * len(arrs)
+            i = 0
+            while i < len(arrs):
+                j = i
+                tok = 0
+                group: list[int] = []
+                while j < len(arrs) and (tok == 0 or tok < chunk_tokens):
+                    if arrs[j] is not None and len(arrs[j]):
+                        group.append(j)
+                        tok += len(arrs[j])
+                    j += 1
+                if group:
+                    flat = np.concatenate([arrs[g] for g in group])
+                    # (num_perm × tokens); products < 2^62, exact.
+                    perm = (A * flat[None, :] + B) % _MINHASH_PRIME
+                    lens = np.asarray([len(arrs[g]) for g in group])
+                    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                    mins = np.minimum.reduceat(perm, offsets, axis=1)
+                    for col, g in enumerate(group):
+                        sigs[g] = mins[:, col].tolist()
+                i = j
+            pdf = pdf.drop(columns=["_sh_hashes"])
+            pdf["minhash"] = sigs
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
@@ -304,30 +328,53 @@ def with_simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhas
     schema = StructType(list(hashed.schema.fields) + [StructField(out_col, LongType())])
     shifts = np.arange(64, dtype=np.uint64)
 
+    #: bound the (chunk_tokens × 64) int8 bit-matrix working set per
+    #: step (~8 MB) — independent of Arrow batch sizing, so a batch of
+    #: long documents cannot balloon worker memory.
+    chunk_tokens = 1 << 17
+
     def run(batches):
         import pandas as pd
 
         for pdf in batches:
             n = len(pdf)
-            if n:
-                lens = pdf["_tok_h"].map(len).to_numpy()
-                flat = np.concatenate(
-                    [np.asarray(v, dtype=np.int64) for v in pdf["_tok_h"]]
-                ).astype(np.uint64)
-                # bit matrix (total_tokens × 64) of ±1 contributions
-                bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
-                contrib = 2 * bits - 1
-                offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-                counts = np.add.reduceat(contrib, offsets, axis=0)
-                # rows with zero tokens: reduceat on equal offsets
-                # copies the next row; split() never yields [], so
-                # lens >= 1 always holds (split('') == ['']).
-                sig = ((counts > 0).astype(np.uint64) << shifts).sum(
-                    axis=1, dtype=np.uint64
-                )
-                pdf[out_col] = sig.astype(np.int64)
-            else:
+            if not n:
                 pdf[out_col] = pd.Series([], dtype="int64")
+                yield pdf
+                continue
+            # NULL text → NULL token array (Catalyst) → NULL simhash,
+            # matching the pure-Catalyst simhash64 formulation.
+            arrs = [
+                None if v is None else np.asarray(v, dtype=np.int64)
+                for v in pdf["_tok_h"]
+            ]
+            out: list = [None] * n
+            i = 0
+            while i < n:
+                j = i
+                tok = 0
+                group: list[int] = []
+                while j < n and (tok == 0 or tok < chunk_tokens):
+                    if arrs[j] is not None and len(arrs[j]):
+                        group.append(j)
+                        tok += len(arrs[j])
+                    j += 1
+                if group:
+                    flat = np.concatenate([arrs[g] for g in group]).astype(np.uint64)
+                    # bit matrix (tokens × 64); int8 bits, int32 sums
+                    bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int8)
+                    lens = np.asarray([len(arrs[g]) for g in group])
+                    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                    ones = np.add.reduceat(bits, offsets, axis=0, dtype=np.int32)
+                    # sum of ±1 contributions = 2*ones - n_tokens
+                    counts = 2 * ones - lens[:, None]
+                    sig = ((counts > 0).astype(np.uint64) << shifts).sum(
+                        axis=1, dtype=np.uint64
+                    ).astype(np.int64)
+                    for col, g in enumerate(group):
+                        out[g] = int(sig[col])
+                i = j
+            pdf[out_col] = pd.array(out, dtype="Int64")
             yield pdf
 
     return hashed.mapInPandas(run, schema=schema).drop("_tok_h")

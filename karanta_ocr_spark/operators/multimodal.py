@@ -187,8 +187,8 @@ def decode_images(
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from karanta_ocr_spark.kernel.jpeg_mini import JpegError, decode_jpeg
-        from karanta_ocr_spark.kernel.png_mini import PngError, decode_png
+        from karanta_ocr_spark.kernel.jpeg_mini import decode_jpeg
+        from karanta_ocr_spark.kernel.png_mini import decode_png
 
         try:
             from PIL import Image  # noqa: F401  (absent in sandbox)
@@ -202,15 +202,20 @@ def decode_images(
             for mid, blob in zip(pdf[id_col].tolist(), pdf[blob_col].tolist()):
                 blob = bytes(blob) if blob is not None else b""
                 w = h = px = None
+                # Corrupt/hostile payloads must degrade to the codec
+                # fallback, never kill the task: the stdlib decoders
+                # raise PngError/JpegError on everything they detect,
+                # but a crafted header can still surface struct/zero-
+                # division/index errors — catch them all here.
                 if blob[:4] == b"\x89PNG":
                     try:
                         w, h, px = decode_png(blob)
-                    except PngError:
+                    except Exception:
                         w = None  # unsupported/corrupt → codec fallback
                 elif blob[:3] == b"\xff\xd8\xff":
                     try:
                         w, h, px = decode_jpeg(blob)
-                    except (JpegError, IndexError, struct.error):
+                    except Exception:
                         w = None  # progressive/corrupt → codec fallback
                 if w is None:
                     if have_pil:  # pragma: no cover - not installed here

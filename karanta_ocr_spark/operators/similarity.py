@@ -141,14 +141,28 @@ def with_hyperplane_bucket(
 
         for pdf in batches:
             n = len(pdf)
-            if n:
+            if not n:
+                pdf[out_col] = pd.Series([], dtype="int64")
+                yield pdf
+                continue
+            # NULL / wrong-dim embeddings get a NULL bucket (the r1
+            # SQL formulation also yielded NULL) instead of crashing
+            # the stack() over a ragged list.
+            out: list = [None] * n
+            idx = [
+                i
+                for i, v in enumerate(pdf[vec_col])
+                if v is not None and len(v) == dim
+            ]
+            if idx:
                 vecs = np.array(
-                    [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+                    [np.asarray(pdf[vec_col].iloc[i], dtype="float64") for i in idx]
                 )
                 proj = vecs @ planes.T  # n × num_planes
-                pdf[out_col] = ((proj > 0).astype("int64") @ weights)
-            else:
-                pdf[out_col] = pd.Series([], dtype="int64")
+                buckets = (proj > 0).astype("int64") @ weights
+                for k, i in enumerate(idx):
+                    out[i] = int(buckets[k])
+            pdf[out_col] = pd.array(out, dtype="Int64")
             yield pdf
 
     return df.mapInPandas(run, schema=schema)

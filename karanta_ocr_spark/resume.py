@@ -68,27 +68,34 @@ def filter_known_failures(
 
     from karanta_ocr_spark.metrics import failures_path
 
-    # Preferred source: the unbounded per-url failures table — the
-    # bounded lineage failure_samples hide urls on partitions with many
-    # failures, which would defeat the quarantine exactly where it
-    # matters. Fall back to samples for pre-existing metrics dirs.
+    # Sources of failure evidence, UNIONED: the unbounded per-url
+    # failures table (primary — the bounded lineage failure_samples
+    # hide urls on partitions with many failures) plus the lineage
+    # samples themselves, so attempts recorded before the failures
+    # table existed still count. countDistinct(run_id) dedups a url
+    # appearing in both tables for the same run.
     fpath = failures_path(metrics_path)
-    per_run_url = None
+    parts = []
     if _path_exists(spark, fpath):
         try:
-            per_run_url = spark.read.parquet(fpath).select("run_id", "url")
+            parts.append(spark.read.parquet(fpath).select("run_id", "url"))
         except Exception:
-            per_run_url = None
-    if per_run_url is None:
-        if not _path_exists(spark, metrics_path):
-            return source
+            pass
+    if _path_exists(spark, metrics_path):
         try:
             metrics = spark.read.parquet(metrics_path)
+            parts.append(
+                metrics.select(
+                    "run_id", F.explode("failure_samples").alias("f")
+                ).select("run_id", F.col("f.url").alias("url"))
+            )
         except Exception:
-            return source
-        per_run_url = metrics.select(
-            "run_id", F.explode("failure_samples").alias("f")
-        ).select("run_id", F.col("f.url").alias("url"))
+            pass
+    if not parts:
+        return source
+    per_run_url = parts[0]
+    for p in parts[1:]:
+        per_run_url = per_run_url.unionByName(p)
     # Attempts = distinct runs in which the url failed (staged mode can
     # log several failed pages of one url in one run).
     failed = (

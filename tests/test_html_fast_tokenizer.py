@@ -123,3 +123,22 @@ def _Flatten_via_stdlib(html):
     except Exception:
         p._flush()
     return p.blocks
+
+
+def test_unterminated_declaration_tail_not_dropped():
+    # Truncated fetches ending mid-declaration/PI/CDATA: the tail must
+    # flow as text exactly like html.parser, not silently vanish
+    # (code-review r2).
+    cases = [
+        "<p>kept</p><!DOCTYPE-junk truncated tail text",
+        "<p>kept</p><?php unterminated tail",
+        "<p>kept</p><![CDATA[ unterminated tail",
+        "a<!x no close", "a<! ", "a<?", "a<![",
+    ]
+    for html in cases:
+        fast, ref = _events(html)
+        assert fast == ref, repr(html)
+    # and block-level: the tail becomes a _text block
+    blocks = flatten_html("<p>kept</p><!DOCTYPE-junk truncated tail text")
+    assert len(blocks) == 2
+    assert blocks[1].text.endswith("tail text")

@@ -541,3 +541,57 @@ def test_jpeg_rejects_progressive():
     bad = b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00" + b"\xff\xd9"
     with _pytest.raises(JpegError):
         decode_jpeg(bad)
+
+
+def test_corrupt_image_payloads_fall_back_not_crash(spark):
+    # Hostile headers that escape PngError/JpegError typing (zero
+    # sampling factors, truncated IHDR) must degrade to the fallback,
+    # never kill the task (code-review r2).
+    bad_jpeg = (b"\xff\xd8\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x00\x00"
+                b"\xff\xd9")  # SOF0 with h=v=0
+    bad_png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 4) + b"IHDR" + b"\x00" * 8
+    df = spark.createDataFrame(
+        [(1, bad_jpeg), (2, bad_png)], "media_id long, payload binary"
+    )
+    rows = decode_images(df, allow_fake=True).collect()
+    assert len(rows) == 2  # fake path, no task failure
+    with pytest.raises(Exception) as exc:
+        decode_images(df).collect()  # strict: clean NotImplementedError
+    assert "NotImplementedError" in str(exc.value) or "Pillow" in str(exc.value)
+
+
+def test_null_text_matches_catalyst_in_numpy_dedup_paths(spark):
+    from karanta_ocr_spark.operators.dedup import (
+        minhash_signatures,
+        simhash64,
+        with_simhash64,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "real text content here"), (1, None), (2, "more words")],
+        "doc_id long, text string",
+    )
+    cat_mh = {r["doc_id"]: r["minhash"] for r in
+              minhash_signatures(df, "text", 8, use_numpy=False)
+              .select("doc_id", "minhash").collect()}
+    np_mh = {r["doc_id"]: r["minhash"] for r in
+             minhash_signatures(df, "text", 8, use_numpy=True)
+             .select("doc_id", "minhash").collect()}
+    assert cat_mh == np_mh
+    cat_sh = {r["doc_id"]: r["s"] for r in
+              df.select("doc_id", simhash64("text").alias("s")).collect()}
+    np_sh = {r["doc_id"]: r["simhash"] for r in
+             with_simhash64(df, "text").select("doc_id", "simhash").collect()}
+    assert cat_sh == np_sh
+
+
+def test_null_embedding_gets_null_bucket(spark):
+    from karanta_ocr_spark.operators.similarity import with_hyperplane_bucket
+
+    df = spark.createDataFrame(
+        [(0, [0.5] * 8), (1, None), (2, [0.1] * 3)],  # wrong dim too
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["_bucket"] for r in
+           with_hyperplane_bucket(df, "embedding", num_planes=4, dim=8).collect()}
+    assert got[1] is None and got[2] is None and got[0] is not None

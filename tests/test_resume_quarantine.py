@@ -68,3 +68,34 @@ def test_quarantine_not_capped_by_failure_sample_bound(spark, tmp_path):
     kept = {r["url"] for r in remaining.select("url").collect()}
     assert not any(u.startswith("https://bad.") for u in kept)
     assert sum(u.startswith("https://good.") for u in kept) == 4
+
+
+def test_pre_upgrade_lineage_attempts_still_count(spark, tmp_path):
+    # Attempts recorded only in lineage failure_samples (before the
+    # dedicated failures table existed) must union with the new
+    # table's attempts (code-review r2).
+    met = str(tmp_path / "metrics")
+    from karanta_ocr_spark.metrics import failures_path
+    from karanta_ocr_spark.sources.web_pages import WEB_PAGES_SCHEMA
+
+    url = "https://bad.example.org/x"
+    # two pre-upgrade runs: failure evidence only in lineage samples
+    lineage = spark.createDataFrame(
+        [(rid, [ {"url": url, "error": "boom"} ]) for rid in ("r1", "r2")],
+        "run_id string, failure_samples array<struct<url:string,error:string>>",
+    )
+    lineage.write.mode("append").parquet(met)
+    # one post-upgrade run: failures table only
+    spark.createDataFrame(
+        [("r3", url, "boom")], "run_id string, url string, error string"
+    ).write.mode("append").parquet(failures_path(met))
+
+    import datetime
+    src = spark.createDataFrame(
+        [(url, datetime.datetime(2025, 1, 1), b"x", None, "en"),
+         ("https://ok.example.org/y", datetime.datetime(2025, 1, 1), b"x", None, "en")],
+        WEB_PAGES_SCHEMA,
+    )
+    kept = {r["url"] for r in
+            filter_known_failures(spark, src, met, max_attempts=3).collect()}
+    assert kept == {"https://ok.example.org/y"}
