@@ -216,10 +216,16 @@ def scaling_subprocess(cores: int) -> dict:
     # compilation of the whole pipeline (~5-10 s) — a single cold
     # iteration under-reports throughput badly.
     env.setdefault("SPARK_GRAFT_BENCH_ITERS", "2")
+    load1 = round(os.getloadavg()[0], 2)
     out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=1200)
     for line in reversed(out.stdout.strip().splitlines()):
         try:
-            return json.loads(line)
+            r = json.loads(line)
+            # 1-min load at sample START: >~1 means something else was
+            # already running on the box (the honest external
+            # contention signal — recorded so the spread is auditable).
+            r["loadavg_at_start"] = load1
+            return r
         except json.JSONDecodeError:
             continue
     raise RuntimeError(f"scaling run {cores} produced no JSON: {out.stderr[-2000:]}")
@@ -288,7 +294,10 @@ def main() -> None:
             vals = [x["docs_per_sec"] for x in runs[cores]]
             return max(vals) / max(min(vals), 1.0)
 
-        contended = max(_spread(8), _spread(32)) > 1.4
+        loaded = any(
+            x.get("loadavg_at_start", 0) > 2.0 for v in runs.values() for x in v
+        )
+        contended = max(_spread(8), _spread(32)) > 1.4 or loaded
         if contended:
             log(f"== contended window (spread p8={_spread(8):.2f} "
                 f"p32={_spread(32):.2f}): {extra} extra sample pairs ==")
