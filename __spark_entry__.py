@@ -381,6 +381,9 @@ def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- rows-only checked (hash-seeded ops not reproducible in DuckDB) ----
 def _q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 rank mode: the seeded per-source cap selection is
+    reproduced row-for-row by the DuckDB oracle (ORDER BY
+    md5('42:'||doc_id) LIMIT k)."""
     from karanta_ocr_spark.sources.mix import MixSpec, mix_datasets
 
     d = _docs(spark, sf_dir)
@@ -388,15 +391,38 @@ def _q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         MixSpec("small_caps", d.filter(F.col("n_chars") <= 200), count=50),
         MixSpec("big_half", d.filter(F.col("n_chars") > 200), fraction=0.5),
     ]
-    return mix_datasets(specs, "doc_id").select("doc_id", "mix_source")
+    return mix_datasets(specs, "doc_id", rank="md5").select("doc_id", "mix_source")
 
 
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header sniff + dimension probe over REAL bytes built JVM-side:
+    every doc becomes a PNG (IHDR), a JPEG (APP0 + 0xFF fill byte +
+    SOF0 — exercises the marker walk, not just the prefix), a PDF, or
+    an unknown payload, with dimensions derived from doc_id. The
+    DuckDB oracle recomputes kind/width/height/n_bytes arithmetically,
+    so the Spark side's binary construction AND the sniffing parsers
+    are verified end-to-end."""
     from karanta_ocr_spark.operators.multimodal import media_metadata
 
-    web = web_pages_from_documents(spark, sf_dir)
-    media = web.select(
-        F.xxhash64("url").alias("media_id"), F.col("html").alias("payload")
+    d = _docs(spark, sf_dir).select("doc_id")
+    w = "(doc_id % 300) + 16"
+    h = "(doc_id % 200) + 16"
+    png = (
+        "concat(X'89504E470D0A1A0A0000000D49484452', "
+        f"unhex(lpad(hex({w}), 8, '0')), unhex(lpad(hex({h}), 8, '0')))"
+    )
+    jpeg = (
+        "concat(X'FFD8FFE00004AABBFFFFC0001108', "
+        f"unhex(lpad(hex({h}), 4, '0')), unhex(lpad(hex({w}), 4, '0')), "
+        "X'03000000')"
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            f"CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN {png} WHEN 1 THEN {jpeg} "
+            "WHEN 2 THEN X'255044462D312E34' "
+            "ELSE encode('no-magic-payload', 'UTF-8') END"
+        ).alias("payload"),
     )
     return media_metadata(media)
 
@@ -446,30 +472,46 @@ def _q_media_decode_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 base-hash mode: the ENTIRE MinHash+LSH pipeline (shingles →
+    31-bit hashes → 32 permutations → 8 band buckets → capped
+    candidate join → est-Jaccard ≥ 0.8 → min-id survivors) is replayed
+    by the DuckDB oracle. Production default stays xxhash64."""
     return minhash_lsh_dedup(
-        _docs(spark, sf_dir), "text", "doc_id", num_perm=32, bands=8
+        _docs(spark, sf_dir), "text", "doc_id", num_perm=32, bands=8,
+        base_hash="md5",
     ).select("doc_id", "lang", "source")
 
 
 def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_dedup(_docs(spark, sf_dir), "text", "doc_id").select(
-        "doc_id", "simhash"
-    )
+    """md5 base-hash mode: the 64-bit SimHash (±1 bit votes over token
+    hashes) and the Hamming-0 dedup are replayed bit-exactly by the
+    DuckDB oracle."""
+    return simhash_dedup(
+        _docs(spark, sf_dir), "text", "doc_id", base_hash="md5"
+    ).select("doc_id", "simhash")
 
 
 def _q_simhash_banded_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 mode: Manku pigeonhole bands + bit_count verify replayed by
+    the DuckDB oracle (xor/bit_count exist there too)."""
     from karanta_ocr_spark.operators.dedup import simhash_dedup_banded
 
     return simhash_dedup_banded(
-        _docs(spark, sf_dir), "text", "doc_id", max_hamming=3, bands=4
+        _docs(spark, sf_dir), "text", "doc_id", max_hamming=3, bands=4,
+        base_hash="md5",
     ).select("doc_id", "lang", "source")
 
 
 def _q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs reference semantics (small_data path) at
+    verification scale so the answer is hash-free and the DuckDB
+    oracle can verify it exactly; the production default is the
+    LSH-candidate path (same verify stage, sub-quadratic), covered by
+    the candidate-vs-crossjoin parity pytest."""
     from karanta_ocr_spark.operators.dedup import ngram_jaccard_dedup
 
     return ngram_jaccard_dedup(
-        _docs(spark, sf_dir), "text", "doc_id", threshold=0.8
+        _docs(spark, sf_dir), "text", "doc_id", threshold=0.8, small_data=True
     ).select("doc_id", "lang", "source")
 
 
@@ -480,7 +522,13 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    """float64 dot products (cast before the fold) so the score agrees
+    with the DuckDB oracle to ~1e-15 — far inside the round-to-6dp
+    grid both engines emit; ranking uses the rounded score with an id
+    tie-break, so top-k membership is deterministic in both."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
     probes = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
@@ -534,16 +582,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": _q_event_windows,
         "user_sessions": _q_user_sessions,
         "vocab_top_tokens": _q_vocab_top_tokens,
-        # rows-only (hash-seeded / approximate):
         "dataset_mix": _q_dataset_mix,
         "media_metadata": _q_media_metadata,
-        "media_decode_chain": _q_media_decode_chain,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "simhash_banded_dedup": _q_simhash_banded_dedup,
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "lang_id": _q_lang_id,
         "ann_brute_topk": _q_ann_brute_topk,
+        # rows-only (pixel bytes / approximate-recall LSH+IVF — no SQL twin):
+        "media_decode_chain": _q_media_decode_chain,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -551,6 +599,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _STOP_SQL = "('the','a','an','of','to','in','and','is','it','for','le','la','les','de','et','un','une','du','ya','wa','na','kwa','ni','za','da','ta','ba','ka','su')"
+
+#: Distinct word-3-shingles per doc — DuckDB twin of
+#: ``operators.dedup._shingles_expr(text, 3, 'word')``.
+_SHINGLES_SQL = """
+    SELECT doc_id, lang, source,
+           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                                                  i -> array_to_string(toks[i:i+2], ' ')))
+           END AS sh
+    FROM (SELECT doc_id, lang, source,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+          FROM documents)
+"""
+
+#: md5-mode 64-bit SimHash per doc (CTE chain ending in ``s2(doc_id,
+#: simhash)``) — DuckDB twin of ``with_simhash64(base_hash='md5')``:
+#: token hash = first 8 md5 bytes as two 32-bit halves, ±1 votes per
+#: bit, sign-reconstructed int64.
+_SIMHASH_SIG_SQL = """
+            tok AS (SELECT doc_id, unnest(toks) AS tk FROM
+                    (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                     FROM documents)),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(tk), 1, 8))::BIGINT AS hi,
+                         ('0x' || substr(md5(tk), 9, 8))::BIGINT AS lo
+                  FROM tok),
+            bits AS (SELECT doc_id, bb.b AS b,
+                            sum(CASE WHEN ((CASE WHEN bb.b < 32 THEN lo >> bb.b
+                                                 ELSE hi >> (bb.b - 32) END) & 1) = 1
+                                     THEN 1 ELSE -1 END) AS c
+                     FROM h, (SELECT unnest(range(0, 64)) AS b) bb
+                     GROUP BY doc_id, bb.b),
+            sig AS (SELECT doc_id,
+                           sum(CASE WHEN c > 0 THEN CAST(power(2, b) AS HUGEINT)
+                                    ELSE CAST(0 AS HUGEINT) END) AS u
+                    FROM bits GROUP BY doc_id),
+            s2 AS (SELECT doc_id,
+                          CAST(CASE WHEN u >= CAST(power(2, 63) AS HUGEINT)
+                                    THEN u - CAST(power(2, 64) AS HUGEINT)
+                                    ELSE u END AS BIGINT) AS simhash
+                   FROM sig)
+"""
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB twin of ``minhash_lsh_dedup(base_hash='md5', num_perm=32,
+    bands=8, threshold=0.8)`` — same coefficients (seed 42), same band
+    buckets, same bucket-cap star-linking, same est-Jaccard gate."""
+    from karanta_ocr_spark.operators.dedup import _MINHASH_PRIME, _perm_coeffs
+
+    coeffs = _perm_coeffs(32, seed=42)
+    sig_terms = ",\n                ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MINHASH_PRIME}))"
+        for a, b in coeffs
+    )
+    return f"""
+        WITH shx AS ({_SHINGLES_SQL}),
+        hh AS (SELECT doc_id,
+                      list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT
+                                               & 2147483647) AS hs
+               FROM shx),
+        sig AS (SELECT doc_id, [
+                {sig_terms}
+                ] AS mh FROM hh),
+        ex AS (SELECT doc_id, mh, bb.b AS band,
+                      ('0x' || substr(md5(CAST(bb.b AS VARCHAR) || ':' ||
+                          array_to_string(list_transform(mh[bb.b*4+1 : bb.b*4+4],
+                                                         x -> CAST(x AS VARCHAR)), ',')),
+                          1, 15))::BIGINT AS bucket
+               FROM sig, (SELECT unnest(range(0, 8)) AS b) bb),
+        an AS (SELECT band, bucket, min(doc_id) AS aid,
+                      arg_min(mh, doc_id) AS amh, count(*) AS bn
+               FROM ex GROUP BY band, bucket),
+        sz AS (SELECT ex.doc_id, ex.mh, ex.band, ex.bucket, an.aid, an.amh, an.bn
+               FROM ex JOIN an USING (band, bucket)),
+        pr AS (SELECT DISTINCT id_a, id_b, mh_a, mh_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.mh AS mh_a, b.mh AS mh_b
+            FROM sz a JOIN sz b USING (band, bucket)
+            WHERE a.bn <= 64 AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT aid, doc_id, amh, mh FROM sz WHERE bn > 64 AND doc_id <> aid)),
+        vic AS (SELECT DISTINCT id_b FROM pr
+                WHERE CAST(len(list_filter(range(1, 33), i -> mh_a[i] = mh_b[i]))
+                           AS DOUBLE) / 32 >= 0.8)
+        SELECT d.doc_id, d.lang, d.source FROM documents d
+        WHERE d.doc_id NOT IN (SELECT id_b FROM vic)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -760,5 +895,90 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.source, md5(d.source) AS work_hash, m.n_in_source
             FROM documents d JOIN m USING (source)
+        """,
+        "dataset_mix": """
+            SELECT doc_id, mix_source FROM (
+                SELECT doc_id, 'small_caps' AS mix_source FROM documents
+                WHERE n_chars <= 200
+                ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 50)
+            UNION ALL
+            SELECT doc_id, mix_source FROM (
+                SELECT doc_id, 'big_half' AS mix_source FROM documents
+                WHERE n_chars > 200
+                ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+                LIMIT (SELECT CAST(floor(count(*) * 0.5) AS BIGINT)
+                       FROM documents WHERE n_chars > 200))
+        """,
+        "media_metadata": """
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                        WHEN 2 THEN 'pdf' ELSE 'unknown' END AS kind,
+                   CASE WHEN doc_id % 4 <= 1 THEN CAST((doc_id % 300) + 16 AS INT) END AS width,
+                   CASE WHEN doc_id % 4 <= 1 THEN CAST((doc_id % 200) + 16 AS INT) END AS height,
+                   CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 24 WHEN 1 THEN 22
+                             WHEN 2 THEN 8 ELSE 16 END AS BIGINT) AS n_bytes
+            FROM documents
+        """,
+        "ann_brute_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 3),
+            s AS (
+                SELECT p.probe_id, e.vec_id,
+                       round(list_dot_product(e.v, p.pv)
+                             / (sqrt(list_dot_product(e.v, e.v))
+                                * sqrt(list_dot_product(p.pv, p.pv))), 6) AS cos_sim
+                FROM e CROSS JOIN p
+            ),
+            r AS (SELECT probe_id, vec_id, cos_sim,
+                         row_number() OVER (PARTITION BY probe_id
+                                            ORDER BY cos_sim DESC, vec_id) AS rk
+                  FROM s)
+            SELECT probe_id, vec_id, cos_sim FROM r WHERE rk <= 5
+        """,
+        "ngram_jaccard_dedup": f"""
+            WITH shx AS ({_SHINGLES_SQL}),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+                FROM shx a, shx b
+                WHERE a.doc_id < b.doc_id
+                  AND least(len(a.sh), len(b.sh))
+                      >= greatest(len(a.sh), len(b.sh)) * 0.8
+            ),
+            vic AS (
+                SELECT DISTINCT id_b FROM pairs
+                WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                      / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.8
+            )
+            SELECT d.doc_id, d.lang, d.source FROM documents d
+            WHERE d.doc_id NOT IN (SELECT id_b FROM vic)
+        """,
+        "minhash_dedup": _minhash_oracle_sql(),
+        "simhash_dedup": f"""
+            WITH {_SIMHASH_SIG_SQL}
+            SELECT min(doc_id) AS doc_id, simhash FROM s2 GROUP BY simhash
+        """,
+        "simhash_banded_dedup": f"""
+            WITH {_SIMHASH_SIG_SQL},
+            sl AS (SELECT s2.doc_id, s2.simhash, bb.b AS band,
+                          (s2.simhash >> (bb.b * 16)) & 65535 AS slice
+                   FROM s2, (SELECT unnest(range(0, 4)) AS b) bb),
+            an AS (SELECT band, slice, min(doc_id) AS aid,
+                          arg_min(simhash, doc_id) AS ash, count(*) AS bn
+                   FROM sl GROUP BY band, slice),
+            sz AS (SELECT sl.doc_id, sl.simhash, sl.band, sl.slice,
+                          an.aid, an.ash, an.bn
+                   FROM sl JOIN an USING (band, slice)),
+            pr AS (SELECT DISTINCT id_a, id_b, sh_a, sh_b FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.simhash AS sh_a, b.simhash AS sh_b
+                FROM sz a JOIN sz b USING (band, slice)
+                WHERE a.bn <= 256 AND a.doc_id < b.doc_id
+                UNION ALL
+                SELECT aid, doc_id, ash, simhash FROM sz
+                WHERE bn > 256 AND doc_id <> aid)),
+            vic AS (SELECT DISTINCT id_b FROM pr
+                    WHERE bit_count(xor(sh_a, sh_b)) <= 3)
+            SELECT d.doc_id, d.lang, d.source FROM documents d
+            WHERE d.doc_id NOT IN (SELECT id_b FROM vic)
         """,
     }

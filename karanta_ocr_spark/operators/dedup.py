@@ -75,6 +75,37 @@ def _shingles_expr(text_col: str, k: int, unit: str = "word") -> str:
 _MINHASH_PRIME = 2038074743
 
 
+def _shingle_hash_expr(base_hash: str) -> str:
+    """Per-shingle 31-bit base hash as SQL text over binding ``s``.
+
+    ``xxhash64`` (default) is the production choice — one JVM hash per
+    shingle, no string churn. ``md5`` is bit-reproducible in any
+    engine with an MD5 builtin (first 8 hex chars → int, masked to 31
+    bits), which is what lets the full MinHash/LSH dedup pipeline be
+    verified end-to-end against an independent SQL oracle (DuckDB) —
+    same algorithm, swappable hash primitive."""
+    if base_hash == "xxhash64":
+        return "xxhash64(s) & 2147483647"
+    if base_hash == "md5":
+        return "cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint) & 2147483647"
+    raise ValueError(f"unknown base_hash: {base_hash!r}")
+
+
+def _token_hash_expr(base_hash: str) -> str:
+    """Per-token 64-bit base hash as SQL text over binding ``t`` (for
+    SimHash). md5 mode assembles the first 8 md5 bytes from two 32-bit
+    halves (``conv`` of 16 hex chars can exceed signed int64; the
+    shift/or is pure bit math, no overflow check)."""
+    if base_hash == "xxhash64":
+        return "xxhash64(t)"
+    if base_hash == "md5":
+        return (
+            "(shiftleft(cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint), 32)"
+            " | cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint))"
+        )
+    raise ValueError(f"unknown base_hash: {base_hash!r}")
+
+
 def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs, a odd and nonzero — plain Python
     ints baked into the plan as literals."""
@@ -95,10 +126,11 @@ def minhash_signatures(
     seed: int = 42,
     shingle_unit: str = "word",
     use_numpy: bool = True,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Add ``minhash: array<bigint>`` of length *num_perm*.
 
-    One ``xxhash64`` per shingle (masked to 31 bits) stays JVM-side;
+    One base hash per shingle (masked to 31 bits) stays JVM-side;
     each permutation p then applies ``(a_p*h + b_p) mod prime`` and
     takes the min. Products stay < 2^62, so the math is ANSI-overflow-
     safe and exact in int64 either way.
@@ -112,7 +144,7 @@ def minhash_signatures(
     df = df.withColumn("_shingles", F.expr(_shingles_expr(text_col, shingle_k, shingle_unit)))
     df = df.withColumn(
         "_sh_hashes",
-        F.expr("transform(_shingles, s -> xxhash64(s) & 2147483647)"),
+        F.expr(f"transform(_shingles, s -> {_shingle_hash_expr(base_hash)})"),
     ).drop("_shingles")
     if not use_numpy:
         sig = F.array(
@@ -181,19 +213,41 @@ def minhash_signatures(
     return df.mapInPandas(run, schema=schema)
 
 
-def lsh_bands(num_perm: int, bands: int) -> "F.Column":
+def lsh_bands(num_perm: int, bands: int, base_hash: str = "xxhash64") -> "F.Column":
     """Band hashes: split the signature into *bands* rows-per-band
-    groups, hash each with its band index."""
+    groups, hash each with its band index.
+
+    md5 mode renders the slice as ``band:v1,v2,…`` (engine-neutral,
+    unlike a raw array→string cast) and takes the first 15 md5 hex
+    chars as a 60-bit positive bucket id — reproducible in the DuckDB
+    oracle."""
     rows = num_perm // bands
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(b, F.slice(F.col("minhash"), b * rows + 1, rows).cast("string")),
-    )
+    if base_hash == "xxhash64":
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(b, F.slice(F.col("minhash"), b * rows + 1, rows).cast("string")),
+        )
+    if base_hash != "md5":
+        raise ValueError(f"unknown base_hash: {base_hash!r}")
+
+    def band_bucket(b: Column) -> Column:
+        slice_csv = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("minhash"), b * rows + 1, F.lit(rows)),
+                lambda x: x.cast("string"),
+            ),
+        )
+        digest = F.md5(F.concat_ws(":", b.cast("string"), slice_csv))
+        return F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint")
+
+    return F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_bucket)
 
 
 def candidate_pairs(
     with_sig: DataFrame, id_col: str, bands: int, num_perm: int,
     bucket_cap: int = 64,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Bucket-join candidate generation: explode band hashes, self-join
     within (band, bucket). Only same-bucket rows ever meet — this is
@@ -211,7 +265,7 @@ def candidate_pairs(
     """
     exploded = with_sig.select(
         F.col(id_col), F.col("minhash"),
-        F.posexplode(lsh_bands(num_perm, bands)).alias("band", "bucket"),
+        F.posexplode(lsh_bands(num_perm, bands, base_hash)).alias("band", "bucket"),
     )
     anchors = exploded.groupBy("band", "bucket").agg(
         F.min(id_col).alias("_anchor_id"),
@@ -253,14 +307,22 @@ def minhash_lsh_dedup(
     shingle_k: int = 3,
     threshold: float = 0.8,
     shingle_unit: str = "word",
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Drop near-duplicates: keep the min-id representative of every
     near-dup pair group (estimated Jaccard = signature agreement ≥
-    *threshold*). Returns the deduplicated rows of *df*."""
+    *threshold*). Returns the deduplicated rows of *df*.
+
+    ``base_hash='md5'`` swaps every hash primitive (shingle hash, band
+    bucket) for an MD5-derived one so the whole pipeline is
+    reproducible in an independent SQL engine — the DuckDB oracle in
+    ``__spark_entry__.oracle_sql()['minhash_dedup']`` replays it
+    end-to-end. xxhash64 stays the production default (cheaper)."""
     with_sig = minhash_signatures(
-        df, text_col, num_perm, shingle_k, shingle_unit=shingle_unit
+        df, text_col, num_perm, shingle_k, shingle_unit=shingle_unit,
+        base_hash=base_hash,
     ).persist()
-    pairs = candidate_pairs(with_sig, id_col, bands, num_perm)
+    pairs = candidate_pairs(with_sig, id_col, bands, num_perm, base_hash=base_hash)
     est = pairs.withColumn(
         "est_jaccard",
         F.size(
@@ -286,18 +348,21 @@ def minhash_lsh_dedup(
 
 
 # ------------------------------------------------------------- simhash
-def simhash64(text_col: str) -> Column:
+def simhash64(text_col: str, base_hash: str = "xxhash64") -> Column:
     """64-bit SimHash over whitespace tokens, fully JVM:
 
-    per token t: h = xxhash64(t); for each bit b the counter gets +1
+    per token t: h = base_hash(t); for each bit b the counter gets +1
     if the bit is set else -1; final bit b = counter > 0. One
     aggregate with an array<int>[64] accumulator — O(tokens × 64) bit
     ops inside codegen, no Python. (SQL text because the Python
-    shiftright/shiftleft wrappers require literal bit counts.)"""
+    shiftright/shiftleft wrappers require literal bit counts.)
+    ``base_hash='md5'`` makes the signature reproducible in the DuckDB
+    oracle; ``(h >> b) & 1`` extracts bit b correctly for either mode
+    even though shiftright sign-extends (the mask keeps only bit 0)."""
     toks = f"split(lower(trim({text_col})), '\\\\s+')"
     per_token_bits = (
         "transform(sequence(0, 63), b -> "
-        "IF((shiftright(xxhash64(t), b) & 1) = 1, 1, -1))"
+        f"IF((shiftright({_token_hash_expr(base_hash)}, b) & 1) = 1, 1, -1))"
     )
     fold_bits = (
         "aggregate(zip_with(acc, sequence(0, 63), (c, b) -> "
@@ -311,7 +376,12 @@ def simhash64(text_col: str) -> Column:
     )
 
 
-def with_simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+def with_simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    base_hash: str = "xxhash64",
+) -> DataFrame:
     """Append the 64-bit SimHash, numerically identical to
     :func:`simhash64` but ~an order of magnitude cheaper per byte:
     token hashing stays JVM-side (one ``xxhash64`` per token), while
@@ -324,7 +394,9 @@ def with_simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhas
     from pyspark.sql.types import LongType, StructField, StructType
 
     toks = f"split(lower(trim({text_col})), '\\\\s+')"
-    hashed = df.withColumn("_tok_h", F.expr(f"transform({toks}, t -> xxhash64(t))"))
+    hashed = df.withColumn(
+        "_tok_h", F.expr(f"transform({toks}, t -> {_token_hash_expr(base_hash)})")
+    )
     schema = StructType(list(hashed.schema.fields) + [StructField(out_col, LongType())])
     shifts = np.arange(64, dtype=np.uint64)
 
@@ -380,10 +452,15 @@ def with_simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhas
     return hashed.mapInPandas(run, schema=schema).drop("_tok_h")
 
 
-def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    base_hash: str = "xxhash64",
+) -> DataFrame:
     """Exact-simhash dedup (Hamming distance 0): one shuffle on the
     64-bit key."""
-    with_sh = with_simhash64(df, text_col, "simhash")
+    with_sh = with_simhash64(df, text_col, "simhash", base_hash=base_hash)
     return exact_dedup(with_sh, ["simhash"], id_col)
 
 
@@ -394,6 +471,7 @@ def simhash_dedup_banded(
     max_hamming: int = 3,
     bands: int = 4,
     bucket_cap: int = 256,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup removal at Hamming distance ≤ *max_hamming* (Manku et
     al., WWW'07): split the 64-bit simhash into *bands* equal bit
@@ -407,7 +485,7 @@ def simhash_dedup_banded(
         raise ValueError("pigeonhole requires max_hamming < bands")
     width = 64 // bands
     mask = (1 << width) - 1
-    with_sh = with_simhash64(df, text_col, "simhash").persist()
+    with_sh = with_simhash64(df, text_col, "simhash", base_hash=base_hash).persist()
     slices = F.array(
         *[
             (F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)))

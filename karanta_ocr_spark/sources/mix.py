@@ -20,15 +20,24 @@ class MixSpec:
     count: int | None = None  # or at most this many rows
 
 
-def mix_datasets(specs: list[MixSpec], id_col: str, seed: int = 42) -> DataFrame:
+def mix_datasets(
+    specs: list[MixSpec], id_col: str, seed: int = 42, rank: str = "xxhash64"
+) -> DataFrame:
     """Union the specs with a ``source`` tag, applying per-spec caps.
 
-    Caps select the globally lowest ``xxhash64(seed, id)`` values —
+    Caps select the globally lowest ``hash(seed, id)`` values —
     deterministic, uniformly random-like, independent of partitioning.
     Selection uses ``orderBy(hash).limit(k)``, which Spark executes as
     per-partition TakeOrdered + a driver merge of k rows — NOT a
     single-partition global sort (a window over a constant key would
-    funnel the whole source through one task)."""
+    funnel the whole source through one task).
+
+    *rank* picks the hash: ``xxhash64`` (production default, one JVM
+    hash per row) or ``md5`` (rank by the hex digest of ``seed:id`` —
+    any engine with MD5 reproduces the selection, so the DuckDB oracle
+    can verify the mix row-for-row)."""
+    if rank not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown rank: {rank!r}")
     parts: list[DataFrame] = []
     for spec in specs:
         d = spec.df.withColumn("mix_source", F.lit(spec.name))
@@ -38,10 +47,13 @@ def mix_datasets(specs: list[MixSpec], id_col: str, seed: int = 42) -> DataFrame
                 if spec.count is not None
                 else int(spec.df.count() * spec.fraction)
             )
-            d = (
-                d.orderBy(F.xxhash64(F.lit(seed), F.col(id_col)), F.col(id_col))
-                .limit(k)
-            )
+            if rank == "xxhash64":
+                key = F.xxhash64(F.lit(seed), F.col(id_col))
+            else:
+                key = F.md5(
+                    F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+                )
+            d = d.orderBy(key, F.col(id_col)).limit(k)
         parts.append(d)
     out = parts[0]
     for p in parts[1:]:

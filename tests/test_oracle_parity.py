@@ -1,0 +1,108 @@
+"""Driver-style oracle parity: run ``__spark_entry__.queries()[k]``
+on Spark and ``oracle_sql()[k]`` on DuckDB over the same parquet
+tables, then compare row counts, column names, and values — the same
+gate the round driver applies at sf0.01.
+
+Covers the queries whose oracles replicate nontrivial engine-neutral
+math added in round 2 (md5-mode MinHash/SimHash, exact n-gram
+Jaccard, float64 cosine top-k, md5-rank dataset mix, binary media
+sniffing); the long-standing r1 oracles are already driver-verified
+(CORRECTNESS_r01: all green) and are exercised here too via two
+sentinels (cheap) to guard the harness itself.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+KEYS = [
+    "dataset_mix",
+    "media_metadata",
+    "minhash_dedup",
+    "simhash_dedup",
+    "simhash_banded_dedup",
+    "ngram_jaccard_dedup",
+    "ann_brute_topk",
+    # r1 sentinels (one agg, one per-row) to catch harness regressions:
+    "lang_stats",
+    "doc_fingerprints",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    yield con
+    con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def _values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        if a is None or b is None:
+            return (a is None or (isinstance(a, float) and math.isnan(a))) and (
+                b is None or (isinstance(b, float) and math.isnan(b))
+            )
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b  # exact: the driver hashes values
+    return a == b
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_query_matches_oracle(spark, duck, key):
+    spark_df = entry.queries()[key](spark, SF_DIR).toPandas()
+    oracle_df = duck.sql(entry.oracle_sql()[key]).df()
+
+    assert sorted(spark_df.columns) == sorted(oracle_df.columns), (
+        f"{key}: column names differ: {sorted(spark_df.columns)} vs "
+        f"{sorted(oracle_df.columns)}"
+    )
+    assert len(spark_df) == len(oracle_df), (
+        f"{key}: row counts differ: spark={len(spark_df)} oracle={len(oracle_df)}"
+    )
+
+    s, o = _canon(spark_df), _canon(oracle_df)
+    # Nullable-int columns: pandas may give float64 on one side and
+    # Int64 on the other — compare cell-by-cell with exact semantics.
+    mismatches = []
+    for col in s.columns:
+        sv = s[col].tolist()
+        ov = o[col].tolist()
+        sv = [None if v is pd.NA or (isinstance(v, float) and math.isnan(v)) else v for v in sv]
+        ov = [None if v is pd.NA or (isinstance(v, float) and math.isnan(v)) else v for v in ov]
+        for i, (a, b) in enumerate(zip(sv, ov)):
+            ai = int(a) if isinstance(a, (int,)) and not isinstance(a, bool) else a
+            bi = int(b) if isinstance(b, (int,)) and not isinstance(b, bool) else b
+            if not _values_equal(ai, bi):
+                mismatches.append((col, i, a, b))
+                if len(mismatches) >= 5:
+                    break
+        if len(mismatches) >= 5:
+            break
+    assert not mismatches, f"{key}: value mismatches (col, row, spark, oracle): {mismatches}"
