@@ -536,27 +536,43 @@ def _q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5_id codebook rank + float64 vectors: the DuckDB oracle
+    replays codebook selection → nearest-centroid assignment (same
+    first-index tie-break as np.argmax) → inverted-list top-k."""
     from karanta_ocr_spark.operators.similarity import ivf_topk
 
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
     probes = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    return ivf_topk(emb, probes, k=5, n_centroids=8)
+    return ivf_topk(emb, probes, k=5, n_centroids=8, codebook_rank="md5_id")
 
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    """md5-derived hyperplanes + float64 vectors: the DuckDB oracle
+    recomputes the identical plane matrix (exact rational coefficients
+    from md5 ints), buckets, and windowed top-k."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
     probes = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    return lsh_bucketed_topk(emb, probes, k=5, num_planes=8)
+    return lsh_bucketed_topk(emb, probes, k=5, num_planes=8, plane_hash="md5")
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_near_dup(_emb(spark, sf_dir), threshold=0.99, num_planes=8).select(
-        "vec_id", "label"
+    """md5-derived hyperplanes + float64 vectors: the DuckDB oracle
+    replays bucket self-join + cosine-threshold verify + min-id
+    survivor selection."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    return embedding_near_dup(
+        emb, threshold=0.99, num_planes=8, plane_hash="md5"
+    ).select("vec_id", "label")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -590,11 +606,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "lang_id": _q_lang_id,
         "ann_brute_topk": _q_ann_brute_topk,
-        # rows-only (pixel bytes / approximate-recall LSH+IVF — no SQL twin):
-        "media_decode_chain": _q_media_decode_chain,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_dup": _q_embedding_near_dup,
+        # rows-only (decoded pixel bytes have no SQL twin):
+        "media_decode_chain": _q_media_decode_chain,
     }
 
 
@@ -641,6 +657,30 @@ _SIMHASH_SIG_SQL = """
                                     ELSE u END AS BIGINT) AS simhash
                    FROM sig)
 """
+
+
+def _planes_sql(num_planes: int, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of ``similarity._md5_plane_matrix``: plane h is a
+    list of ``dim`` coefficients ``(md5int('seed:h:d') - 2^31) /
+    2^31`` — every step exact in float64, so the matrix is
+    bit-identical to the numpy one."""
+    return f"""(SELECT hh.h AS h,
+            list_transform(range(0, {dim}), d ->
+                (('0x' || substr(md5('{seed}:' || CAST(hh.h AS VARCHAR) || ':'
+                                 || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+                 - 2147483648) / 2147483648.0) AS plane
+        FROM (SELECT unnest(range(0, {num_planes})) AS h) hh)"""
+
+
+def _bucket_sql(num_planes: int) -> str:
+    """Bucket id per vector: sum of 2^h over planes with positive
+    projection — the SQL twin of ``(proj > 0) @ (1 << arange)``."""
+    return f"""(SELECT e.vec_id,
+            CAST(sum(CASE WHEN list_dot_product(e.v, pl.plane) > 0
+                          THEN CAST(power(2, pl.h) AS BIGINT)
+                          ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+        FROM e CROSS JOIN {_planes_sql(num_planes)} pl
+        GROUP BY e.vec_id)"""
 
 
 def _minhash_oracle_sql() -> str:
@@ -980,5 +1020,62 @@ def oracle_sql() -> dict[str, str]:
                     WHERE bit_count(xor(sh_a, sh_b)) <= 3)
             SELECT d.doc_id, d.lang, d.source FROM documents d
             WHERE d.doc_id NOT IN (SELECT id_b FROM vic)
+        """,
+        "ann_lsh_topk": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            bk AS {_bucket_sql(8)},
+            c AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id)),
+            p AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM c WHERE vec_id < 3),
+            s AS (SELECT p.probe_id, c.vec_id,
+                         round(list_dot_product(c.v, p.pv)
+                               / (sqrt(list_dot_product(c.v, c.v))
+                                  * sqrt(list_dot_product(p.pv, p.pv))), 6) AS cos_sim
+                  FROM c JOIN p ON c.bucket = p.bucket),
+            r AS (SELECT probe_id, vec_id, cos_sim,
+                         row_number() OVER (PARTITION BY probe_id
+                                            ORDER BY cos_sim DESC, vec_id) AS rk
+                  FROM s)
+            SELECT probe_id, vec_id, cos_sim FROM r WHERE rk <= 5
+        """,
+        "ann_ivf_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cb AS (SELECT v AS cv,
+                          row_number() OVER (ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)),
+                                             vec_id) - 1 AS cidx
+                   FROM e
+                   QUALIFY row_number() OVER (ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)),
+                                              vec_id) <= 8),
+            asg AS (SELECT vec_id, v, cidx FROM (
+                SELECT e.vec_id, e.v, cb.cidx,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_dot_product(e.v, cb.cv)
+                           / (greatest(sqrt(list_dot_product(e.v, e.v)), 1e-12)
+                              * greatest(sqrt(list_dot_product(cb.cv, cb.cv)), 1e-12)) DESC,
+                           cb.cidx) AS rk
+                FROM e CROSS JOIN cb) WHERE rk = 1),
+            p AS (SELECT vec_id AS probe_id, v AS pv, cidx FROM asg WHERE vec_id < 3),
+            s AS (SELECT p.probe_id, a.vec_id,
+                         round(list_dot_product(a.v, p.pv)
+                               / (sqrt(list_dot_product(a.v, a.v))
+                                  * sqrt(list_dot_product(p.pv, p.pv))), 6) AS cos_sim
+                  FROM asg a JOIN p ON a.cidx = p.cidx),
+            r AS (SELECT probe_id, vec_id, cos_sim,
+                         row_number() OVER (PARTITION BY probe_id
+                                            ORDER BY cos_sim DESC, vec_id) AS rk
+                  FROM s)
+            SELECT probe_id, vec_id, cos_sim FROM r WHERE rk <= 5
+        """,
+        "embedding_near_dup": f"""
+            WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+            bk AS {_bucket_sql(8)},
+            c AS (SELECT e.vec_id, e.label, e.v, bk.bucket
+                  FROM e JOIN bk USING (vec_id)),
+            vic AS (SELECT DISTINCT b.vec_id AS vec_id
+                    FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                    WHERE list_dot_product(a.v, b.v)
+                          / (sqrt(list_dot_product(a.v, a.v))
+                             * sqrt(list_dot_product(b.v, b.v))) >= 0.99)
+            SELECT vec_id, label FROM embeddings
+            WHERE vec_id NOT IN (SELECT vec_id FROM vic)
         """,
     }

@@ -116,6 +116,26 @@ def _plane_matrix(spark, num_planes: int, dim: int, seed: int):
     return np.asarray(coeffs, dtype="float64").reshape(num_planes, dim)
 
 
+def _md5_plane_matrix(num_planes: int, dim: int, seed: int):
+    """Engine-neutral plane coefficients: ``coeff[h, d] = (u - 2³¹) /
+    2³¹`` with ``u`` the first 8 md5 hex chars of ``"seed:h:d"`` as an
+    int. Every step is exact in float64 (integer < 2³², division by a
+    power of two), so any engine with an MD5 builtin reproduces the
+    buckets bit-for-bit — the DuckDB oracle recomputes the same matrix
+    in SQL (see ``oracle_sql()['ann_lsh_topk']``). No SparkSession
+    needed (plain hashlib), unlike the murmur3 constant-fold path."""
+    import hashlib
+
+    import numpy as np
+
+    m = np.empty((num_planes, dim), dtype="float64")
+    for h in range(num_planes):
+        for d in range(dim):
+            u = int(hashlib.md5(f"{seed}:{h}:{d}".encode()).hexdigest()[:8], 16)
+            m[h, d] = (u - 2**31) / 2**31
+    return m
+
+
 def with_hyperplane_bucket(
     df: DataFrame,
     vec_col: str,
@@ -123,16 +143,25 @@ def with_hyperplane_bucket(
     num_planes: int = 16,
     dim: int = 64,
     seed: int = 42,
+    plane_hash: str = "murmur3",
 ) -> DataFrame:
     """Append the LSH bucket id column: bit h = sign(v · plane_h).
     Projection runs as a numpy matmul inside ``mapInPandas`` (Arrow
     batches); planes ship to executors as a tiny broadcast ndarray,
-    not as an expression tree."""
+    not as an expression tree. ``plane_hash='md5'`` derives the plane
+    coefficients from MD5 instead of Spark's murmur3 ``hash()`` so an
+    independent SQL engine can replay the bucketing (same recall
+    characteristics — both are uniform pseudo-random planes)."""
     import numpy as np
 
     from pyspark.sql.types import LongType, StructField, StructType
 
-    planes = _plane_matrix(df.sparkSession, num_planes, dim, seed)
+    if plane_hash == "murmur3":
+        planes = _plane_matrix(df.sparkSession, num_planes, dim, seed)
+    elif plane_hash == "md5":
+        planes = _md5_plane_matrix(num_planes, dim, seed)
+    else:
+        raise ValueError(f"unknown plane_hash: {plane_hash!r}")
     weights = (1 << np.arange(num_planes)).astype("int64")
     schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType())])
 
@@ -178,13 +207,16 @@ def lsh_bucketed_topk(
     num_planes: int = 12,
     dim: int = 64,
     seed: int = 42,
+    plane_hash: str = "murmur3",
 ) -> DataFrame:
     """Approximate per-probe top-k: compare only within the probe's
     LSH bucket. The bucket column is computed identically on both
     sides (same seed), so this is one equi-join + windowed top-k."""
-    c = with_hyperplane_bucket(corpus, vec_col, "_bucket", num_planes, dim, seed)
+    c = with_hyperplane_bucket(
+        corpus, vec_col, "_bucket", num_planes, dim, seed, plane_hash
+    )
     p = with_hyperplane_bucket(
-        probes, vec_col, "_bucket", num_planes, dim, seed
+        probes, vec_col, "_bucket", num_planes, dim, seed, plane_hash
     ).select(probe_id, F.col(vec_col).alias("_probe_vec"), "_bucket")
     joined = c.join(p, on="_bucket").select(
         probe_id,
@@ -237,16 +269,31 @@ def ivf_topk(
     id_col: str = "vec_id",
     probe_id: str = "probe_id",
     seed: int = 42,
+    codebook_rank: str = "xxhash64",
 ) -> DataFrame:
     """IVF-style approximate top-k: a deterministic centroid codebook
     (seeded hash-rank sample of the corpus — one tiny collect; a
     k-means refinement would slot in here unchanged), nearest-centroid
     assignment on both sides, then per-probe search within the probe's
     inverted list only. One equi-join on the centroid id replaces the
-    full scan — the IVF recall/speed trade at 10^12 vectors."""
+    full scan — the IVF recall/speed trade at 10^12 vectors.
+
+    ``codebook_rank='md5_id'`` picks the codebook by the MD5 of
+    ``"seed:id"`` (tie-broken by id) instead of xxhash64 of the vector
+    rendering — same uniform sample, but reproducible in the DuckDB
+    oracle, which replays codebook → assignment → inverted-list top-k
+    end-to-end."""
+    if codebook_rank == "xxhash64":
+        rank_key = F.xxhash64(F.lit(seed), F.col(vec_col).cast("string"))
+    elif codebook_rank == "md5_id":
+        rank_key = F.md5(
+            F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+        )
+    else:
+        raise ValueError(f"unknown codebook_rank: {codebook_rank!r}")
     sample = (
-        corpus.select(vec_col)
-        .orderBy(F.xxhash64(F.lit(seed), F.col(vec_col).cast("string")))
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(rank_key, F.col(id_col))
         .limit(n_centroids)
         .collect()
     )
@@ -278,10 +325,11 @@ def embedding_near_dup(
     num_planes: int = 12,
     dim: int = 64,
     seed: int = 42,
+    plane_hash: str = "murmur3",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate removal: LSH-bucket self-join,
     verify cosine ≥ threshold, drop the larger id of each pair."""
-    c = with_hyperplane_bucket(df, vec_col, "_bucket", num_planes, dim, seed)
+    c = with_hyperplane_bucket(df, vec_col, "_bucket", num_planes, dim, seed, plane_hash)
     a = c.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "_bucket")
     b = c.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "_bucket")
     dups = (

@@ -37,6 +37,9 @@ KEYS = [
     "simhash_banded_dedup",
     "ngram_jaccard_dedup",
     "ann_brute_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_near_dup",
     # r1 sentinels (one agg, one per-row) to catch harness regressions:
     "lang_stats",
     "doc_fingerprints",
