@@ -515,6 +515,31 @@ def _q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals over a multi-line variant of
+    each doc built in-plan (prefix, middle, prefix again — so
+    duplicate-line detection has real work to do); the DuckDB oracle
+    rebuilds the same lines and recomputes every stat."""
+    from karanta_ocr_spark.operators.corpus_filters import gopher_repetition_stats
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.expr(
+            "concat(trim(substring(trim(text), 1, 40)), char(10), "
+            "trim(substring(trim(text), 41, 40)), char(10), "
+            "trim(substring(trim(text), 1, 40)))"
+        ).alias("text"),
+    )
+    return gopher_repetition_stats(synth)
+
+
+def _q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from karanta_ocr_spark.operators.corpus_filters import c4_quality_signals
+
+    return c4_quality_signals(_docs(spark, sf_dir))
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", lang_id_heuristic(F.col("text")).alias("lang_guess")
@@ -604,6 +629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": _q_simhash_dedup,
         "simhash_banded_dedup": _q_simhash_banded_dedup,
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
+        "gopher_repetition": _q_gopher_repetition,
+        "c4_quality": _q_c4_quality,
         "lang_id": _q_lang_id,
         "ann_brute_topk": _q_ann_brute_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1020,6 +1047,70 @@ def oracle_sql() -> dict[str, str]:
                     WHERE bit_count(xor(sh_a, sh_b)) <= 3)
             SELECT d.doc_id, d.lang, d.source FROM documents d
             WHERE d.doc_id NOT IN (SELECT id_b FROM vic)
+        """,
+        "gopher_repetition": """
+            WITH syn AS (
+                SELECT doc_id,
+                       trim(substring(trim(text), 1, 40)) || chr(10) ||
+                       trim(substring(trim(text), 41, 40)) || chr(10) ||
+                       trim(substring(trim(text), 1, 40)) AS text
+                FROM documents),
+            l AS (SELECT doc_id,
+                         list_filter(list_transform(string_split(text, chr(10)),
+                                                    x -> trim(x)), x -> x <> '') AS lines,
+                         regexp_split_to_array(trim(text), '\\s+') AS toks,
+                         CAST(length(trim(text)) AS BIGINT) AS n_chars
+                  FROM syn),
+            base AS (SELECT doc_id, n_chars,
+                            CAST(len(lines) AS BIGINT) AS n_lines,
+                            CASE WHEN len(lines) > 0
+                                 THEN round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                                            / len(lines), 6)
+                                 ELSE 0.0 END AS dup_line_frac,
+                            CASE WHEN list_aggregate(list_transform(lines, x -> length(x)), 'sum') > 0
+                                 THEN round(CAST(list_aggregate(list_transform(lines, x -> length(x)), 'sum')
+                                            - list_aggregate(list_transform(list_distinct(lines), x -> length(x)), 'sum') AS DOUBLE)
+                                            / list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 6)
+                                 ELSE 0.0 END AS dup_line_char_frac,
+                            CASE WHEN len(toks) < 2 THEN []
+                                 ELSE list_transform(range(1, len(toks)),
+                                                     i -> toks[i] || ' ' || toks[i+1]) END AS bgs
+                     FROM l),
+            bgx AS (SELECT doc_id, unnest(bgs) AS bigram FROM base),
+            cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bgx GROUP BY doc_id, bigram),
+            mx AS (SELECT doc_id, max(c) AS mxc FROM cnt GROUP BY doc_id),
+            top AS (SELECT cnt.doc_id, min(bigram) AS top_bigram, max(c) AS topc
+                    FROM cnt JOIN mx ON cnt.doc_id = mx.doc_id AND cnt.c = mx.mxc
+                    GROUP BY cnt.doc_id)
+            SELECT b.doc_id, b.n_lines, b.dup_line_frac, b.dup_line_char_frac,
+                   t.top_bigram,
+                   CASE WHEN t.top_bigram IS NOT NULL AND b.n_chars > 0
+                        THEN round(t.topc * length(t.top_bigram) / CAST(b.n_chars AS DOUBLE), 6)
+                   END AS top_bigram_frac
+            FROM base b LEFT JOIN top t USING (doc_id)
+        """,
+        "c4_quality": """
+            WITH l AS (SELECT doc_id, text,
+                              list_filter(list_transform(string_split(text, chr(10)),
+                                                         x -> trim(x)), x -> x <> '') AS lines,
+                              regexp_split_to_array(trim(text), '\\s+') AS toks
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS word_count,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CASE WHEN len(lines) > 0
+                        THEN round(CAST(len(list_filter(lines,
+                                 x -> list_contains(['.', '!', '?', '"'], right(x, 1)))) AS DOUBLE)
+                                   / len(lines), 6)
+                        ELSE 0.0 END AS terminal_punct_line_frac,
+                   CASE WHEN len(lines) > 0
+                        THEN round(CAST(len(toks) AS DOUBLE) / len(lines), 6)
+                   END AS mean_words_per_line,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+                   contains(text, '{') AS has_curly_brace,
+                   (len(toks) >= 5 AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{') AND len(lines) > 0) AS c4_keep
+            FROM l
         """,
         "ann_lsh_topk": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -199,6 +199,67 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def external_busy_fraction(cores: int, interval: float = 1.0) -> float:
+    """Average busy fraction of CPUs ``0..cores-1`` over *interval*,
+    from /proc/stat deltas. Called between samples while this process
+    is idle, so all busy time is EXTERNAL (co-tenant) load — unlike
+    the 1-min loadavg, which is a trailing EMA still polluted by our
+    own just-finished pinned child (observed: every p8 start read
+    loadavg 17–30 purely from the preceding p32 sample's burst)."""
+
+    def snap():
+        vals = {}
+        with open("/proc/stat") as f:
+            for line in f:
+                if line.startswith("cpu") and line[3:4].isdigit():
+                    p = line.split()
+                    nums = [int(x) for x in p[1:]]
+                    idle = nums[3] + (nums[4] if len(nums) > 4 else 0)
+                    vals[int(p[0][3:])] = (idle, sum(nums))
+        return vals
+
+    a = snap()
+    time.sleep(interval)
+    b = snap()
+    fr = []
+    for c in range(cores):
+        if c not in a or c not in b:
+            continue
+        didle = b[c][0] - a[c][0]
+        dtot = max(b[c][1] - a[c][1], 1)
+        fr.append(1.0 - didle / dtot)
+    return sum(fr) / max(len(fr), 1)
+
+
+#: Cumulative seconds spent waiting for quiet windows (bounded so a
+#: permanently-loaded box cannot stall the bench).
+_QUIET_WAIT_SPENT = 0.0
+
+
+def wait_for_quiet(cores: int, threshold: float = 0.20,
+                   per_sample_timeout: float = 120.0,
+                   total_budget: float = 600.0) -> float:
+    """Delay the next pinned sample until co-tenants use < *threshold*
+    of the target CPU set (or a timeout passes — the sample then runs
+    anyway and its recorded busy fraction flags it). This gates the
+    MEASUREMENT CONDITIONS, not the result: it is what 'quiesce the
+    cluster before a capability benchmark' means on a shared box, and
+    it removes the systematic anti-small-N bias of sampling blind
+    (contention steals a larger fraction of an 8-core set than of a
+    32-core one when co-tenant load is fixed-size)."""
+    global _QUIET_WAIT_SPENT
+    t0 = time.monotonic()
+    busy = external_busy_fraction(cores)
+    while busy > threshold:
+        waited = time.monotonic() - t0
+        if waited > per_sample_timeout or _QUIET_WAIT_SPENT + waited > total_budget:
+            break
+        time.sleep(3.0)
+        busy = external_busy_fraction(cores)
+    _QUIET_WAIT_SPENT += time.monotonic() - t0
+    return busy
+
+
 def scaling_subprocess(cores: int) -> dict:
     """One scaling measurement in a fresh process pinned to *cores*
     CPUs via taskset — the honest simulation of an N-core cluster:
@@ -216,14 +277,18 @@ def scaling_subprocess(cores: int) -> dict:
     # compilation of the whole pipeline (~5-10 s) — a single cold
     # iteration under-reports throughput badly.
     env.setdefault("SPARK_GRAFT_BENCH_ITERS", "2")
+    ext_busy = round(wait_for_quiet(cores), 3)
     load1 = round(os.getloadavg()[0], 2)
     out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=1200)
     for line in reversed(out.stdout.strip().splitlines()):
         try:
             r = json.loads(line)
-            # 1-min load at sample START: >~1 means something else was
-            # already running on the box (the honest external
-            # contention signal — recorded so the spread is auditable).
+            # Recorded per sample so the spread is auditable:
+            # external_busy_at_start is co-tenant usage of the pinned
+            # CPU set measured over 1 s immediately before launch
+            # (loadavg kept too, but it is a trailing EMA that our own
+            # previous sample inflates).
+            r["external_busy_at_start"] = ext_busy
             r["loadavg_at_start"] = load1
             return r
         except json.JSONDecodeError:
@@ -295,7 +360,8 @@ def main() -> None:
             return max(vals) / max(min(vals), 1.0)
 
         loaded = any(
-            x.get("loadavg_at_start", 0) > 2.0 for v in runs.values() for x in v
+            x.get("external_busy_at_start", 0) > 0.2
+            for v in runs.values() for x in v
         )
         contended = max(_spread(8), _spread(32)) > 1.4 or loaded
         if contended:

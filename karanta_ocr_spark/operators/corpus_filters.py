@@ -1,0 +1,152 @@
+"""Web-corpus quality filters in the style of the published Gopher
+(Rae et al. 2021, arXiv:2112.11446 — repetition signals) and C4
+(Raffel et al. 2020, arXiv:1910.10683 — line-shape heuristics) rules.
+These are the filters a training-data pipeline runs right after
+extraction and before dedup; they complement the per-document
+``functions/text_analysis`` scores.
+
+Scale notes:
+
+* Everything except the top-bigram mode is a per-row Catalyst
+  higher-order-function expression — zero shuffles, stays inside
+  whole-stage codegen.
+* The top-bigram mode (``most frequent 2-gram`` of Gopher's
+  repetition family) genuinely needs a count per (doc, bigram); a
+  per-row HOF would be O(tokens²) per document, so it runs as
+  explode → two-stage aggregate (map-side partial combine) → join
+  back. The shuffle key (doc_id, bigram) is high-cardinality and
+  skew-free by construction.
+* Ties for the top bigram break to the lexicographically smallest —
+  deterministic, partition-independent, and reproducible by the
+  DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Terminal punctuation accepted by the C4 line rule.
+_TERMINALS = (".", "!", "?", '"')
+
+
+def lines_expr(col: Column) -> Column:
+    """Trimmed, non-empty lines of *col*."""
+    return F.filter(
+        F.transform(F.split(col, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+
+def duplicate_line_stats(col: Column) -> tuple[Column, Column, Column]:
+    """(n_lines, dup_line_frac, dup_line_char_frac) — Gopher's
+    duplicate-line signals. ``dup_line_frac`` is the fraction of line
+    occurrences beyond the first of their value;
+    ``dup_line_char_frac`` the same weighted by characters. Empty
+    documents (no non-blank line) report 0.0 for both."""
+    lines = lines_expr(col)
+    n = F.size(lines)
+    nd = F.size(F.array_distinct(lines))
+    chars = F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x))
+    chars_d = F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda a, x: a + F.length(x)
+    )
+    dup_frac = F.when(n > 0, F.round((n - nd) / n, 6)).otherwise(F.lit(0.0))
+    dup_char_frac = F.when(
+        chars > 0, F.round((chars - chars_d) / chars, 6)
+    ).otherwise(F.lit(0.0))
+    return n.cast("bigint"), dup_frac, dup_char_frac
+
+
+def _bigrams_expr(text_col: str) -> str:
+    """SQL text for the (non-distinct, case-preserving) word-bigram
+    array — duplicates matter, they are what the mode counts."""
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    return (
+        f"CASE WHEN size({toks}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) END"
+    )
+
+
+def gopher_repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition profile:
+
+    ``n_lines, dup_line_frac, dup_line_char_frac`` (per-row HOFs, no
+    shuffle) plus ``top_bigram`` (most frequent word 2-gram, ties →
+    lexicographically smallest) and ``top_bigram_frac`` (characters
+    covered by all its occurrences / characters of the trimmed text —
+    Gopher's top-2-gram character fraction). Documents with fewer than
+    two tokens get a NULL top_bigram/frac."""
+    n, dup_frac, dup_char_frac = duplicate_line_stats(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        n.alias("n_lines"),
+        dup_frac.alias("dup_line_frac"),
+        dup_char_frac.alias("dup_line_char_frac"),
+        F.length(F.trim(F.col(text_col))).cast("bigint").alias("_n_chars"),
+    )
+    bg = df.select(
+        F.col(id_col),
+        F.explode(F.expr(_bigrams_expr(text_col))).alias("bigram"),
+    )
+    cnt = bg.groupBy(id_col, "bigram").agg(F.count("*").alias("c"))
+    mx = cnt.groupBy(id_col).agg(F.max("c").alias("_mx"))
+    top = (
+        cnt.join(mx, on=id_col)
+        .filter(F.col("c") == F.col("_mx"))
+        .groupBy(id_col)
+        .agg(F.min("bigram").alias("top_bigram"), F.max("c").alias("_top_c"))
+    )
+    out = base.join(top, on=id_col, how="left")
+    frac = F.when(
+        F.col("top_bigram").isNotNull() & (F.col("_n_chars") > 0),
+        F.round(
+            F.col("_top_c") * F.length(F.col("top_bigram")) / F.col("_n_chars"), 6
+        ),
+    )
+    return out.select(
+        id_col, "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "top_bigram", frac.alias("top_bigram_frac"),
+    )
+
+
+def c4_quality_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document C4-style line-shape signals — all per-row Catalyst
+    (zero shuffle):
+
+    * ``word_count`` — whitespace tokens;
+    * ``n_lines`` — trimmed non-empty lines;
+    * ``terminal_punct_line_frac`` — fraction of lines ending in
+      ``. ! ? "`` (C4 drops lines that don't);
+    * ``mean_words_per_line``;
+    * ``has_lorem_ipsum`` / ``has_curly_brace`` — C4's page-level
+      drop rules;
+    * ``c4_keep`` — the hard rules combined (≥5 words, no lorem
+      ipsum, no ``{``, at least one line)."""
+    col = F.col(text_col)
+    lines = lines_expr(col)
+    n = F.size(lines)
+    toks = F.split(F.trim(col), r"\s+")
+    wc = F.size(toks)
+    terms = F.array(*[F.lit(t) for t in _TERMINALS])
+    n_term = F.size(
+        F.filter(lines, lambda x: F.array_contains(terms, F.substring(x, -1, 1)))
+    )
+    lorem = F.lower(col).contains("lorem ipsum")
+    brace = col.contains("{")
+    return df.select(
+        F.col(id_col),
+        wc.cast("bigint").alias("word_count"),
+        n.cast("bigint").alias("n_lines"),
+        F.when(n > 0, F.round(n_term / n, 6)).otherwise(F.lit(0.0)).alias(
+            "terminal_punct_line_frac"
+        ),
+        F.when(n > 0, F.round(wc / n, 6)).alias("mean_words_per_line"),
+        lorem.alias("has_lorem_ipsum"),
+        brace.alias("has_curly_brace"),
+        ((wc >= 5) & ~lorem & ~brace & (n > 0)).alias("c4_keep"),
+    )

@@ -142,10 +142,18 @@ def minhash_signatures(
     formulation, bit-identical, as spec and fallback)."""
     coeffs = _perm_coeffs(num_perm, seed)
     df = df.withColumn("_shingles", F.expr(_shingles_expr(text_col, shingle_k, shingle_unit)))
-    df = df.withColumn(
-        "_sh_hashes",
-        F.expr(f"transform(_shingles, s -> {_shingle_hash_expr(base_hash)})"),
-    ).drop("_shingles")
+    # md5+numpy mode hashes shingles INSIDE the Arrow batch (hashlib);
+    # the JVM Md5/Conv expressions allocate a digest + do a string
+    # radix parse per shingle, which measured ~4× the cost of the whole
+    # permutation fold at sf0.1. Values are bit-identical either way
+    # (first 4 md5 bytes big-endian, masked to 31 bits) — pinned by the
+    # Catalyst-vs-numpy parity test and the DuckDB oracle.
+    hash_in_python = use_numpy and base_hash == "md5"
+    if not hash_in_python:
+        df = df.withColumn(
+            "_sh_hashes",
+            F.expr(f"transform(_shingles, s -> {_shingle_hash_expr(base_hash)})"),
+        ).drop("_shingles")
     if not use_numpy:
         sig = F.array(
             *[
@@ -161,9 +169,10 @@ def minhash_signatures(
 
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
+    feed_col = "_shingles" if hash_in_python else "_sh_hashes"
     A = np.asarray([a for a, _ in coeffs], dtype=np.int64)[:, None]
     B = np.asarray([b for _, b in coeffs], dtype=np.int64)[:, None]
-    out_fields = [f for f in df.schema.fields if f.name != "_sh_hashes"]
+    out_fields = [f for f in df.schema.fields if f.name != feed_col]
     schema = StructType(out_fields + [StructField("minhash", ArrayType(LongType()))])
 
     #: bound the (num_perm × chunk_tokens) int64 working set per step
@@ -171,19 +180,35 @@ def minhash_signatures(
     chunk_tokens = 1 << 17
 
     def run(batches):
+        import hashlib
+
+        def h31(arr):
+            return np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+                    & 0x7FFFFFFF
+                    for s in arr
+                ),
+                dtype=np.int64,
+                count=len(arr),
+            )
+
         for pdf in batches:
             if not len(pdf):
-                pdf = pdf.drop(columns=["_sh_hashes"])
+                pdf = pdf.drop(columns=[feed_col])
                 pdf["minhash"] = []
                 yield pdf
                 continue
-            # NULL text → NULL _sh_hashes; the pure-Catalyst
+            # NULL text → NULL shingle array; the pure-Catalyst
             # formulation then yields an array of num_perm nulls
             # (array_min over a null array per permutation) — match it.
-            arrs = [
-                None if v is None else np.asarray(v, dtype=np.int64)
-                for v in pdf["_sh_hashes"]
-            ]
+            if hash_in_python:
+                arrs = [None if v is None else h31(v) for v in pdf[feed_col]]
+            else:
+                arrs = [
+                    None if v is None else np.asarray(v, dtype=np.int64)
+                    for v in pdf[feed_col]
+                ]
             null_sig = [None] * num_perm
             sigs: list = [null_sig] * len(arrs)
             i = 0
@@ -206,7 +231,7 @@ def minhash_signatures(
                     for col, g in enumerate(group):
                         sigs[g] = mins[:, col].tolist()
                 i = j
-            pdf = pdf.drop(columns=["_sh_hashes"])
+            pdf = pdf.drop(columns=[feed_col])
             pdf["minhash"] = sigs
             yield pdf
 
@@ -394,9 +419,16 @@ def with_simhash64(
     from pyspark.sql.types import LongType, StructField, StructType
 
     toks = f"split(lower(trim({text_col})), '\\\\s+')"
-    hashed = df.withColumn(
-        "_tok_h", F.expr(f"transform({toks}, t -> {_token_hash_expr(base_hash)})")
-    )
+    # md5 mode hashes tokens inside the Arrow batch (hashlib) instead
+    # of the JVM Md5/Conv expression pair — identical bits (first 8
+    # md5 bytes big-endian), pinned by the Catalyst parity test.
+    hash_in_python = base_hash == "md5"
+    if hash_in_python:
+        hashed = df.withColumn("_tok_h", F.expr(toks))
+    else:
+        hashed = df.withColumn(
+            "_tok_h", F.expr(f"transform({toks}, t -> {_token_hash_expr(base_hash)})")
+        )
     schema = StructType(list(hashed.schema.fields) + [StructField(out_col, LongType())])
     shifts = np.arange(64, dtype=np.uint64)
 
@@ -406,7 +438,19 @@ def with_simhash64(
     chunk_tokens = 1 << 17
 
     def run(batches):
+        import hashlib
+
         import pandas as pd
+
+        def h64(arr):
+            return np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                    for t in arr
+                ),
+                dtype=np.uint64,
+                count=len(arr),
+            ).view(np.int64)
 
         for pdf in batches:
             n = len(pdf)
@@ -416,10 +460,13 @@ def with_simhash64(
                 continue
             # NULL text → NULL token array (Catalyst) → NULL simhash,
             # matching the pure-Catalyst simhash64 formulation.
-            arrs = [
-                None if v is None else np.asarray(v, dtype=np.int64)
-                for v in pdf["_tok_h"]
-            ]
+            if hash_in_python:
+                arrs = [None if v is None else h64(v) for v in pdf["_tok_h"]]
+            else:
+                arrs = [
+                    None if v is None else np.asarray(v, dtype=np.int64)
+                    for v in pdf["_tok_h"]
+                ]
             out: list = [None] * n
             i = 0
             while i < n:

@@ -1,0 +1,85 @@
+"""Gopher/C4-style corpus filter tests over crafted fixtures: exact
+expected values for duplicate-line fractions, top-bigram mode with a
+lexicographic tie-break, and the C4 line-shape signals."""
+
+from __future__ import annotations
+
+import pytest
+
+from karanta_ocr_spark.operators.corpus_filters import (
+    c4_quality_signals,
+    gopher_repetition_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # 3 lines, one duplicated; 'a b' bigram appears twice.
+        (1, "a b c\nx y\na b c"),
+        # single line, all-distinct bigrams ('p q' wins the ties
+        # lexicographically among count-1 bigrams: 'p q', 'q r', 'r s').
+        (2, "p q r s."),
+        # one token: no bigram.
+        (3, "solo"),
+        # blank-ish doc: whitespace only.
+        (4, "   \n  \n "),
+        # C4 drop rules.
+        (5, "This page has Lorem Ipsum filler text and more words."),
+        (6, "function() { return 1; } extra words here now"),
+        (7, "A clean sentence with enough words to keep.\nAnother line!"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gopher_duplicate_lines_and_top_bigram(spark, docs):
+    out = {r["doc_id"]: r for r in gopher_repetition_stats(docs).collect()}
+
+    r1 = out[1]
+    assert r1["n_lines"] == 3
+    assert r1["dup_line_frac"] == pytest.approx(1 / 3)
+    # chars: 5 + 3 + 5 = 13, distinct 5 + 3 = 8 → 5/13
+    assert r1["dup_line_char_frac"] == pytest.approx(5 / 13, abs=1e-6)
+    # bigrams: 'a b' ×2, 'b c' ×2 ('b c' from each copy), 'c x', 'x y', 'y a'
+    # → max count 2, tie between 'a b' and 'b c' → lexicographic min 'a b'
+    assert r1["top_bigram"] == "a b"
+    # text chars = 15 ('a b c\nx y\na b c'); 2 × len('a b')=3 → 6/15
+    assert r1["top_bigram_frac"] == pytest.approx(6 / 15, abs=1e-6)
+
+    r2 = out[2]
+    assert r2["n_lines"] == 1
+    assert r2["dup_line_frac"] == 0.0
+    assert r2["top_bigram"] == "p q"
+
+    r3 = out[3]
+    assert r3["top_bigram"] is None and r3["top_bigram_frac"] is None
+
+    r4 = out[4]
+    assert r4["n_lines"] == 0
+    assert r4["dup_line_frac"] == 0.0 and r4["dup_line_char_frac"] == 0.0
+
+
+def test_gopher_partition_invariance(spark, docs):
+    one = gopher_repetition_stats(docs.coalesce(1)).collect()
+    many = gopher_repetition_stats(docs.repartition(7)).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_c4_quality_signals(spark, docs):
+    out = {r["doc_id"]: r for r in c4_quality_signals(docs).collect()}
+
+    assert out[5]["has_lorem_ipsum"] is True and out[5]["c4_keep"] is False
+    assert out[6]["has_curly_brace"] is True and out[6]["c4_keep"] is False
+
+    r7 = out[7]
+    assert r7["n_lines"] == 2
+    assert r7["terminal_punct_line_frac"] == pytest.approx(1.0)
+    assert r7["word_count"] == 10
+    assert r7["mean_words_per_line"] == pytest.approx(5.0)
+    assert r7["c4_keep"] is True
+
+    # whitespace-only doc: no lines → not kept, fractions are 0/None.
+    r4 = out[4]
+    assert r4["n_lines"] == 0 and r4["c4_keep"] is False
+    assert r4["terminal_punct_line_frac"] == 0.0
+    assert r4["mean_words_per_line"] is None

@@ -499,6 +499,29 @@ def test_minhash_numpy_matches_catalyst(docs_df):
     assert a == b
 
 
+def test_md5_mode_python_hash_matches_catalyst(docs_df):
+    """md5 base-hash mode computes shingle/token hashes in the Arrow
+    batch (hashlib); the pure-Catalyst formulation (Md5/Conv JVM
+    expressions) must produce bit-identical signatures."""
+    from karanta_ocr_spark.operators.dedup import simhash64, with_simhash64
+
+    a = {r["doc_id"]: r["minhash"] for r in
+         minhash_signatures(docs_df, "text", 16, use_numpy=False, base_hash="md5")
+         .select("doc_id", "minhash").collect()}
+    b = {r["doc_id"]: r["minhash"] for r in
+         minhash_signatures(docs_df, "text", 16, use_numpy=True, base_hash="md5")
+         .select("doc_id", "minhash").collect()}
+    assert a == b
+
+    cat = {r["doc_id"]: r["s"] for r in
+           docs_df.select("doc_id", simhash64("text", base_hash="md5").alias("s"))
+           .collect()}
+    np_ = {r["doc_id"]: r["simhash"] for r in
+           with_simhash64(docs_df, "text", base_hash="md5")
+           .select("doc_id", "simhash").collect()}
+    assert cat == np_
+
+
 def test_jpeg_roundtrip_and_unfaked_spark_decode(spark):
     # Baseline JPEG decodes for real (no PIL): flat 8x8 blocks survive
     # quant=1 encode->decode exactly; the strict-mode Spark chain runs

@@ -36,6 +36,8 @@ KEYS = [
     "simhash_dedup",
     "simhash_banded_dedup",
     "ngram_jaccard_dedup",
+    "gopher_repetition",
+    "c4_quality",
     "ann_brute_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
