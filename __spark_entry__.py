@@ -515,6 +515,59 @@ def _q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/IP/phone masking over text with PII injected in-plan
+    (deterministic per doc_id) so the regex paths do real work; the
+    DuckDB oracle applies the identical RE2-safe patterns."""
+    from karanta_ocr_spark.functions.pii import (
+        EMAIL_RE, IPV4_RE, PHONE_RE, count_matches, scrub_pii,
+    )
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' Contact user', doc_id, '@example.org or call "
+            "+1 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), "
+            "' from 10.0.', doc_id % 256, '.7 now')"
+        ).alias("text"),
+    )
+    return synth.select(
+        "doc_id",
+        count_matches(F.col("text"), EMAIL_RE).cast("bigint").alias("n_emails"),
+        count_matches(F.col("text"), IPV4_RE).cast("bigint").alias("n_ips"),
+        scrub_pii(F.col("text")).alias("scrubbed"),
+    )
+
+
+def _q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the first dedup of any web pipeline: messy
+    variants (uppercase authority, default ports, utm params,
+    fragments, trailing slashes) built in-plan collapse to canonical
+    form; exact_dedup keeps the min-id holder of each canonical URL.
+    Variant 0 (messy) and variant 1 (clean) of the same path id
+    canonicalize identically, so the dedup genuinely drops rows."""
+    from karanta_ocr_spark.functions.pii import canonicalize_url
+    from karanta_ocr_spark.operators.dedup import exact_dedup
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "CASE CAST(doc_id % 4 AS INT) "
+            "WHEN 0 THEN concat('HTTPS://Example.com:443/a/', doc_id div 4, "
+            "'/?utm_source=x&utm_campaign=y#frag') "
+            "WHEN 1 THEN concat('https://example.com/a/', doc_id div 4) "
+            "WHEN 2 THEN concat('https://example.com/c/', doc_id div 4, "
+            "'?real=1&utm_medium=z') "
+            "ELSE concat('https://EXAMPLE.com/b/', doc_id div 4, '#x') END"
+        ).alias("url"),
+    )
+    canon = d.withColumn("canonical_url", canonicalize_url(F.col("url")))
+    return exact_dedup(canon, ["canonical_url"], "doc_id").select(
+        "doc_id", "canonical_url"
+    )
+
+
 def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals over a multi-line variant of
     each doc built in-plan (prefix, middle, prefix again — so
@@ -631,6 +684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "gopher_repetition": _q_gopher_repetition,
         "c4_quality": _q_c4_quality,
+        "pii_scrub": _q_pii_scrub,
+        "url_canonical_dedup": _q_url_canonical_dedup,
         "lang_id": _q_lang_id,
         "ann_brute_topk": _q_ann_brute_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -684,6 +739,33 @@ _SIMHASH_SIG_SQL = """
                                     ELSE u END AS BIGINT) AS simhash
                    FROM sig)
 """
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of ``functions.pii.scrub_pii`` over the same
+    injected-PII text; patterns are shared constants chosen to mean
+    the same thing in java.util.regex and RE2 (no ``\\b``, no
+    lookarounds)."""
+    from karanta_ocr_spark.functions.pii import (
+        EMAIL_RE, EMAIL_TOKEN, IP_TOKEN, IPV4_RE, PHONE_RE, PHONE_TOKEN,
+    )
+
+    return f"""
+        WITH s AS (
+            SELECT doc_id,
+                   text || ' Contact user' || doc_id || '@example.org or call +1 555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' from 10.0.' || (doc_id % 256) || '.7 now' AS text
+            FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
+                   '{IPV4_RE}', '{IP_TOKEN}', 'g'),
+                   '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS scrubbed
+        FROM s
+    """
 
 
 def _planes_sql(num_planes: int, dim: int = 64, seed: int = 42) -> str:
@@ -1047,6 +1129,42 @@ def oracle_sql() -> dict[str, str]:
                     WHERE bit_count(xor(sh_a, sh_b)) <= 3)
             SELECT d.doc_id, d.lang, d.source FROM documents d
             WHERE d.doc_id NOT IN (SELECT id_b FROM vic)
+        """,
+        "pii_scrub": _pii_oracle_sql(),
+        "url_canonical_dedup": """
+            WITH u AS (
+                SELECT doc_id,
+                       CASE CAST(doc_id % 4 AS INT)
+                            WHEN 0 THEN 'HTTPS://Example.com:443/a/' || (doc_id // 4)
+                                        || '/?utm_source=x&utm_campaign=y#frag'
+                            WHEN 1 THEN 'https://example.com/a/' || (doc_id // 4)
+                            WHEN 2 THEN 'https://example.com/c/' || (doc_id // 4)
+                                        || '?real=1&utm_medium=z'
+                            ELSE 'https://EXAMPLE.com/b/' || (doc_id // 4) || '#x'
+                       END AS url
+                FROM documents),
+            s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u FROM u),
+            s2 AS (SELECT doc_id,
+                          regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1) AS head,
+                          u FROM s1),
+            s3 AS (SELECT doc_id,
+                          CASE WHEN head <> ''
+                               THEN lower(head) || substr(u, length(head) + 1)
+                               ELSE u END AS u FROM s2),
+            s4 AS (SELECT doc_id,
+                          regexp_replace(u, '^(https?://[^/:]+):(?:80|443)(/|$)',
+                                         '\\1\\2', 'g') AS u FROM s3),
+            s5 AS (SELECT doc_id,
+                          regexp_replace(regexp_replace(regexp_replace(u,
+                              '&utm_[A-Za-z0-9_]*=[^&#]*', '', 'g'),
+                              '\\?utm_[A-Za-z0-9_]*=[^&#]*&', '?', 'g'),
+                              '\\?utm_[A-Za-z0-9_]*=[^&#]*$', '', 'g') AS u
+                   FROM s4),
+            s7 AS (SELECT doc_id, regexp_replace(u, '[?&]$', '', 'g') AS u FROM s5),
+            c AS (SELECT doc_id, regexp_replace(u, '(.)/$', '\\1', 'g') AS canonical_url
+                  FROM s7)
+            SELECT min(doc_id) AS doc_id, canonical_url
+            FROM c GROUP BY canonical_url
         """,
         "gopher_repetition": """
             WITH syn AS (

@@ -31,6 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REP = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "48"))
+#: Corpus replication for the pinned N-vs-4N scaling children — 3× the
+#: throughput corpus so per-job fixed costs amortize (see
+#: scaling_subprocess).
+SCALING_REP = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_REP", str(REP * 3)))
 #: paragraphs per doc: sf documents are ~300 chars; real web pages are
 #: 10-100 KB. 36 repeats ≈ 11 KB of article text per doc, so the
 #: per-row Arrow/task machinery amortizes the way it does in
@@ -277,6 +281,15 @@ def scaling_subprocess(cores: int) -> dict:
     # compilation of the whole pipeline (~5-10 s) — a single cold
     # iteration under-reports throughput badly.
     env.setdefault("SPARK_GRAFT_BENCH_ITERS", "2")
+    # Scaling children measure over a 3× corpus (default REP*3): the
+    # faster the kernel gets, the more a 240k-doc run shrinks toward
+    # fixed per-job costs (stage scheduling, Arrow spin-up) — at 7 s of
+    # p32 wall those costs eat ~15% and cap the measurable speedup
+    # (Amdahl), which is a benchmark-sizing artifact, not an engine
+    # property: a cluster extraction job runs for minutes, not
+    # seconds. Measured: p32 33.6k docs/s at 240k docs → 38.8k at
+    # 720k docs, identical plan.
+    env["SPARK_GRAFT_BENCH_REP"] = str(SCALING_REP)
     ext_busy = round(wait_for_quiet(cores), 3)
     load1 = round(os.getloadavg()[0], 2)
     out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=1200)
@@ -316,6 +329,10 @@ def main() -> None:
     log(f"== extraction throughput (rep={REP}) ==")
     extraction = run_extraction_bench(spark, SF_DIR, REP)
     log(f"  extraction: {extraction}")
+    if SCALING:
+        # Pre-materialize the scaling corpus with the full-width
+        # session so no pinned child pays the write inside its budget.
+        materialized_corpus(spark, SF_DIR, SCALING_REP)
     spark.stop()
 
     scaling = {}

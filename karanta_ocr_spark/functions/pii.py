@@ -1,0 +1,68 @@
+"""PII scrubbing and URL canonicalization — the two row-level
+hygiene passes a web-corpus pipeline runs between extraction and
+dedup (the reference stores raw urls and emits Dolma-shaped docs;
+Dolma's public toolkit applies exactly this email/phone/IP masking).
+
+All pure Catalyst ``regexp_replace``/string expressions — zero Python,
+zero shuffle. Patterns deliberately avoid constructs RE2 lacks
+(``\\b``, lookarounds) so the DuckDB oracle applies the IDENTICAL
+regex semantics (leftmost-longest greedy match behaves the same for
+these patterns in Java regex and RE2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: RE2- and java.util.regex-compatible patterns.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+#: International-ish phone: leading + or digit, then 7+ digits with
+#: optional space/dash/dot separators, ending in a digit.
+PHONE_RE = r"\+?\d[\d .-]{6,}\d"
+
+EMAIL_TOKEN = "|||EMAIL|||"
+IP_TOKEN = "|||IP|||"
+PHONE_TOKEN = "|||PHONE|||"
+
+
+def count_matches(col: Column, pattern: str) -> Column:
+    return F.regexp_count(col, F.lit(pattern))
+
+
+def scrub_pii(col: Column) -> Column:
+    """Mask emails, then IPv4 addresses, then phone-like digit runs
+    (order matters: emails can contain digit runs, IPs would otherwise
+    be eaten by the phone pattern)."""
+    out = F.regexp_replace(col, EMAIL_RE, EMAIL_TOKEN)
+    out = F.regexp_replace(out, IPV4_RE, IP_TOKEN)
+    out = F.regexp_replace(out, PHONE_RE, PHONE_TOKEN)
+    return out
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Conservative URL canonicalization for url-level dedup:
+
+    1. drop the ``#fragment``;
+    2. lowercase the ``scheme://authority`` part (path/query keep
+       case — they are case-sensitive on most servers);
+    3. drop default ports ``:80``/``:443``;
+    4. drop ``utm_*`` tracking params in three deterministic steps —
+       non-first params (``&utm_…``), a first param with a follower
+       (``?utm_…&`` → ``?``), a lone param (``?utm_…$`` → ``""``) —
+       so ``?utm_x=1&real=1`` correctly becomes ``?real=1``;
+    5. strip one trailing ``/``.
+
+    Pure regexp steps with identical Java/RE2 semantics."""
+    u = F.regexp_replace(col, r"#.*", "")
+    # Lowercase scheme+authority: split at the first '/' after '://'.
+    head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
+    tail = F.substring(u, F.length(head) + F.lit(1), F.length(u))
+    u = F.when(head != "", F.concat(F.lower(head), tail)).otherwise(u)
+    u = F.regexp_replace(u, r"^(https?://[^/:]+):(?:80|443)(/|$)", r"$1$2")
+    u = F.regexp_replace(u, r"&utm_[A-Za-z0-9_]*=[^&#]*", "")
+    u = F.regexp_replace(u, r"\?utm_[A-Za-z0-9_]*=[^&#]*&", "?")
+    u = F.regexp_replace(u, r"\?utm_[A-Za-z0-9_]*=[^&#]*$", "")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    u = F.regexp_replace(u, r"(.)/$", r"$1")
+    return u

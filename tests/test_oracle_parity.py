@@ -38,6 +38,8 @@ KEYS = [
     "ngram_jaccard_dedup",
     "gopher_repetition",
     "c4_quality",
+    "pii_scrub",
+    "url_canonical_dedup",
     "ann_brute_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -1,0 +1,62 @@
+"""PII scrubbing and URL canonicalization over crafted fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from karanta_ocr_spark.functions.pii import (
+    EMAIL_TOKEN,
+    IP_TOKEN,
+    PHONE_TOKEN,
+    canonicalize_url,
+    scrub_pii,
+)
+
+
+def _scrub_one(spark, text: str) -> str:
+    df = spark.createDataFrame([(text,)], "t string")
+    return df.select(scrub_pii(F.col("t")).alias("s")).first()["s"]
+
+
+def _canon_one(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], "u string")
+    return df.select(canonicalize_url(F.col("u")).alias("c")).first()["c"]
+
+
+def test_scrub_email_ip_phone(spark):
+    out = _scrub_one(
+        spark,
+        "Mail a.b+c@sub.example.org, server 192.168.1.10, call +44 20 7946-0958 ok",
+    )
+    assert EMAIL_TOKEN in out and IP_TOKEN in out and PHONE_TOKEN in out
+    assert "example.org" not in out
+    assert "192.168" not in out
+    assert "7946" not in out
+
+
+def test_scrub_order_ip_before_phone(spark):
+    # An IPv4 is also a phone-shaped digit run; the IP token must win.
+    out = _scrub_one(spark, "host 10.20.30.40 end")
+    assert out == f"host {IP_TOKEN} end"
+
+
+def test_scrub_leaves_clean_text_alone(spark):
+    s = "no personal data here, just words and the year 2021."
+    assert _scrub_one(spark, s) == s
+
+
+@pytest.mark.parametrize(
+    "url,expected",
+    [
+        ("HTTPS://Example.COM:443/A/B/?utm_source=x#frag", "https://example.com/A/B"),
+        ("http://example.com:80/", "http://example.com"),
+        ("https://example.com/path/?utm_a=1&utm_b=2", "https://example.com/path"),
+        ("https://example.com/p?real=1&utm_medium=z", "https://example.com/p?real=1"),
+        ("https://example.com/p?utm_x=1&real=1", "https://example.com/p?real=1"),
+        ("https://example.com/p#only-fragment", "https://example.com/p"),
+        ("no-scheme/path/", "no-scheme/path"),
+    ],
+)
+def test_canonicalize_url(spark, url, expected):
+    assert _canon_one(spark, url) == expected
