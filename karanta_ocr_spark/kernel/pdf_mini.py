@@ -485,6 +485,86 @@ def _decode_with_cmap(raw: bytes, cmap: tuple[int, dict[int, str]]) -> str:
     return "".join(out)
 
 
+# --- simple-font /Encoding /Differences (glyph-name remapping) --------
+#: Adobe Glyph List subset: the names older simple-font PDFs actually
+#: use. Letters/digits are generated; uniXXXX / uXXXX(XX) forms are
+#: parsed, which covers arbitrary Unicode (e.g. edotbelow = uni1EB9 in
+#: Yoruba text). Unknown names decode to "" (nothing sane to guess).
+_AGL_SUBSET: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~", "quoteleft": "‘",
+    "quoteright": "’", "quotedblleft": "“",
+    "quotedblright": "”", "endash": "–", "emdash": "—",
+    "bullet": "•", "ellipsis": "…", "fi": "ﬁ",
+    "fl": "ﬂ", "degree": "°", "euro": "€",
+    "agrave": "à", "aacute": "á", "acircumflex": "â", "atilde": "ã",
+    "adieresis": "ä", "ccedilla": "ç", "egrave": "è", "eacute": "é",
+    "ecircumflex": "ê", "edieresis": "ë", "igrave": "ì", "iacute": "í",
+    "icircumflex": "î", "idieresis": "ï", "ntilde": "ñ", "ograve": "ò",
+    "oacute": "ó", "ocircumflex": "ô", "otilde": "õ", "odieresis": "ö",
+    "ugrave": "ù", "uacute": "ú", "ucircumflex": "û", "udieresis": "ü",
+    "yacute": "ý", "ydieresis": "ÿ", "oe": "œ", "OE": "Œ",
+    "ae": "æ", "AE": "Æ", "oslash": "ø", "Oslash": "Ø",
+}
+for _ch in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
+    _AGL_SUBSET[_ch] = _ch
+for _i, _nm in enumerate(
+    ["zero", "one", "two", "three", "four", "five", "six", "seven",
+     "eight", "nine"]
+):
+    _AGL_SUBSET[_nm] = str(_i)
+
+
+def _glyph_to_char(name: str) -> str:
+    """Glyph name (no leading slash) → character. Handles the AGL
+    subset plus the algorithmic uniXXXX / uXXXX..XXXXXX forms."""
+    if name in _AGL_SUBSET:
+        return _AGL_SUBSET[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return ""
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return ""
+    return ""
+
+
+def parse_differences(diffs: list) -> dict[int, str]:
+    """/Encoding /Differences array → code → char map: integers set
+    the current code, names assign consecutive codes (PDF 32000
+    §9.6.6.1)."""
+    mapping: dict[int, str] = {}
+    code = 0
+    for item in diffs:
+        if isinstance(item, (int, float)):
+            code = int(item)
+        elif isinstance(item, str) and item.startswith("/"):
+            mapping[code] = _glyph_to_char(item[1:])
+            code += 1
+    return mapping
+
+
+def _decode_with_differences(raw: bytes, mapping: dict[int, str]) -> str:
+    """Single-byte decode: remapped codes go through the glyph map;
+    untouched codes keep the base (latin-1-ish) meaning — matching how
+    readers overlay /Differences on StandardEncoding."""
+    return "".join(
+        mapping[b] if b in mapping else bytes([b]).decode("latin-1")
+        for b in raw
+    )
+
+
 def _decode_pdf_string(raw: bytes) -> str:
     """Decode a PDF string payload. UTF-16BE with BOM per spec; else we
     try UTF-8 (what our generator and most modern producers emit for
@@ -539,11 +619,12 @@ def _interpret_content(
 
     def emit_text(raw: bytes) -> None:
         txt2user = _mult(tm, cm)
-        text = (
-            _decode_with_cmap(raw, cur_cmap)
-            if cur_cmap is not None
-            else _decode_pdf_string(raw)
-        )
+        if cur_cmap is None:
+            text = _decode_pdf_string(raw)
+        elif cur_cmap[0] == "diff":
+            text = _decode_with_differences(raw, cur_cmap[1])
+        else:
+            text = _decode_with_cmap(raw, cur_cmap)
         text_elements.append(TextElement(text, txt2user[4], txt2user[5]))
 
     i, n = 0, len(content)
@@ -696,8 +777,11 @@ def parse_pdf(data: bytes) -> list[PageReport]:
         mediabox = BoundingBox(float(mb[0]), float(mb[1]), float(mb[2]), float(mb[3]))
         resources = doc.resolve(page.get("/Resources", inh.get("/Resources"))) or {}
         xobjects = doc.resolve(resources.get("/XObject")) or {}
-        # Fonts with a ToUnicode CMap (Type0/CID multi-byte encodings):
-        # their show-text strings decode through the cmap.
+        # Fonts with a ToUnicode CMap (Type0/CID multi-byte encodings)
+        # decode show-text through the cmap; simple fonts with an
+        # /Encoding /Differences array decode through the glyph-name
+        # remap overlaid on the latin-1-ish base (ToUnicode wins when
+        # both exist — it is the authoritative text mapping).
         fonts: dict = {}
         font_res = doc.resolve(resources.get("/Font")) or {}
         if isinstance(font_res, dict):
@@ -714,6 +798,15 @@ def parse_pdf(data: bytes) -> list[PageReport]:
                             cmap = parse_tounicode_cmap(stream)
                         except Exception:
                             cmap = None
+                if cmap is None and isinstance(fdict, dict):
+                    enc = doc.resolve(fdict.get("/Encoding"))
+                    if isinstance(enc, dict):
+                        diffs = doc.resolve(enc.get("/Differences"))
+                        if isinstance(diffs, list):
+                            try:
+                                cmap = ("diff", parse_differences(diffs))
+                            except Exception:
+                                cmap = None
                 fonts[fname] = cmap
         text_elements: list[TextElement] = []
         image_elements: list[ImageElement] = []

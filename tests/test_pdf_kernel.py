@@ -268,6 +268,43 @@ def test_type0_cid_font_tounicode_decode():
     assert (el.x, el.y) == (72.0, 700.0)
 
 
+def test_differences_encoding_decode():
+    # Simple Type1 font with /Encoding /Differences: remapped codes
+    # decode via glyph names (AGL subset + uniXXXX form), untouched
+    # codes keep the latin-1-ish base meaning. Reference analog:
+    # pypdf applies the same overlay when extracting text.
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (Y\x80r\x81b\x82 \x83K) Tj ET"
+    pdf = _raw_pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Fake /Encoding "
+           b"<< /Type /Encoding /Differences "
+           b"[ 128 /oacute /uni1EB9 /agrave 131 /odieresis ] >> >>",
+    })
+    rep = parse_pdf(pdf)[0]
+    assert len(rep.text_elements) == 1
+    # 0x80->ó 0x81->ẹ (uni1EB9) 0x82->à 0x83->ö; Y r b space K via base.
+    assert rep.text_elements[0].text == "Yórẹbà öK"
+
+
+def test_differences_unknown_glyph_drops_not_crashes():
+    content = b"BT /F1 12 Tf 1 0 0 1 0 0 Tm (a\x90b) Tj ET"
+    pdf = _raw_pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        5: b"<< /Type /Font /Subtype /Type1 /Encoding "
+           b"<< /Differences [ 144 /g123notaglyph ] >> >>",
+    })
+    rep = parse_pdf(pdf)[0]
+    assert rep.text_elements[0].text == "ab"
+
+
 def test_non_cid_font_still_decodes_plain_strings():
     # Tf selecting a plain (no ToUnicode) font must not change the
     # default literal-string decoding.

@@ -46,6 +46,23 @@ def test_scrub_leaves_clean_text_alone(spark):
     assert _scrub_one(spark, s) == s
 
 
+def test_canonicalize_is_idempotent(spark):
+    """canon(canon(u)) == canon(u) over a messy generated URL pool —
+    a second pass must find nothing left to normalize."""
+    urls = []
+    for i in range(64):
+        scheme = ["http", "HTTPS", "ftp"][i % 3]
+        port = ["", ":80", ":443", ":8080"][i % 4]
+        q = ["", "?utm_source=a", "?utm_a=1&b=2", "?x=1&utm_b=2&utm_c=3", "#f",
+             "/?utm_z=9#f"][i % 6]
+        urls.append(f"{scheme}://Host{i}.Example.COM{port}/P{i}{q}")
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(canonicalize_url(F.col("u")).alias("c"))
+    twice = once.select(canonicalize_url(F.col("c")).alias("c2"), "c")
+    bad = twice.filter(F.col("c") != F.col("c2")).collect()
+    assert not bad, bad[:5]
+
+
 @pytest.mark.parametrize(
     "url,expected",
     [
