@@ -587,6 +587,26 @@ def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_repetition_stats(synth)
 
 
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-paragraph removal over docs wrapped with
+    shared boilerplate lines (every doc gets the same header/footer —
+    only the globally-first occurrence of each survives; unique bodies
+    stay). The DuckDB oracle replays first-occurrence selection and
+    in-order text rebuild."""
+    from karanta_ocr_spark.operators.corpus_filters import dedup_paragraphs
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.expr(
+            "concat('Shared header line', char(10), "
+            "trim(substring(trim(text), 1, 60)), char(10), "
+            "'Shared footer line')"
+        ).alias("text"),
+    )
+    return dedup_paragraphs(synth)
+
+
 def _q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from karanta_ocr_spark.operators.corpus_filters import c4_quality_signals
 
@@ -684,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "gopher_repetition": _q_gopher_repetition,
         "c4_quality": _q_c4_quality,
+        "paragraph_dedup": _q_paragraph_dedup,
         "pii_scrub": _q_pii_scrub,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "lang_id": _q_lang_id,
@@ -1129,6 +1150,35 @@ def oracle_sql() -> dict[str, str]:
                     WHERE bit_count(xor(sh_a, sh_b)) <= 3)
             SELECT d.doc_id, d.lang, d.source FROM documents d
             WHERE d.doc_id NOT IN (SELECT id_b FROM vic)
+        """,
+        "paragraph_dedup": """
+            WITH syn AS (
+                SELECT doc_id,
+                       'Shared header line' || chr(10)
+                       || trim(substring(trim(text), 1, 60)) || chr(10)
+                       || 'Shared footer line' AS text
+                FROM documents),
+            l AS (SELECT doc_id,
+                         list_filter(list_transform(string_split(text, chr(10)),
+                                                    x -> trim(x)), x -> x <> '') AS lines
+                  FROM syn),
+            p AS (SELECT doc_id, unnest(lines) AS para,
+                         unnest(range(0, len(lines))) AS pos
+                  FROM l),
+            w AS (SELECT doc_id, pos, para,
+                         row_number() OVER (PARTITION BY para
+                                            ORDER BY doc_id, pos) AS rk
+                  FROM p),
+            k AS (SELECT doc_id,
+                         string_agg(para, chr(10) ORDER BY pos) AS text,
+                         CAST(count(*) AS BIGINT) AS n_kept
+                  FROM w WHERE rk = 1 GROUP BY doc_id),
+            b AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_total FROM l)
+            SELECT b.doc_id,
+                   coalesce(k.text, '') AS text,
+                   CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(b.n_total - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped
+            FROM b LEFT JOIN k USING (doc_id)
         """,
         "pii_scrub": _pii_oracle_sql(),
         "url_canonical_dedup": """

@@ -23,7 +23,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: Terminal punctuation accepted by the C4 line rule.
 _TERMINALS = (".", "!", "?", '"')
@@ -92,12 +92,19 @@ def gopher_repetition_stats(
         F.explode(F.expr(_bigrams_expr(text_col))).alias("bigram"),
     )
     cnt = bg.groupBy(id_col, "bigram").agg(F.count("*").alias("c"))
-    mx = cnt.groupBy(id_col).agg(F.max("c").alias("_mx"))
+    # One pass over the counted rows: a per-document window (rank by
+    # count desc, bigram asc) instead of a max+join-back — the join
+    # formulation recomputed the whole explode+count subtree twice
+    # (visible as duplicate HashAggregates in the physical plan).
+    w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("bigram"))
     top = (
-        cnt.join(mx, on=id_col)
-        .filter(F.col("c") == F.col("_mx"))
-        .groupBy(id_col)
-        .agg(F.min("bigram").alias("top_bigram"), F.max("c").alias("_top_c"))
+        cnt.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col(id_col),
+            F.col("bigram").alias("top_bigram"),
+            F.col("c").alias("_top_c"),
+        )
     )
     out = base.join(top, on=id_col, how="left")
     frac = F.when(
@@ -109,6 +116,63 @@ def gopher_repetition_stats(
     return out.select(
         id_col, "n_lines", "dup_line_frac", "dup_line_char_frac",
         "top_bigram", frac.alias("top_bigram_frac"),
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide repeated-paragraph removal (the RefinedWeb/Dolma
+    pass that strips cross-site boilerplate lines): every occurrence
+    of a paragraph beyond its FIRST (by (doc, position) order) is
+    dropped, and each document's text is rebuilt from its surviving
+    paragraphs in original order.
+
+    Returns ``(id, text, n_kept, n_dropped)`` — one row per input row,
+    text possibly empty when every paragraph was a repeat.
+
+    Scale shape: posexplode → groupBy(paragraph) with map-side partial
+    aggregation (a hot boilerplate line is ONE group — min(struct) not
+    collect), join back on the paragraph (AQE skew-join handles the
+    hot key), one final groupBy on the document id. No window over the
+    whole corpus, no driver collect."""
+    lines = lines_expr(F.col(text_col))
+    paras = df.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "para")
+    )
+    first = paras.groupBy("para").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first")
+    )
+    kept = (
+        paras.join(first, on="para")
+        .filter(
+            (F.col(id_col) == F.col("_first")[id_col])
+            & (F.col("pos") == F.col("_first")["pos"])
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                "\n",
+            ).alias("_text"),
+            F.count("*").alias("_n_kept"),
+        )
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(lines).cast("bigint").alias("_n_total"),
+    )
+    out = base.join(kept, on=id_col, how="left")
+    return out.select(
+        id_col,
+        F.coalesce(F.col("_text"), F.lit("")).alias("text"),
+        F.coalesce(F.col("_n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("_n_total") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_dropped"),
     )
 
 

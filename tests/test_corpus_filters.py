@@ -65,6 +65,43 @@ def test_gopher_partition_invariance(spark, docs):
     assert sorted(map(tuple, one)) == sorted(map(tuple, many))
 
 
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from karanta_ocr_spark.operators.corpus_filters import dedup_paragraphs
+
+    rows = [
+        (1, "HEADER\nbody one\nFOOTER"),
+        (2, "HEADER\nbody two\nFOOTER"),
+        (3, "HEADER\nbody one\nFOOTER"),  # body duplicates doc 1's
+        (4, "   \n \n"),                   # nothing survives trimming
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+
+    assert out[1]["text"] == "HEADER\nbody one\nFOOTER"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (3, 0)
+    # doc 2 loses the shared header/footer, keeps its unique body
+    assert out[2]["text"] == "body two"
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (1, 2)
+    # doc 3 loses everything (header, footer, AND the repeated body)
+    assert out[3]["text"] == ""
+    assert (out[3]["n_kept"], out[3]["n_dropped"]) == (0, 3)
+    # whitespace-only doc: zero lines either way
+    assert (out[4]["n_kept"], out[4]["n_dropped"]) == (0, 0)
+
+
+def test_paragraph_dedup_partition_invariance(spark):
+    from karanta_ocr_spark.operators.corpus_filters import dedup_paragraphs
+
+    rows = [(i, f"SAME\nuniq {i}\nSAME TAIL") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    one = dedup_paragraphs(df.coalesce(1)).collect()
+    many = dedup_paragraphs(df.repartition(13)).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+    kept_total = sum(r["n_kept"] for r in one)
+    # 40 unique bodies + one SAME + one SAME TAIL
+    assert kept_total == 42
+
+
 def test_c4_quality_signals(spark, docs):
     out = {r["doc_id"]: r for r in c4_quality_signals(docs).collect()}
 

@@ -40,6 +40,7 @@ KEYS = [
     "c4_quality",
     "pii_scrub",
     "url_canonical_dedup",
+    "paragraph_dedup",
     "ann_brute_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
