@@ -613,6 +613,26 @@ def _q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_quality_signals(_docs(spark, sf_dir))
 
 
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish (GPT-2 pretokenizer shape) token counts
+    + chars/token — the budget numbers an LLM-data pipeline reports.
+    Oracle: DuckDB applies the identical RE2-safe pattern."""
+    from karanta_ocr_spark.functions.text_analysis import (
+        bpe_ish_token_count, token_count,
+    )
+
+    d = _docs(spark, sf_dir)
+    bpe = bpe_ish_token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("ws_tokens"),
+        bpe.cast("bigint").alias("bpe_ish_tokens"),
+        F.when(
+            bpe > 0, F.round(F.length(F.trim(F.col("text"))) / bpe, 6)
+        ).alias("chars_per_token"),
+    )
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", lang_id_heuristic(F.col("text")).alias("lang_guess")
@@ -705,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _q_gopher_repetition,
         "c4_quality": _q_c4_quality,
         "paragraph_dedup": _q_paragraph_dedup,
+        "token_stats": _q_token_stats,
         "pii_scrub": _q_pii_scrub,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "lang_id": _q_lang_id,
@@ -785,6 +806,25 @@ def _pii_oracle_sql() -> str:
                    '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
                    '{IPV4_RE}', '{IP_TOKEN}', 'g'),
                    '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS scrubbed
+        FROM s
+    """
+
+
+def _token_stats_oracle_sql() -> str:
+    from karanta_ocr_spark.functions.text_analysis import BPE_ISH_RE
+
+    pat = BPE_ISH_RE.replace("'", "''")
+    return f"""
+        WITH s AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS bpe_ish_tokens,
+                   CAST(length(trim(text)) AS BIGINT) AS n_chars
+            FROM documents)
+        SELECT doc_id, ws_tokens, bpe_ish_tokens,
+               CASE WHEN bpe_ish_tokens > 0
+                    THEN round(CAST(n_chars AS DOUBLE) / bpe_ish_tokens, 6)
+               END AS chars_per_token
         FROM s
     """
 
@@ -1180,6 +1220,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.n_total - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped
             FROM b LEFT JOIN k USING (doc_id)
         """,
+        "token_stats": _token_stats_oracle_sql(),
         "pii_scrub": _pii_oracle_sql(),
         "url_canonical_dedup": """
             WITH u AS (

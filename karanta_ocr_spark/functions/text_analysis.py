@@ -29,6 +29,29 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+#: GPT-2-style pretokenizer pattern (public, from the released
+#: encoder), restricted to RE2-compatible constructs so the DuckDB
+#: oracle counts identically: the original's trailing-whitespace
+#: lookahead ``\s+(?!\S)`` is dropped (RE2 has no lookarounds) — for
+#: counting purposes a run of spaces is one token either way.
+#: Alternation order matters (leftmost-first in both engines).
+BPE_ISH_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+"
+)
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Subword-ish token count: how a BPE pretokenizer would segment
+    the text before merges — the budget number an LLM-training
+    pipeline actually wants (whitespace tokens undercount CJK/agglutinative
+    text and punctuation-heavy web text)."""
+    return F.regexp_count(col, F.lit(BPE_ISH_RE))
+
+
 def stopword_ratio(col: Column) -> Column:
     toks = tokens(col)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])

@@ -41,6 +41,7 @@ KEYS = [
     "pii_scrub",
     "url_canonical_dedup",
     "paragraph_dedup",
+    "token_stats",
     "ann_brute_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
