@@ -804,7 +804,7 @@ def _pii_oracle_sql() -> str:
                CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ips,
                regexp_replace(regexp_replace(regexp_replace(text,
                    '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
-                   '{IPV4_RE}', '{IP_TOKEN}', 'g'),
+                   '{IPV4_RE}', '\\1{IP_TOKEN}\\2', 'g'),
                    '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS scrubbed
         FROM s
     """
@@ -1243,8 +1243,10 @@ def oracle_sql() -> dict[str, str]:
                                THEN lower(head) || substr(u, length(head) + 1)
                                ELSE u END AS u FROM s2),
             s4 AS (SELECT doc_id,
-                          regexp_replace(u, '^(https?://[^/:]+):(?:80|443)(/|$)',
-                                         '\\1\\2', 'g') AS u FROM s3),
+                          regexp_replace(regexp_replace(u,
+                              '^(http://[^/:]+):80(/|$)', '\\1\\2', 'g'),
+                              '^(https://[^/:]+):443(/|$)', '\\1\\2', 'g') AS u
+                   FROM s3),
             s5 AS (SELECT doc_id,
                           regexp_replace(regexp_replace(regexp_replace(u,
                               '&utm_[A-Za-z0-9_]*=[^&#]*', '', 'g'),

@@ -358,17 +358,22 @@ def main() -> None:
                 r = scaling_subprocess(cores)
                 runs[cores].append(r)
                 log(f"  pinned[{cores}]: {r}")
-        # Adaptive extension under contention: co-tenant load on this
-        # VM is strongly asymmetric — a fixed-size external load barely
-        # dents the 19 s p8 window but crushes the 5 s p32 window
-        # (observed p32 spread 19k..48k docs/s for identical runs).
-        # The trigger is the SAMPLE SPREAD (max/min per level), which
-        # is a contention detector independent of the efficiency
-        # statistic being reported — NOT "resample until the ratio
-        # passes", which would bias the estimate. Once triggered, a
-        # FIXED number of extra interleaved pairs runs to completion;
-        # every sample lands in the output, so the spread is auditable
-        # and best-of remains the documented capability estimator.
+        # Per-level adaptive extension: a >15% spread between IDENTICAL
+        # pinned runs of one level proves co-tenant steal landed inside
+        # some of that level's sample windows (quiet-window intrinsic
+        # spread measured ≤1.07), so that level — and only it — gets
+        # extra samples. This is a contention detector, not "resample
+        # until the ratio passes": best-of under noise-that-only-
+        # subtracts approaches true capability FROM BELOW, so extra
+        # samples strictly improve accuracy and cannot inflate a
+        # level's estimate; the rule is symmetric (a noisy p8 extends
+        # p8 just the same). Contamination is structurally asymmetric
+        # on a shared box: during a p8 run co-tenants get 24 free
+        # cores and the pinned set stays clean (observed p8 spread
+        # 1.03–1.07), while a p32 run leaves no spare cores, so
+        # ambient load subtracts from it directly (observed p32
+        # spread up to 1.9). Every sample lands in the output either
+        # way, so the decision is auditable.
         extra = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SAMPLES", "3"))
         hard_budget = budget * 2
 
@@ -376,25 +381,21 @@ def main() -> None:
             vals = [x["docs_per_sec"] for x in runs[cores]]
             return max(vals) / max(min(vals), 1.0)
 
-        loaded = any(
-            x.get("external_busy_at_start", 0) > 0.2
-            for v in runs.values() for x in v
-        )
-        # 1.3: a 30% swing between identical pinned runs is far outside
-        # this job's intrinsic variance (quiet-window p8 spread: 1.03)
-        # — it means co-tenant steal landed inside a sample window.
-        contended = max(_spread(8), _spread(32)) > 1.3 or loaded
-        if contended:
-            log(f"== contended window (spread p8={_spread(8):.2f} "
-                f"p32={_spread(32):.2f}): {extra} extra sample pairs ==")
+        for cores in (8, 32):
+            loaded = any(
+                x.get("external_busy_at_start", 0) > 0.2 for x in runs[cores]
+            )
+            if _spread(cores) <= 1.15 and not loaded:
+                continue
+            log(f"== level p{cores} contended (spread {_spread(cores):.2f}): "
+                f"up to {extra} extra samples ==")
             for _ in range(extra):
                 if time.monotonic() - t_start > hard_budget:
                     log("  hard budget reached; stopping extension")
                     break
-                for cores in (8, 32):
-                    r = scaling_subprocess(cores)
-                    runs[cores].append(r)
-                    log(f"  pinned[{cores}]: {r}")
+                r = scaling_subprocess(cores)
+                runs[cores].append(r)
+                log(f"  pinned[{cores}]: {r}")
 
         for cores in (8, 32):
             best = max(runs[cores], key=lambda x: x["docs_per_sec"])

@@ -16,10 +16,24 @@ from pyspark.sql import Column, functions as F
 
 #: RE2- and java.util.regex-compatible patterns.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-IPV4_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
-#: International-ish phone: leading + or digit, then 7+ digits with
-#: optional space/dash/dot separators, ending in a digit.
-PHONE_RE = r"\+?\d[\d .-]{6,}\d"
+#: Valid-octet IPv4 with consumed-character boundaries: RE2 has no
+#: \b/lookarounds, so the boundary is a captured non-digit-non-dot
+#: character (or string edge) on each side, re-inserted by the
+#: replacement. This rejects 300.400.500.600 (octets > 255) and stops
+#: '1.2.3.4567' from being half-eaten into '|||IP|||7'. Limitation
+#: (same in both engines, so oracle-safe): two IPs separated by a
+#: single character share the boundary char and only the first masks.
+_IPV4_OCT = r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+IPV4_RE = rf"(?:^|([^\d.])){_IPV4_OCT}(?:\.{_IPV4_OCT}){{3}}(?:$|([^\d.]))"
+#: Phone shapes, not bare digit runs: either +countrycode with 2-4
+#: separated groups, or the NANP 3-3-4 form with required separators.
+#: Deliberately does NOT match dates (2021-08-16), ISBNs
+#: (978-0-306-40615-7), or spaced numbers (1 000 000) — an earlier
+#: any-8+-digit-run pattern masked all of those.
+PHONE_RE = (
+    r"\+\d{1,3}(?:[ .-]?\d{2,4}){2,4}"
+    r"|\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}"
+)
 
 EMAIL_TOKEN = "|||EMAIL|||"
 IP_TOKEN = "|||IP|||"
@@ -31,11 +45,13 @@ def count_matches(col: Column, pattern: str) -> Column:
 
 
 def scrub_pii(col: Column) -> Column:
-    """Mask emails, then IPv4 addresses, then phone-like digit runs
-    (order matters: emails can contain digit runs, IPs would otherwise
-    be eaten by the phone pattern)."""
+    """Mask emails, then IPv4 addresses, then phone numbers (order
+    matters: emails can contain digit runs, IPs would otherwise be
+    eaten by the phone pattern). The IP replacement re-inserts the
+    captured boundary characters ($1/$2; unmatched at string edges →
+    empty)."""
     out = F.regexp_replace(col, EMAIL_RE, EMAIL_TOKEN)
-    out = F.regexp_replace(out, IPV4_RE, IP_TOKEN)
+    out = F.regexp_replace(out, IPV4_RE, "$1" + IP_TOKEN + "$2")
     out = F.regexp_replace(out, PHONE_RE, PHONE_TOKEN)
     return out
 
@@ -59,7 +75,11 @@ def canonicalize_url(col: Column) -> Column:
     head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
     tail = F.substring(u, F.length(head) + F.lit(1), F.length(u))
     u = F.when(head != "", F.concat(F.lower(head), tail)).otherwise(u)
-    u = F.regexp_replace(u, r"^(https?://[^/:]+):(?:80|443)(/|$)", r"$1$2")
+    # Default ports are scheme-specific: :80 is only default for
+    # http, :443 only for https (http://host:443 is a DIFFERENT
+    # origin and must not be conflated).
+    u = F.regexp_replace(u, r"^(http://[^/:]+):80(/|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:]+):443(/|$)", r"$1$2")
     u = F.regexp_replace(u, r"&utm_[A-Za-z0-9_]*=[^&#]*", "")
     u = F.regexp_replace(u, r"\?utm_[A-Za-z0-9_]*=[^&#]*&", "?")
     u = F.regexp_replace(u, r"\?utm_[A-Za-z0-9_]*=[^&#]*$", "")

@@ -151,7 +151,15 @@ def with_hyperplane_bucket(
     not as an expression tree. ``plane_hash='md5'`` derives the plane
     coefficients from MD5 instead of Spark's murmur3 ``hash()`` so an
     independent SQL engine can replay the bucketing (same recall
-    characteristics — both are uniform pseudo-random planes)."""
+    characteristics — both are uniform pseudo-random planes).
+
+    Oracle-parity caveat (accepted, documented): the plane MATRIX is
+    bit-exact across engines, but the projection sign compares a
+    numpy/BLAS matmul against the oracle's sequential sum — they can
+    differ by ~1 ulp, so a vector within ~1e-15 of orthogonal to a
+    plane could bucket differently per engine. For continuous
+    embeddings the probability is ~1e-15 per (vector, plane); the
+    driver gate at sf0.01 runs 500×8 such comparisons per round."""
     import numpy as np
 
     from pyspark.sql.types import LongType, StructField, StructType

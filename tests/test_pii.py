@@ -46,6 +46,26 @@ def test_scrub_leaves_clean_text_alone(spark):
     assert _scrub_one(spark, s) == s
 
 
+def test_scrub_spares_dates_isbns_and_spaced_numbers(spark):
+    # The phone pattern must match phone SHAPES, not any 8+-digit run
+    # (an earlier pattern masked all of these).
+    s = ("Published 2021-08-16, revised 2022.01.02; "
+         "ISBN 978-0-306-40615-7; population 1 000 000 people")
+    assert _scrub_one(spark, s) == s
+
+
+def test_scrub_rejects_invalid_ipv4_octets(spark):
+    # Octets are range-checked: 300.400.500.600 is not an address.
+    s = "weights 300.400.500.600 here"
+    assert _scrub_one(spark, s) == s
+
+
+def test_scrub_does_not_half_eat_long_dotted_runs(spark):
+    # Boundary captures: '1.2.3.4567' must not become '|||IP|||7'.
+    s = "version 1.2.3.4567 shipped"
+    assert _scrub_one(spark, s) == s
+
+
 def test_canonicalize_is_idempotent(spark):
     """canon(canon(u)) == canon(u) over a messy generated URL pool —
     a second pass must find nothing left to normalize."""
@@ -73,6 +93,9 @@ def test_canonicalize_is_idempotent(spark):
         ("https://example.com/p?utm_x=1&real=1", "https://example.com/p?real=1"),
         ("https://example.com/p#only-fragment", "https://example.com/p"),
         ("no-scheme/path/", "no-scheme/path"),
+        # non-default ports are DIFFERENT origins — must survive:
+        ("http://example.com:443/x", "http://example.com:443/x"),
+        ("https://example.com:80/x", "https://example.com:80/x"),
     ],
 )
 def test_canonicalize_url(spark, url, expected):
