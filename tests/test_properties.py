@@ -116,3 +116,53 @@ def test_pdf_parser_terminates_on_mutated_input(data):
         assert isinstance(reports, list)
     except Exception:
         pass  # raising is acceptable; hanging (deadline) is not
+
+
+@settings(max_examples=120, deadline=3000)
+@given(st.data())
+def test_image_decoders_never_hang_on_mutations(data):
+    """Mutations of VALID PNG/JPEG bytes (flips, truncations) must
+    neither hang the stdlib decoders nor escape with a non-typed
+    error the multimodal fallback relies on catching — the decoder
+    twin of the hostile-PDF property (a hung executor task being the
+    uncatchable failure mode at crawl scale)."""
+    from karanta_ocr_spark.kernel.jpeg_mini import encode_jpeg_gray, decode_jpeg
+    from karanta_ocr_spark.kernel.png_mini import encode_png, decode_png
+
+    w, h = 16, 8
+    gray = bytes((x * 13 + y * 7) % 256 for y in range(h) for x in range(w))
+    rgb = bytes(v for p in gray for v in (p, p, p))
+    base = bytearray(
+        encode_jpeg_gray(w, h, gray)
+        if data.draw(st.booleans())
+        else encode_png(w, h, rgb)
+    )
+    decode = decode_jpeg if base[:2] == b"\xff\xd8" else decode_png
+    buf = bytearray(base)
+    for _ in range(data.draw(st.integers(1, 6))):
+        if data.draw(st.booleans()) and buf:
+            i = data.draw(st.integers(0, len(buf) - 1))
+            buf[i] = data.draw(st.integers(0, 255))
+        elif len(buf) > 4:
+            buf = buf[: data.draw(st.integers(1, len(buf) - 1))]
+    try:
+        out = decode(bytes(buf))
+        assert out is None or len(out) == 3
+    except Exception:
+        pass  # raising is fine; hanging (deadline) is not
+
+
+@settings(max_examples=150, deadline=2000)
+@given(st.binary(min_size=0, max_size=300))
+def test_image_decoders_never_hang_on_magic_prefixed_garbage(payload):
+    from karanta_ocr_spark.kernel.jpeg_mini import decode_jpeg
+    from karanta_ocr_spark.kernel.png_mini import decode_png
+
+    for prefix, dec in (
+        (b"\xff\xd8\xff", decode_jpeg),
+        (b"\x89PNG\r\n\x1a\n", decode_png),
+    ):
+        try:
+            dec(prefix + payload)
+        except Exception:
+            pass
