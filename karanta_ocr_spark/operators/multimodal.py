@@ -145,6 +145,73 @@ def media_metadata(df: DataFrame, blob_col: str = "payload", id_col: str = "medi
     return df.select(id_col, blob_col).mapInPandas(run, schema=MEDIA_META_SCHEMA)
 
 
+#: EXIF orientation (tag 0x0112) value → clockwise quarter-turns that
+#: upright the image. Mirrored variants (2,4,5,7) map to the rotation
+#: component of their transform; the mirror itself is dropped (text
+#: extraction and near-dup features are mirror-insensitive enough, and
+#: the reference carries only a rotation_correction angle,
+#: ``karanta/pipeline.py:582-589``).
+_EXIF_ORIENT_TO_TURNS = {1: 0, 2: 0, 3: 2, 4: 2, 5: 1, 6: 1, 7: 3, 8: 3}
+
+
+def jpeg_exif_orientation(payload: bytes) -> int | None:
+    """EXIF orientation (1..8) from a JPEG's APP1 segment, pure
+    stdlib: marker walk → ``Exif\\0\\0`` APP1 → TIFF header (either
+    endianness) → IFD0 entry with tag 0x0112. None when absent or
+    malformed — never raises on hostile bytes."""
+    try:
+        if len(payload) < 4 or payload[:3] != b"\xff\xd8\xff":
+            return None
+        i, n = 2, len(payload)
+        while i + 4 < n:
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker in (0xDA, 0xD9):  # SOS/EOI: no APP1 ahead
+                return None
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if marker == 0xE1 and payload[i + 4 : i + 10] == b"Exif\x00\x00":
+                tiff = payload[i + 10 : i + 2 + seg_len]
+                if len(tiff) < 8:
+                    return None
+                if tiff[:4] == b"II*\x00":
+                    end = "<"
+                elif tiff[:4] == b"MM\x00*":
+                    end = ">"
+                else:
+                    return None
+                ifd_off = struct.unpack(end + "I", tiff[4:8])[0]
+                if ifd_off + 2 > len(tiff):
+                    return None
+                n_entries = struct.unpack(end + "H", tiff[ifd_off : ifd_off + 2])[0]
+                for e in range(n_entries):
+                    off = ifd_off + 2 + e * 12
+                    if off + 12 > len(tiff):
+                        return None
+                    tag, typ, cnt = struct.unpack(end + "HHI", tiff[off : off + 8])
+                    if tag == 0x0112 and typ == 3 and cnt >= 1:
+                        val = struct.unpack(end + "H", tiff[off + 8 : off + 10])[0]
+                        return val if 1 <= val <= 8 else None
+                return None
+            i += 2 + max(seg_len, 1)
+        return None
+    except Exception:
+        return None
+
+
+def exif_quarter_turns(orientation: int | None) -> int:
+    """Clockwise quarter-turns that upright an image with the given
+    EXIF orientation (0 for None/upright/unknown)."""
+    return _EXIF_ORIENT_TO_TURNS.get(orientation or 1, 0)
+
+
 # ------------------------------------------------------------ transforms
 DECODED_SCHEMA = StructType(
     [
@@ -284,6 +351,33 @@ def resize_images(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 out_px.append(arr[yi][:, xi].tobytes())
                 out_wl.append(out_w)
                 out_hl.append(out_h)
+            pdf = pdf.copy()
+            pdf["width"], pdf["height"], pdf["pixels"] = out_wl, out_hl, out_px
+            yield pdf
+
+    return decoded.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def rotate_images(decoded: DataFrame, quarter_turns: int = 1) -> DataFrame:
+    """Rotate raw RGB by *quarter_turns* × 90° clockwise (T5 made
+    real: pair with :func:`jpeg_exif_orientation` /
+    :func:`exif_quarter_turns` to upright camera-rotated crawl
+    images). Width/height swap on odd turns; pure numpy ``rot90``."""
+    k = (-int(quarter_turns)) % 4  # np.rot90 rotates counter-clockwise
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        for pdf in batches:
+            out_px, out_wl, out_hl = [], [], []
+            for w, h, px in zip(pdf["width"], pdf["height"], pdf["pixels"]):
+                arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(
+                    int(h), int(w), 3
+                )
+                rot = np.rot90(arr, k=k)
+                out_px.append(np.ascontiguousarray(rot).tobytes())
+                out_hl.append(rot.shape[0])
+                out_wl.append(rot.shape[1])
             pdf = pdf.copy()
             pdf["width"], pdf["height"], pdf["pixels"] = out_wl, out_hl, out_px
             yield pdf

@@ -618,3 +618,69 @@ def test_null_embedding_gets_null_bucket(spark):
     got = {r["vec_id"]: r["_bucket"] for r in
            with_hyperplane_bucket(df, "embedding", num_planes=4, dim=8).collect()}
     assert got[1] is None and got[2] is None and got[0] is not None
+
+
+def test_exif_orientation_both_endians_and_rotation_map():
+    from karanta_ocr_spark.operators.multimodal import (
+        exif_quarter_turns,
+        jpeg_exif_orientation,
+    )
+
+    def app1(endian: str, orient: int) -> bytes:
+        if endian == "II":
+            tiff = (b"II*\x00" + struct.pack("<I", 8)
+                    + struct.pack("<H", 1)
+                    + struct.pack("<HHI", 0x0112, 3, 1)
+                    + struct.pack("<H", orient) + b"\x00\x00"
+                    + struct.pack("<I", 0))
+        else:
+            tiff = (b"MM\x00*" + struct.pack(">I", 8)
+                    + struct.pack(">H", 1)
+                    + struct.pack(">HHI", 0x0112, 3, 1)
+                    + struct.pack(">H", orient) + b"\x00\x00"
+                    + struct.pack(">I", 0))
+        payload = b"Exif\x00\x00" + tiff
+        return (b"\xff\xd8\xff\xe1" + struct.pack(">H", len(payload) + 2)
+                + payload + b"\xff\xd9")
+
+    assert jpeg_exif_orientation(app1("II", 6)) == 6
+    assert jpeg_exif_orientation(app1("MM", 8)) == 8
+    assert jpeg_exif_orientation(app1("II", 99)) is None
+    assert jpeg_exif_orientation(b"\xff\xd8\xff\xd9") is None
+    assert jpeg_exif_orientation(b"not a jpeg") is None
+    # orientation → clockwise quarter turns (mirrors keep rotation only)
+    assert [exif_quarter_turns(o) for o in (1, 2, 3, 4, 5, 6, 7, 8)] == \
+        [0, 0, 2, 2, 1, 1, 3, 3]
+    assert exif_quarter_turns(None) == 0
+
+
+def test_exif_on_real_encoder_output_is_none():
+    from karanta_ocr_spark.kernel.jpeg_mini import encode_jpeg_gray
+    from karanta_ocr_spark.operators.multimodal import jpeg_exif_orientation
+
+    jpg = encode_jpeg_gray(8, 8, bytes(range(64)))
+    assert jpeg_exif_orientation(jpg) is None
+
+
+def test_rotate_images_quarter_turns(spark):
+    import numpy as np
+
+    from karanta_ocr_spark.operators.multimodal import rotate_images
+
+    w, h = 3, 2
+    arr = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    df = spark.createDataFrame(
+        [(1, w, h, bytearray(arr.tobytes()))],
+        "media_id long, width int, height int, pixels binary",
+    )
+    r1 = rotate_images(df, 1).collect()[0]
+    assert (r1["width"], r1["height"]) == (h, w)  # dims swap
+    expected = np.ascontiguousarray(np.rot90(arr, k=-1)).tobytes()
+    assert bytes(r1["pixels"]) == expected
+    # four turns = identity
+    r4 = rotate_images(rotate_images(rotate_images(rotate_images(df, 1), 1), 1), 1).collect()[0]
+    assert bytes(r4["pixels"]) == arr.tobytes()
+    assert (r4["width"], r4["height"]) == (w, h)
+    # zero turns = passthrough
+    r0 = rotate_images(df, 0).collect()[0]
+    assert bytes(r0["pixels"]) == arr.tobytes()
