@@ -396,12 +396,13 @@ def _q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header sniff + dimension probe over REAL bytes built JVM-side:
-    every doc becomes a PNG (IHDR), a JPEG (APP0 + 0xFF fill byte +
-    SOF0 — exercises the marker walk, not just the prefix), a PDF, or
-    an unknown payload, with dimensions derived from doc_id. The
-    DuckDB oracle recomputes kind/width/height/n_bytes arithmetically,
-    so the Spark side's binary construction AND the sniffing parsers
-    are verified end-to-end."""
+    every doc becomes a PNG (IHDR), a JPEG (APP1 EXIF orientation +
+    APP0 + 0xFF fill byte + SOF0 — exercises the marker walk AND the
+    TIFF/IFD orientation parse, not just the prefix), a PDF, or an
+    unknown payload, with dimensions and EXIF orientation derived from
+    doc_id. The DuckDB oracle recomputes kind/width/height/n_bytes/
+    orientation/rotation arithmetically, so the Spark side's binary
+    construction AND the sniffing parsers are verified end-to-end."""
     from karanta_ocr_spark.operators.multimodal import media_metadata
 
     d = _docs(spark, sf_dir).select("doc_id")
@@ -411,8 +412,16 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat(X'89504E470D0A1A0A0000000D49484452', "
         f"unhex(lpad(hex({w}), 8, '0')), unhex(lpad(hex({h}), 8, '0')))"
     )
+    # APP1 EXIF (little-endian TIFF, one IFD0 entry: tag 0x0112 = 1..8
+    # from doc_id), then the original APP0 + fill + SOF0 tail.
+    app1 = (
+        "concat(X'FFE10022457869660000', "  # marker, len=0x22, 'Exif\\0\\0'
+        "X'49492A000800000001001201030001000000', "  # II TIFF, 1 entry, tag 0112
+        "unhex(lpad(hex((doc_id % 8) + 1), 2, '0')), "  # orientation value LSB
+        "X'00000000000000')"  # value pad + next-IFD 0
+    )
     jpeg = (
-        "concat(X'FFD8FFE00004AABBFFFFC0001108', "
+        f"concat(X'FFD8', {app1}, X'FFE00004AABBFFFFC0001108', "
         f"unhex(lpad(hex({h}), 4, '0')), unhex(lpad(hex({w}), 4, '0')), "
         "X'03000000')"
     )
@@ -1125,8 +1134,16 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 2 THEN 'pdf' ELSE 'unknown' END AS kind,
                    CASE WHEN doc_id % 4 <= 1 THEN CAST((doc_id % 300) + 16 AS INT) END AS width,
                    CASE WHEN doc_id % 4 <= 1 THEN CAST((doc_id % 200) + 16 AS INT) END AS height,
-                   CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 24 WHEN 1 THEN 22
-                             WHEN 2 THEN 8 ELSE 16 END AS BIGINT) AS n_bytes
+                   CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 24 WHEN 1 THEN 58
+                             WHEN 2 THEN 8 ELSE 16 END AS BIGINT) AS n_bytes,
+                   CASE WHEN doc_id % 4 = 1 THEN CAST((doc_id % 8) + 1 AS INT) END
+                       AS exif_orientation,
+                   CAST(CASE WHEN doc_id % 4 = 1 THEN
+                            90 * (CASE CAST((doc_id % 8) + 1 AS INT)
+                                  WHEN 3 THEN 2 WHEN 4 THEN 2
+                                  WHEN 5 THEN 1 WHEN 6 THEN 1
+                                  WHEN 7 THEN 3 WHEN 8 THEN 3 ELSE 0 END)
+                        ELSE 0 END AS INT) AS rotation_correction
             FROM documents
         """,
         "ann_brute_topk": """

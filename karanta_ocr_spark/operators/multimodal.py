@@ -110,13 +110,19 @@ MEDIA_META_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("n_bytes", LongType()),
+        StructField("exif_orientation", IntegerType()),
+        StructField("rotation_correction", IntegerType()),
     ]
 )
 
 
 def media_metadata(df: DataFrame, blob_col: str = "payload", id_col: str = "media_id") -> DataFrame:
     """Header-sniffed metadata for a binary media column: one Arrow
-    pass, no decode. Output one row per input row."""
+    pass, no decode. Output one row per input row.
+    ``rotation_correction`` is the clockwise degrees that upright the
+    image per its EXIF orientation (0 when absent/non-JPEG) — the
+    header-only analog of the reference's per-page
+    ``rotation_correction`` attribute (``karanta/pipeline.py:582-589``)."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -125,10 +131,12 @@ def media_metadata(df: DataFrame, blob_col: str = "payload", id_col: str = "medi
             rows = {f.name: [] for f in MEDIA_META_SCHEMA.fields}
             for mid, blob in zip(pdf[id_col].tolist(), pdf[blob_col].tolist()):
                 blob = bytes(blob) if blob is not None else b""
+                orient = None
                 if blob[:4] == b"\x89PNG":
                     kind, dims = "png", png_dimensions(blob)
                 elif blob[:3] == b"\xff\xd8\xff":
                     kind, dims = "jpeg", jpeg_dimensions(blob)
+                    orient = jpeg_exif_orientation(blob)
                 elif blob[:4] == b"%PDF":
                     kind, dims = "pdf", None
                 elif blob[:4] == b"RIFF":
@@ -140,6 +148,8 @@ def media_metadata(df: DataFrame, blob_col: str = "payload", id_col: str = "medi
                 rows["width"].append(dims[0] if dims else None)
                 rows["height"].append(dims[1] if dims else None)
                 rows["n_bytes"].append(len(blob))
+                rows["exif_orientation"].append(orient)
+                rows["rotation_correction"].append(90 * exif_quarter_turns(orient))
             yield pd.DataFrame(rows)
 
     return df.select(id_col, blob_col).mapInPandas(run, schema=MEDIA_META_SCHEMA)
@@ -238,6 +248,7 @@ def decode_images(
     blob_col: str = "payload",
     id_col: str = "media_id",
     allow_fake: bool = False,
+    auto_orient: bool = False,
 ) -> DataFrame:
     """Decode image bytes → raw RGB.
 
@@ -249,9 +260,15 @@ def decode_images(
     PIL/libjpeg, which are NOT in this container: with ``allow_fake=True`` a deterministic fake exercises
     the full Spark path (schema, Arrow batches, downstream ops);
     otherwise the task raises ``NotImplementedError`` with the exact
-    dependency needed."""
+    dependency needed.
+
+    With ``auto_orient=True``, JPEGs carrying an EXIF orientation are
+    rotated upright (numpy ``rot90`` on the decoded array) before
+    emission, so downstream grayscale/resize/fingerprint see the image
+    as a viewer would."""
 
     def run(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         from karanta_ocr_spark.kernel.jpeg_mini import decode_jpeg
@@ -284,6 +301,13 @@ def decode_images(
                         w, h, px = decode_jpeg(blob)
                     except Exception:
                         w = None  # progressive/corrupt → codec fallback
+                    if w is not None and auto_orient:
+                        turns = exif_quarter_turns(jpeg_exif_orientation(blob))
+                        if turns:
+                            arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                            rot = np.rot90(arr, k=(-turns) % 4)
+                            h, w = rot.shape[0], rot.shape[1]
+                            px = np.ascontiguousarray(rot).tobytes()
                 if w is None:
                     if have_pil:  # pragma: no cover - not installed here
                         import io
@@ -292,6 +316,13 @@ def decode_images(
 
                         img = Image.open(io.BytesIO(blob)).convert("RGB")
                         w, h, px = img.width, img.height, img.tobytes()
+                        if auto_orient:
+                            turns = exif_quarter_turns(jpeg_exif_orientation(blob))
+                            if turns:
+                                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                                rot = np.rot90(arr, k=(-turns) % 4)
+                                h, w = rot.shape[0], rot.shape[1]
+                                px = np.ascontiguousarray(rot).tobytes()
                     elif allow_fake:
                         w, h, px = _fake_decode(blob, mid)
                     else:

@@ -684,3 +684,53 @@ def test_rotate_images_quarter_turns(spark):
     # zero turns = passthrough
     r0 = rotate_images(df, 0).collect()[0]
     assert bytes(r0["pixels"]) == arr.tobytes()
+
+
+def _exif_app1(orient: int) -> bytes:
+    tiff = (b"II*\x00" + struct.pack("<I", 8)
+            + struct.pack("<H", 1)
+            + struct.pack("<HHI", 0x0112, 3, 1)
+            + struct.pack("<H", orient) + b"\x00\x00"
+            + struct.pack("<I", 0))
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def test_media_metadata_exif_rotation_columns(spark):
+    jpg_rot = b"\xff\xd8" + _exif_app1(6) + _jpeg(30, 40)[2:]
+    rows = [(1, _png(10, 20)), (2, jpg_rot), (3, _jpeg(30, 40))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    meta = {r["media_id"]: r for r in media_metadata(df).collect()}
+    assert meta[1]["exif_orientation"] is None
+    assert meta[1]["rotation_correction"] == 0
+    assert meta[2]["kind"] == "jpeg"
+    assert (meta[2]["width"], meta[2]["height"]) == (30, 40)  # dims still parse past APP1
+    assert meta[2]["exif_orientation"] == 6
+    assert meta[2]["rotation_correction"] == 90
+    assert meta[3]["exif_orientation"] is None  # EXIF-less JPEG
+
+
+def test_decode_images_auto_orient_uprights_exif_jpeg(spark):
+    import numpy as np
+
+    from karanta_ocr_spark.kernel.jpeg_mini import encode_jpeg_gray
+
+    w, h = 16, 8
+    plain = encode_jpeg_gray(w, h, bytes((x * 7 + y * 31) % 251 for y in range(h) for x in range(w)))
+    rotated = plain[:2] + _exif_app1(6) + plain[2:]  # orientation 6 = 1 turn CW
+    df = spark.createDataFrame(
+        [(1, bytearray(plain)), (2, bytearray(rotated))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in decode_images(df, auto_orient=True).collect()}
+    base = out[1]
+    assert (base["width"], base["height"]) == (w, h)
+    got = out[2]
+    assert (got["width"], got["height"]) == (h, w)  # uprighted: dims swap
+    arr = np.frombuffer(bytes(base["pixels"]), dtype=np.uint8).reshape(h, w, 3)
+    expected = np.ascontiguousarray(np.rot90(arr, k=-1)).tobytes()
+    assert bytes(got["pixels"]) == expected
+    # without auto_orient the EXIF segment is inert
+    raw = {r["media_id"]: r for r in decode_images(df).collect()}
+    assert (raw[2]["width"], raw[2]["height"]) == (w, h)
+    assert bytes(raw[2]["pixels"]) == bytes(raw[1]["pixels"])
