@@ -398,9 +398,9 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header sniff + dimension probe over REAL bytes built JVM-side:
     every doc becomes a PNG (IHDR), a JPEG (APP1 EXIF orientation +
     APP0 + 0xFF fill byte + SOF0 — exercises the marker walk AND the
-    TIFF/IFD orientation parse, not just the prefix), a PDF, or an
-    unknown payload, with dimensions and EXIF orientation derived from
-    doc_id. The DuckDB oracle recomputes kind/width/height/n_bytes/
+    TIFF/IFD orientation parse, not just the prefix), a PDF, a GIF
+    (little-endian screen-descriptor dims), or an unknown payload,
+    with dimensions and EXIF orientation derived from doc_id. The DuckDB oracle recomputes kind/width/height/n_bytes/
     orientation/rotation arithmetically, so the Spark side's binary
     construction AND the sniffing parsers are verified end-to-end."""
     from karanta_ocr_spark.operators.multimodal import media_metadata
@@ -425,11 +425,18 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"unhex(lpad(hex({h}), 4, '0')), unhex(lpad(hex({w}), 4, '0')), "
         "X'03000000')"
     )
+    # GIF89a logical screen descriptor: little-endian u16 dims.
+    gif = (
+        "concat(X'474946383961', "
+        f"unhex(lpad(hex(({w}) % 256), 2, '0')), unhex(lpad(hex(({w}) div 256), 2, '0')), "
+        f"unhex(lpad(hex(({h}) % 256), 2, '0')), unhex(lpad(hex(({h}) div 256), 2, '0')), "
+        "X'F70000')"
+    )
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.expr(
-            f"CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN {png} WHEN 1 THEN {jpeg} "
-            "WHEN 2 THEN X'255044462D312E34' "
+            f"CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN {png} WHEN 1 THEN {jpeg} "
+            f"WHEN 2 THEN X'255044462D312E34' WHEN 3 THEN {gif} "
             "ELSE encode('no-magic-payload', 'UTF-8') END"
         ).alias("payload"),
     )
@@ -1130,15 +1137,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_metadata": """
             SELECT doc_id AS media_id,
-                   CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                        WHEN 2 THEN 'pdf' ELSE 'unknown' END AS kind,
-                   CASE WHEN doc_id % 4 <= 1 THEN CAST((doc_id % 300) + 16 AS INT) END AS width,
-                   CASE WHEN doc_id % 4 <= 1 THEN CAST((doc_id % 200) + 16 AS INT) END AS height,
-                   CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 24 WHEN 1 THEN 58
-                             WHEN 2 THEN 8 ELSE 16 END AS BIGINT) AS n_bytes,
-                   CASE WHEN doc_id % 4 = 1 THEN CAST((doc_id % 8) + 1 AS INT) END
+                   CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                        WHEN 2 THEN 'pdf' WHEN 3 THEN 'gif' ELSE 'unknown' END AS kind,
+                   CASE WHEN doc_id % 5 IN (0, 1, 3) THEN CAST((doc_id % 300) + 16 AS INT) END AS width,
+                   CASE WHEN doc_id % 5 IN (0, 1, 3) THEN CAST((doc_id % 200) + 16 AS INT) END AS height,
+                   CAST(CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 24 WHEN 1 THEN 58
+                             WHEN 2 THEN 8 WHEN 3 THEN 13 ELSE 16 END AS BIGINT) AS n_bytes,
+                   CASE WHEN doc_id % 5 = 1 THEN CAST((doc_id % 8) + 1 AS INT) END
                        AS exif_orientation,
-                   CAST(CASE WHEN doc_id % 4 = 1 THEN
+                   CAST(CASE WHEN doc_id % 5 = 1 THEN
                             90 * (CASE CAST((doc_id % 8) + 1 AS INT)
                                   WHEN 3 THEN 2 WHEN 4 THEN 2
                                   WHEN 5 THEN 1 WHEN 6 THEN 1

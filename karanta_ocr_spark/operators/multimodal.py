@@ -73,6 +73,15 @@ def png_dimensions(payload: bytes) -> tuple[int, int] | None:
     return int(w), int(h)
 
 
+def gif_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """Width/height from a GIF87a/89a logical screen descriptor —
+    fixed little-endian u16 pair at offset 6, no decode."""
+    if len(payload) < 10 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", payload[6:10])
+    return int(w), int(h)
+
+
 def jpeg_dimensions(payload: bytes) -> tuple[int, int] | None:
     """Width/height from JPEG SOF0/SOF2 markers (header walk, no
     decode)."""
@@ -137,10 +146,14 @@ def media_metadata(df: DataFrame, blob_col: str = "payload", id_col: str = "medi
                 elif blob[:3] == b"\xff\xd8\xff":
                     kind, dims = "jpeg", jpeg_dimensions(blob)
                     orient = jpeg_exif_orientation(blob)
+                elif blob[:4] == b"GIF8":
+                    kind, dims = "gif", gif_dimensions(blob)
                 elif blob[:4] == b"%PDF":
                     kind, dims = "pdf", None
                 elif blob[:4] == b"RIFF":
                     kind, dims = "riff", None
+                elif blob[:1] == b"<":
+                    kind, dims = "html", None
                 else:
                     kind, dims = "unknown", None
                 rows["media_id"].append(mid)

@@ -355,16 +355,24 @@ def test_header_dim_sniff_no_decode():
     assert jpeg_dimensions(b"\xff\xd8\xff") is None
 
 
+def _gif(w, h):
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
+
+
 def test_media_metadata_and_kind(spark):
-    rows = [(1, _png(10, 20)), (2, _jpeg(30, 40)), (3, b"%PDF-1.4 x"), (4, b"junk")]
+    rows = [(1, _png(10, 20)), (2, _jpeg(30, 40)), (3, b"%PDF-1.4 x"), (4, b"junk"),
+            (5, _gif(321, 7)), (6, b"<html><body>x</body></html>")]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     meta = {r["media_id"]: r for r in media_metadata(df).collect()}
     assert (meta[1]["kind"], meta[1]["width"], meta[1]["height"]) == ("png", 10, 20)
     assert (meta[2]["kind"], meta[2]["width"], meta[2]["height"]) == ("jpeg", 30, 40)
     assert meta[3]["kind"] == "pdf" and meta[4]["kind"] == "unknown"
+    assert (meta[5]["kind"], meta[5]["width"], meta[5]["height"]) == ("gif", 321, 7)
+    assert meta[6]["kind"] == "html"
     kinds = {r["media_id"]: r["k"] for r in
              df.select("media_id", media_kind_expr("payload").alias("k")).collect()}
-    assert kinds == {1: "png", 2: "jpeg", 3: "pdf", 4: "unknown"}
+    assert kinds == {1: "png", 2: "jpeg", 3: "pdf", 4: "unknown",
+                     5: "gif", 6: "html"}  # Arrow sniff ≡ Catalyst sniff
 
 
 def test_decode_images_stub_strict_raises(spark):
