@@ -425,18 +425,33 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"unhex(lpad(hex({h}), 4, '0')), unhex(lpad(hex({w}), 4, '0')), "
         "X'03000000')"
     )
+    def le(e: str, nbytes: int) -> str:
+        """Little-endian byte concat of an int SQL expression."""
+        parts = [
+            f"unhex(lpad(hex(({e}) div {256 ** k} % 256), 2, '0'))"
+            for k in range(nbytes)
+        ]
+        return "concat(" + ", ".join(parts) + ")"
+
     # GIF89a logical screen descriptor: little-endian u16 dims.
-    gif = (
-        "concat(X'474946383961', "
-        f"unhex(lpad(hex(({w}) % 256), 2, '0')), unhex(lpad(hex(({w}) div 256), 2, '0')), "
-        f"unhex(lpad(hex(({h}) % 256), 2, '0')), unhex(lpad(hex(({h}) div 256), 2, '0')), "
-        "X'F70000')"
+    gif = f"concat(X'474946383961', {le(w, 2)}, {le(h, 2)}, X'F70000')"
+    # RIFF/WAVE header (44 bytes, headers only — data chunk declared
+    # but truncated, like a cut-off crawl download): PCM fmt chunk with
+    # doc-derived channels/rate, data size carrying the duration.
+    ch = "1 + (doc_id % 2)"
+    rate = "8000 * (1 + (doc_id % 3))"
+    dsize = f"((doc_id % 50) + 1) * 100 * ({ch}) * 2"
+    wav = (
+        f"concat(X'52494646', {le(f'36 + {dsize}', 4)}, X'57415645', "
+        f"X'666D742010000000' , X'0100', {le(ch, 2)}, {le(rate, 4)}, "
+        f"{le(f'({rate}) * ({ch}) * 2', 4)}, {le(f'({ch}) * 2', 2)}, X'1000', "
+        f"X'64617461', {le(dsize, 4)})"
     )
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.expr(
-            f"CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN {png} WHEN 1 THEN {jpeg} "
-            f"WHEN 2 THEN X'255044462D312E34' WHEN 3 THEN {gif} "
+            f"CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN {png} WHEN 1 THEN {jpeg} "
+            f"WHEN 2 THEN X'255044462D312E34' WHEN 3 THEN {gif} WHEN 4 THEN {wav} "
             "ELSE encode('no-magic-payload', 'UTF-8') END"
         ).alias("payload"),
     )
@@ -1137,20 +1152,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_metadata": """
             SELECT doc_id AS media_id,
-                   CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                        WHEN 2 THEN 'pdf' WHEN 3 THEN 'gif' ELSE 'unknown' END AS kind,
-                   CASE WHEN doc_id % 5 IN (0, 1, 3) THEN CAST((doc_id % 300) + 16 AS INT) END AS width,
-                   CASE WHEN doc_id % 5 IN (0, 1, 3) THEN CAST((doc_id % 200) + 16 AS INT) END AS height,
-                   CAST(CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 24 WHEN 1 THEN 58
-                             WHEN 2 THEN 8 WHEN 3 THEN 13 ELSE 16 END AS BIGINT) AS n_bytes,
-                   CASE WHEN doc_id % 5 = 1 THEN CAST((doc_id % 8) + 1 AS INT) END
+                   CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                        WHEN 2 THEN 'pdf' WHEN 3 THEN 'gif' WHEN 4 THEN 'wav'
+                        ELSE 'unknown' END AS kind,
+                   CASE WHEN doc_id % 6 IN (0, 1, 3) THEN CAST((doc_id % 300) + 16 AS INT) END AS width,
+                   CASE WHEN doc_id % 6 IN (0, 1, 3) THEN CAST((doc_id % 200) + 16 AS INT) END AS height,
+                   CAST(CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 24 WHEN 1 THEN 58
+                             WHEN 2 THEN 8 WHEN 3 THEN 13 WHEN 4 THEN 44
+                             ELSE 16 END AS BIGINT) AS n_bytes,
+                   CASE WHEN doc_id % 6 = 1 THEN CAST((doc_id % 8) + 1 AS INT) END
                        AS exif_orientation,
-                   CAST(CASE WHEN doc_id % 5 = 1 THEN
+                   CAST(CASE WHEN doc_id % 6 = 1 THEN
                             90 * (CASE CAST((doc_id % 8) + 1 AS INT)
                                   WHEN 3 THEN 2 WHEN 4 THEN 2
                                   WHEN 5 THEN 1 WHEN 6 THEN 1
                                   WHEN 7 THEN 3 WHEN 8 THEN 3 ELSE 0 END)
-                        ELSE 0 END AS INT) AS rotation_correction
+                        ELSE 0 END AS INT) AS rotation_correction,
+                   CASE WHEN doc_id % 6 = 4
+                        THEN CAST(8000 * (1 + (doc_id % 3)) AS INT) END AS sample_rate,
+                   CASE WHEN doc_id % 6 = 4
+                        THEN CAST(1 + (doc_id % 2) AS INT) END AS channels,
+                   CASE WHEN doc_id % 6 = 4
+                        THEN CAST((((doc_id % 50) + 1) * 100 * 1000)
+                                  // (8000 * (1 + (doc_id % 3))) AS INT) END AS duration_ms
             FROM documents
         """,
         "ann_brute_topk": """

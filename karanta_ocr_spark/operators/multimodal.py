@@ -51,7 +51,9 @@ def media_kind_expr(blob_col: str) -> Column:
     """Classify payload bytes by magic prefix — pure Catalyst (the
     reference's ``%PDF`` predicate generalized,
     ``karanta/pipeline.py:1279``). Takes the column NAME (binary
-    substring needs SQL syntax)."""
+    substring needs SQL syntax). RIFF containers whose fourcc is
+    ``WAVE`` classify as ``wav`` (matching the Arrow-side sniff);
+    other RIFF (avi, webp) stays ``riff``."""
     expr = F.lit("unknown")
     for kind, magic in reversed(_MAGIC):
         hexlit = magic.hex().upper()
@@ -59,7 +61,11 @@ def media_kind_expr(blob_col: str) -> Column:
             F.expr(f"substring({blob_col}, 1, {len(magic)})") == F.expr(f"X'{hexlit}'"),
             F.lit(kind),
         ).otherwise(expr)
-    return expr
+    return F.when(
+        (F.expr(f"substring({blob_col}, 1, 4)") == F.expr("X'52494646'"))
+        & (F.expr(f"substring({blob_col}, 9, 4)") == F.expr("X'57415645'")),
+        F.lit("wav"),
+    ).otherwise(expr)
 
 
 def png_dimensions(payload: bytes) -> tuple[int, int] | None:
@@ -112,6 +118,32 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
+def wav_metadata(payload: bytes) -> tuple[int, int, int] | None:
+    """(sample_rate, channels, duration_ms) from RIFF/WAVE ``fmt ``
+    and ``data`` chunk HEADERS — declared sizes only, no sample
+    decode, so truncated crawl files still report their nominal
+    duration. None for non-WAVE RIFF (avi, webp) or malformed
+    headers."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(payload)
+    rate = channels = block_align = data_size = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= n:
+            channels = struct.unpack("<H", payload[i + 10 : i + 12])[0]
+            rate = struct.unpack("<I", payload[i + 12 : i + 16])[0]
+            block_align = struct.unpack("<H", payload[i + 20 : i + 22])[0]
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if not rate or not channels or not block_align or data_size is None:
+        return None
+    n_samples = data_size // block_align
+    return int(rate), int(channels), int(n_samples * 1000 // rate)
+
+
 MEDIA_META_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -121,6 +153,9 @@ MEDIA_META_SCHEMA = StructType(
         StructField("n_bytes", LongType()),
         StructField("exif_orientation", IntegerType()),
         StructField("rotation_correction", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("duration_ms", IntegerType()),
     ]
 )
 
@@ -141,6 +176,7 @@ def media_metadata(df: DataFrame, blob_col: str = "payload", id_col: str = "medi
             for mid, blob in zip(pdf[id_col].tolist(), pdf[blob_col].tolist()):
                 blob = bytes(blob) if blob is not None else b""
                 orient = None
+                audio = None
                 if blob[:4] == b"\x89PNG":
                     kind, dims = "png", png_dimensions(blob)
                 elif blob[:3] == b"\xff\xd8\xff":
@@ -151,7 +187,8 @@ def media_metadata(df: DataFrame, blob_col: str = "payload", id_col: str = "medi
                 elif blob[:4] == b"%PDF":
                     kind, dims = "pdf", None
                 elif blob[:4] == b"RIFF":
-                    kind, dims = "riff", None
+                    audio = wav_metadata(blob)
+                    kind, dims = ("wav" if audio else "riff"), None
                 elif blob[:1] == b"<":
                     kind, dims = "html", None
                 else:
@@ -163,6 +200,9 @@ def media_metadata(df: DataFrame, blob_col: str = "payload", id_col: str = "medi
                 rows["n_bytes"].append(len(blob))
                 rows["exif_orientation"].append(orient)
                 rows["rotation_correction"].append(90 * exif_quarter_turns(orient))
+                rows["sample_rate"].append(audio[0] if audio else None)
+                rows["channels"].append(audio[1] if audio else None)
+                rows["duration_ms"].append(audio[2] if audio else None)
             yield pd.DataFrame(rows)
 
     return df.select(id_col, blob_col).mapInPandas(run, schema=MEDIA_META_SCHEMA)

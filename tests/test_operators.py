@@ -359,9 +359,20 @@ def _gif(w, h):
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
 
 
+def _wav(rate, channels, n_samples, with_data=False):
+    block = channels * 2
+    dsize = n_samples * block
+    fmt = (b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16))
+    data = b"data" + struct.pack("<I", dsize) + (b"\x00" * dsize if with_data else b"")
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + struct.pack("<I", 4 + len(fmt) + 8 + dsize) + body
+
+
 def test_media_metadata_and_kind(spark):
     rows = [(1, _png(10, 20)), (2, _jpeg(30, 40)), (3, b"%PDF-1.4 x"), (4, b"junk"),
-            (5, _gif(321, 7)), (6, b"<html><body>x</body></html>")]
+            (5, _gif(321, 7)), (6, b"<html><body>x</body></html>"),
+            (7, _wav(16000, 2, 8000)), (8, b"RIFF\x10\x00\x00\x00AVI LIST")]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     meta = {r["media_id"]: r for r in media_metadata(df).collect()}
     assert (meta[1]["kind"], meta[1]["width"], meta[1]["height"]) == ("png", 10, 20)
@@ -369,10 +380,29 @@ def test_media_metadata_and_kind(spark):
     assert meta[3]["kind"] == "pdf" and meta[4]["kind"] == "unknown"
     assert (meta[5]["kind"], meta[5]["width"], meta[5]["height"]) == ("gif", 321, 7)
     assert meta[6]["kind"] == "html"
+    assert (meta[7]["kind"], meta[7]["sample_rate"], meta[7]["channels"],
+            meta[7]["duration_ms"]) == ("wav", 16000, 2, 500)
+    assert meta[8]["kind"] == "riff" and meta[8]["sample_rate"] is None
     kinds = {r["media_id"]: r["k"] for r in
              df.select("media_id", media_kind_expr("payload").alias("k")).collect()}
     assert kinds == {1: "png", 2: "jpeg", 3: "pdf", 4: "unknown",
-                     5: "gif", 6: "html"}  # Arrow sniff ≡ Catalyst sniff
+                     5: "gif", 6: "html", 7: "wav", 8: "riff"}  # Arrow ≡ Catalyst
+
+
+def test_wav_metadata_headers_only():
+    from karanta_ocr_spark.operators.multimodal import wav_metadata
+
+    # truncated (declared data, no samples) reports nominal duration
+    assert wav_metadata(_wav(8000, 1, 4000)) == (8000, 1, 500)
+    # full-payload variant agrees
+    assert wav_metadata(_wav(44100, 2, 44100, with_data=True)) == (44100, 2, 1000)
+    # non-WAVE RIFF, malformed, short
+    assert wav_metadata(b"RIFF\x10\x00\x00\x00AVI LIST") is None
+    assert wav_metadata(b"RIFF\x04\x00\x00\x00WAVE") is None  # no fmt/data
+    assert wav_metadata(b"RIFF") is None
+    # zero-rate fmt must not divide by zero
+    bad = _wav(8000, 1, 100).replace(struct.pack("<I", 8000), struct.pack("<I", 0), 1)
+    assert wav_metadata(bad) is None
 
 
 def test_decode_images_stub_strict_raises(spark):
