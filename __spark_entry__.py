@@ -399,8 +399,10 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     every doc becomes a PNG (IHDR), a JPEG (APP1 EXIF orientation +
     APP0 + 0xFF fill byte + SOF0 — exercises the marker walk AND the
     TIFF/IFD orientation parse, not just the prefix), a PDF, a GIF
-    (little-endian screen-descriptor dims), or an unknown payload,
-    with dimensions and EXIF orientation derived from doc_id. The DuckDB oracle recomputes kind/width/height/n_bytes/
+    (little-endian screen-descriptor dims), a truncated WAV (RIFF
+    chunk walk → sample_rate/channels/duration), a WebP (VP8X 24-bit
+    dims), or an unknown payload, with dimensions, EXIF orientation
+    and audio parameters derived from doc_id. The DuckDB oracle recomputes kind/width/height/n_bytes/
     orientation/rotation arithmetically, so the Spark side's binary
     construction AND the sniffing parsers are verified end-to-end."""
     from karanta_ocr_spark.operators.multimodal import media_metadata
@@ -447,11 +449,17 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{le(f'({rate}) * ({ch}) * 2', 4)}, {le(f'({ch}) * 2', 2)}, X'1000', "
         f"X'64617461', {le(dsize, 4)})"
     )
+    # WebP VP8X extended header: 24-bit little-endian (dim - 1) pair.
+    webp = (
+        "concat(X'52494646', X'16000000', X'57454250', X'56503858', "
+        f"X'0A000000', X'00000000', {le(f'({w}) - 1', 3)}, {le(f'({h}) - 1', 3)})"
+    )
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.expr(
-            f"CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN {png} WHEN 1 THEN {jpeg} "
+            f"CASE CAST(doc_id % 7 AS INT) WHEN 0 THEN {png} WHEN 1 THEN {jpeg} "
             f"WHEN 2 THEN X'255044462D312E34' WHEN 3 THEN {gif} WHEN 4 THEN {wav} "
+            f"WHEN 5 THEN {webp} "
             "ELSE encode('no-magic-payload', 'UTF-8') END"
         ).alias("payload"),
     )
@@ -1152,27 +1160,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_metadata": """
             SELECT doc_id AS media_id,
-                   CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                   CASE CAST(doc_id % 7 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                         WHEN 2 THEN 'pdf' WHEN 3 THEN 'gif' WHEN 4 THEN 'wav'
-                        ELSE 'unknown' END AS kind,
-                   CASE WHEN doc_id % 6 IN (0, 1, 3) THEN CAST((doc_id % 300) + 16 AS INT) END AS width,
-                   CASE WHEN doc_id % 6 IN (0, 1, 3) THEN CAST((doc_id % 200) + 16 AS INT) END AS height,
-                   CAST(CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 24 WHEN 1 THEN 58
+                        WHEN 5 THEN 'webp' ELSE 'unknown' END AS kind,
+                   CASE WHEN doc_id % 7 IN (0, 1, 3, 5) THEN CAST((doc_id % 300) + 16 AS INT) END AS width,
+                   CASE WHEN doc_id % 7 IN (0, 1, 3, 5) THEN CAST((doc_id % 200) + 16 AS INT) END AS height,
+                   CAST(CASE CAST(doc_id % 7 AS INT) WHEN 0 THEN 24 WHEN 1 THEN 58
                              WHEN 2 THEN 8 WHEN 3 THEN 13 WHEN 4 THEN 44
-                             ELSE 16 END AS BIGINT) AS n_bytes,
-                   CASE WHEN doc_id % 6 = 1 THEN CAST((doc_id % 8) + 1 AS INT) END
+                             WHEN 5 THEN 30 ELSE 16 END AS BIGINT) AS n_bytes,
+                   CASE WHEN doc_id % 7 = 1 THEN CAST((doc_id % 8) + 1 AS INT) END
                        AS exif_orientation,
-                   CAST(CASE WHEN doc_id % 6 = 1 THEN
+                   CAST(CASE WHEN doc_id % 7 = 1 THEN
                             90 * (CASE CAST((doc_id % 8) + 1 AS INT)
                                   WHEN 3 THEN 2 WHEN 4 THEN 2
                                   WHEN 5 THEN 1 WHEN 6 THEN 1
                                   WHEN 7 THEN 3 WHEN 8 THEN 3 ELSE 0 END)
                         ELSE 0 END AS INT) AS rotation_correction,
-                   CASE WHEN doc_id % 6 = 4
+                   CASE WHEN doc_id % 7 = 4
                         THEN CAST(8000 * (1 + (doc_id % 3)) AS INT) END AS sample_rate,
-                   CASE WHEN doc_id % 6 = 4
+                   CASE WHEN doc_id % 7 = 4
                         THEN CAST(1 + (doc_id % 2) AS INT) END AS channels,
-                   CASE WHEN doc_id % 6 = 4
+                   CASE WHEN doc_id % 7 = 4
                         THEN CAST((((doc_id % 50) + 1) * 100 * 1000)
                                   // (8000 * (1 + (doc_id % 3))) AS INT) END AS duration_ms
             FROM documents

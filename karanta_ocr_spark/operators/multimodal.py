@@ -51,9 +51,9 @@ def media_kind_expr(blob_col: str) -> Column:
     """Classify payload bytes by magic prefix — pure Catalyst (the
     reference's ``%PDF`` predicate generalized,
     ``karanta/pipeline.py:1279``). Takes the column NAME (binary
-    substring needs SQL syntax). RIFF containers whose fourcc is
-    ``WAVE`` classify as ``wav`` (matching the Arrow-side sniff);
-    other RIFF (avi, webp) stays ``riff``."""
+    substring needs SQL syntax). RIFF containers are refined by their
+    fourcc — ``WAVE`` → ``wav``, ``WEBP`` → ``webp`` (matching the
+    Arrow-side sniff); other RIFF (avi) stays ``riff``."""
     expr = F.lit("unknown")
     for kind, magic in reversed(_MAGIC):
         hexlit = magic.hex().upper()
@@ -61,11 +61,13 @@ def media_kind_expr(blob_col: str) -> Column:
             F.expr(f"substring({blob_col}, 1, {len(magic)})") == F.expr(f"X'{hexlit}'"),
             F.lit(kind),
         ).otherwise(expr)
-    return F.when(
-        (F.expr(f"substring({blob_col}, 1, 4)") == F.expr("X'52494646'"))
-        & (F.expr(f"substring({blob_col}, 9, 4)") == F.expr("X'57415645'")),
-        F.lit("wav"),
-    ).otherwise(expr)
+    is_riff = F.expr(f"substring({blob_col}, 1, 4)") == F.expr("X'52494646'")
+    fourcc = F.expr(f"substring({blob_col}, 9, 4)")
+    return (
+        F.when(is_riff & (fourcc == F.expr("X'57415645'")), F.lit("wav"))
+        .when(is_riff & (fourcc == F.expr("X'57454250'")), F.lit("webp"))
+        .otherwise(expr)
+    )
 
 
 def png_dimensions(payload: bytes) -> tuple[int, int] | None:
@@ -115,6 +117,31 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int] | None:
             continue
         seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
         i += 2 + max(seg_len, 1)
+    return None
+
+
+def webp_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """Width/height from a WebP header — all three bitstream flavors
+    (VP8X extended, VP8 lossy key-frame, VP8L lossless), header
+    arithmetic only, no decode."""
+    if len(payload) < 16 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return None
+    fourcc = payload[12:16]
+    if fourcc == b"VP8X" and len(payload) >= 30:
+        w = int.from_bytes(payload[24:27], "little") + 1
+        h = int.from_bytes(payload[27:30], "little") + 1
+        return w, h
+    if fourcc == b"VP8 " and len(payload) >= 30:
+        if payload[23:26] != b"\x9d\x01\x2a":  # key-frame start code
+            return None
+        w = struct.unpack("<H", payload[26:28])[0] & 0x3FFF
+        h = struct.unpack("<H", payload[28:30])[0] & 0x3FFF
+        return w, h
+    if fourcc == b"VP8L" and len(payload) >= 25:
+        if payload[20] != 0x2F:  # lossless signature byte
+            return None
+        bits = int.from_bytes(payload[21:25], "little")
+        return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
     return None
 
 
@@ -187,8 +214,11 @@ def media_metadata(df: DataFrame, blob_col: str = "payload", id_col: str = "medi
                 elif blob[:4] == b"%PDF":
                     kind, dims = "pdf", None
                 elif blob[:4] == b"RIFF":
-                    audio = wav_metadata(blob)
-                    kind, dims = ("wav" if audio else "riff"), None
+                    if blob[8:12] == b"WEBP":
+                        kind, dims = "webp", webp_dimensions(blob)
+                    else:
+                        audio = wav_metadata(blob)
+                        kind, dims = ("wav" if audio else "riff"), None
                 elif blob[:1] == b"<":
                     kind, dims = "html", None
                 else:

@@ -359,6 +359,12 @@ def _gif(w, h):
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
 
 
+def _webp_vp8x(w, h):
+    body = (b"WEBPVP8X" + struct.pack("<I", 10) + b"\x00\x00\x00\x00"
+            + struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3])
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _wav(rate, channels, n_samples, with_data=False):
     block = channels * 2
     dsize = n_samples * block
@@ -372,7 +378,8 @@ def _wav(rate, channels, n_samples, with_data=False):
 def test_media_metadata_and_kind(spark):
     rows = [(1, _png(10, 20)), (2, _jpeg(30, 40)), (3, b"%PDF-1.4 x"), (4, b"junk"),
             (5, _gif(321, 7)), (6, b"<html><body>x</body></html>"),
-            (7, _wav(16000, 2, 8000)), (8, b"RIFF\x10\x00\x00\x00AVI LIST")]
+            (7, _wav(16000, 2, 8000)), (8, b"RIFF\x10\x00\x00\x00AVI LIST"),
+            (9, _webp_vp8x(640, 360))]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     meta = {r["media_id"]: r for r in media_metadata(df).collect()}
     assert (meta[1]["kind"], meta[1]["width"], meta[1]["height"]) == ("png", 10, 20)
@@ -383,10 +390,33 @@ def test_media_metadata_and_kind(spark):
     assert (meta[7]["kind"], meta[7]["sample_rate"], meta[7]["channels"],
             meta[7]["duration_ms"]) == ("wav", 16000, 2, 500)
     assert meta[8]["kind"] == "riff" and meta[8]["sample_rate"] is None
+    assert (meta[9]["kind"], meta[9]["width"], meta[9]["height"]) == ("webp", 640, 360)
     kinds = {r["media_id"]: r["k"] for r in
              df.select("media_id", media_kind_expr("payload").alias("k")).collect()}
-    assert kinds == {1: "png", 2: "jpeg", 3: "pdf", 4: "unknown",
-                     5: "gif", 6: "html", 7: "wav", 8: "riff"}  # Arrow ≡ Catalyst
+    assert kinds == {1: "png", 2: "jpeg", 3: "pdf", 4: "unknown", 5: "gif",
+                     6: "html", 7: "wav", 8: "riff", 9: "webp"}  # Arrow ≡ Catalyst
+
+
+def test_webp_dimensions_all_flavors():
+    from karanta_ocr_spark.operators.multimodal import webp_dimensions
+
+    assert webp_dimensions(_webp_vp8x(640, 360)) == (640, 360)
+    assert webp_dimensions(_webp_vp8x(16384, 1)) == (16384, 1)  # 24-bit field
+    # VP8 lossy key frame: 3-byte frame tag, 9D 01 2A start code, u16 dims
+    vp8 = (b"RIFF" + struct.pack("<I", 22) + b"WEBPVP8 " + struct.pack("<I", 10)
+           + b"\x00\x00\x00" + b"\x9d\x01\x2a"
+           + struct.pack("<HH", 800, 600) + b"\x00\x00")
+    assert webp_dimensions(vp8) == (800, 600)
+    # VP8L lossless: 0x2F signature then 14-bit (dim-1) pairs
+    bits = (127 - 1) | ((63 - 1) << 14)
+    vp8l = (b"RIFF" + struct.pack("<I", 17) + b"WEBPVP8L" + struct.pack("<I", 5)
+            + b"\x2f" + struct.pack("<I", bits))
+    assert webp_dimensions(vp8l) == (127, 63)
+    # hostile/malformed
+    assert webp_dimensions(b"RIFF\x00\x00\x00\x00WEBP") is None
+    assert webp_dimensions(b"RIFF\x10\x00\x00\x00WAVEfmt ") is None
+    assert webp_dimensions(vp8.replace(b"\x9d\x01\x2a", b"\x00\x01\x2a")) is None
+    assert webp_dimensions(vp8l.replace(b"\x2f", b"\x30", 1)) is None
 
 
 def test_wav_metadata_headers_only():
