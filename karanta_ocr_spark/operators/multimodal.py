@@ -145,12 +145,23 @@ def webp_dimensions(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
+_I32_MAX = 2**31 - 1
+
+
+def _i32(v: int | None) -> int | None:
+    """Clamp a parsed header integer to Arrow int32 range — hostile
+    headers can declare u32-range values, and an out-of-range append
+    would abort the task at Arrow serialization instead of degrading
+    to null."""
+    return v if v is not None and 0 <= v <= _I32_MAX else None
+
+
 def wav_metadata(payload: bytes) -> tuple[int, int, int] | None:
     """(sample_rate, channels, duration_ms) from RIFF/WAVE ``fmt ``
     and ``data`` chunk HEADERS — declared sizes only, no sample
     decode, so truncated crawl files still report their nominal
     duration. None for non-WAVE RIFF (avi, webp) or malformed
-    headers."""
+    headers (undersized fmt chunk, u32-range garbage fields)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     i, n = 12, len(payload)
@@ -158,7 +169,7 @@ def wav_metadata(payload: bytes) -> tuple[int, int, int] | None:
     while i + 8 <= n:
         cid = payload[i : i + 4]
         size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
-        if cid == b"fmt " and i + 24 <= n:
+        if cid == b"fmt " and size >= 16 and i + 24 <= n:
             channels = struct.unpack("<H", payload[i + 10 : i + 12])[0]
             rate = struct.unpack("<I", payload[i + 12 : i + 16])[0]
             block_align = struct.unpack("<H", payload[i + 20 : i + 22])[0]
@@ -167,8 +178,10 @@ def wav_metadata(payload: bytes) -> tuple[int, int, int] | None:
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if not rate or not channels or not block_align or data_size is None:
         return None
-    n_samples = data_size // block_align
-    return int(rate), int(channels), int(n_samples * 1000 // rate)
+    duration_ms = (data_size // block_align) * 1000 // rate
+    if _i32(rate) is None or _i32(duration_ms) is None:
+        return None
+    return int(rate), int(channels), int(duration_ms)
 
 
 MEDIA_META_SCHEMA = StructType(
@@ -214,19 +227,24 @@ def media_metadata(df: DataFrame, blob_col: str = "payload", id_col: str = "medi
                 elif blob[:4] == b"%PDF":
                     kind, dims = "pdf", None
                 elif blob[:4] == b"RIFF":
+                    # kind follows the container fourcc (identical to
+                    # the Catalyst media_kind_expr split); parse
+                    # failure degrades to null fields, not to 'riff'.
                     if blob[8:12] == b"WEBP":
                         kind, dims = "webp", webp_dimensions(blob)
-                    else:
+                    elif blob[8:12] == b"WAVE":
+                        kind, dims = "wav", None
                         audio = wav_metadata(blob)
-                        kind, dims = ("wav" if audio else "riff"), None
+                    else:
+                        kind, dims = "riff", None
                 elif blob[:1] == b"<":
                     kind, dims = "html", None
                 else:
                     kind, dims = "unknown", None
                 rows["media_id"].append(mid)
                 rows["kind"].append(kind)
-                rows["width"].append(dims[0] if dims else None)
-                rows["height"].append(dims[1] if dims else None)
+                rows["width"].append(_i32(dims[0]) if dims else None)
+                rows["height"].append(_i32(dims[1]) if dims else None)
                 rows["n_bytes"].append(len(blob))
                 rows["exif_orientation"].append(orient)
                 rows["rotation_correction"].append(90 * exif_quarter_turns(orient))
@@ -305,6 +323,19 @@ def exif_quarter_turns(orientation: int | None) -> int:
     return _EXIF_ORIENT_TO_TURNS.get(orientation or 1, 0)
 
 
+def _upright(blob: bytes, w: int, h: int, px: bytes) -> tuple[int, int, bytes]:
+    """Rotate decoded RGB upright per the blob's EXIF orientation
+    (no-op when absent) — shared by every decode path."""
+    import numpy as np
+
+    turns = exif_quarter_turns(jpeg_exif_orientation(blob))
+    if not turns:
+        return w, h, px
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    rot = np.rot90(arr, k=(-turns) % 4)
+    return rot.shape[1], rot.shape[0], np.ascontiguousarray(rot).tobytes()
+
+
 # ------------------------------------------------------------ transforms
 DECODED_SCHEMA = StructType(
     [
@@ -351,7 +382,6 @@ def decode_images(
     as a viewer would."""
 
     def run(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
         from karanta_ocr_spark.kernel.jpeg_mini import decode_jpeg
@@ -385,12 +415,7 @@ def decode_images(
                     except Exception:
                         w = None  # progressive/corrupt → codec fallback
                     if w is not None and auto_orient:
-                        turns = exif_quarter_turns(jpeg_exif_orientation(blob))
-                        if turns:
-                            arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
-                            rot = np.rot90(arr, k=(-turns) % 4)
-                            h, w = rot.shape[0], rot.shape[1]
-                            px = np.ascontiguousarray(rot).tobytes()
+                        w, h, px = _upright(blob, w, h, px)
                 if w is None:
                     if have_pil:  # pragma: no cover - not installed here
                         import io
@@ -400,12 +425,7 @@ def decode_images(
                         img = Image.open(io.BytesIO(blob)).convert("RGB")
                         w, h, px = img.width, img.height, img.tobytes()
                         if auto_orient:
-                            turns = exif_quarter_turns(jpeg_exif_orientation(blob))
-                            if turns:
-                                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
-                                rot = np.rot90(arr, k=(-turns) % 4)
-                                h, w = rot.shape[0], rot.shape[1]
-                                px = np.ascontiguousarray(rot).tobytes()
+                            w, h, px = _upright(blob, w, h, px)
                     elif allow_fake:
                         w, h, px = _fake_decode(blob, mid)
                     else:

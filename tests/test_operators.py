@@ -433,6 +433,35 @@ def test_wav_metadata_headers_only():
     # zero-rate fmt must not divide by zero
     bad = _wav(8000, 1, 100).replace(struct.pack("<I", 8000), struct.pack("<I", 0), 1)
     assert wav_metadata(bad) is None
+    # u32-range garbage rate would overflow Arrow int32 — must be None
+    hostile = _wav(8000, 1, 100).replace(
+        struct.pack("<I", 8000), struct.pack("<I", 0xFFFFFFFF), 1)
+    assert wav_metadata(hostile) is None
+    # undersized fmt chunk must not read fields from the next chunk
+    runt = (b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+            + b"data" + struct.pack("<I", 0))
+    assert wav_metadata(runt) is None
+
+
+def test_media_metadata_survives_hostile_headers(spark):
+    from karanta_ocr_spark.operators.multimodal import media_kind_expr
+
+    hostile_wav = _wav(8000, 1, 100).replace(
+        struct.pack("<I", 8000), struct.pack("<I", 0xFFFFFFFF), 1)
+    huge_png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + struct.pack(
+        ">IIBBBBB", 0xFFFFFFFF, 0xFFFFFFFF, 8, 2, 0, 0, 0)
+    bare_wave = b"RIFF" + struct.pack("<I", 4) + b"WAVE"  # no fmt/data
+    rows = [(1, hostile_wav), (2, huge_png), (3, bare_wave)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    meta = {r["media_id"]: r for r in media_metadata(df).collect()}  # must not abort
+    assert meta[1]["kind"] == "wav" and meta[1]["sample_rate"] is None
+    assert meta[2]["kind"] == "png" and meta[2]["width"] is None
+    assert meta[3]["kind"] == "wav" and meta[3]["duration_ms"] is None
+    # Arrow kind ≡ Catalyst kind on malformed payloads too
+    kinds = {r["media_id"]: r["k"] for r in
+             df.select("media_id", media_kind_expr("payload").alias("k")).collect()}
+    assert kinds == {m: meta[m]["kind"] for m in kinds}
 
 
 def test_decode_images_stub_strict_raises(spark):
