@@ -401,8 +401,9 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIFF/IFD orientation parse, not just the prefix), a PDF, a GIF
     (little-endian screen-descriptor dims), a truncated WAV (RIFF
     chunk walk → sample_rate/channels/duration), a WebP (VP8X 24-bit
-    dims), or an unknown payload, with dimensions, EXIF orientation
-    and audio parameters derived from doc_id. The DuckDB oracle recomputes kind/width/height/n_bytes/
+    dims), a bare TIFF (IFD0 SHORT tag walk), a BMP (signed i32
+    header dims), or an unknown payload, with dimensions, EXIF
+    orientation and audio parameters derived from doc_id. The DuckDB oracle recomputes kind/width/height/n_bytes/
     orientation/rotation arithmetically, so the Spark side's binary
     construction AND the sniffing parsers are verified end-to-end."""
     from karanta_ocr_spark.operators.multimodal import media_metadata
@@ -454,12 +455,24 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat(X'52494646', X'16000000', X'57454250', X'56503858', "
         f"X'0A000000', X'00000000', {le(f'({w}) - 1', 3)}, {le(f'({h}) - 1', 3)})"
     )
+    # Bare little-endian TIFF: IFD0 with SHORT ImageWidth/ImageLength.
+    tiff = (
+        "concat(X'49492A00', X'08000000', X'0200', "
+        f"X'0001030001000000', {le(w, 2)}, X'0000', "
+        f"X'0101030001000000', {le(h, 2)}, X'0000', "
+        "X'00000000')"
+    )
+    # BMP BITMAPINFOHEADER prefix: signed little-endian i32 dims at 18.
+    bmp = (
+        "concat(X'424D', X'3A000000', X'00000000', X'36000000', "
+        f"X'28000000', {le(w, 4)}, {le(h, 4)})"
+    )
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.expr(
-            f"CASE CAST(doc_id % 7 AS INT) WHEN 0 THEN {png} WHEN 1 THEN {jpeg} "
+            f"CASE CAST(doc_id % 9 AS INT) WHEN 0 THEN {png} WHEN 1 THEN {jpeg} "
             f"WHEN 2 THEN X'255044462D312E34' WHEN 3 THEN {gif} WHEN 4 THEN {wav} "
-            f"WHEN 5 THEN {webp} "
+            f"WHEN 5 THEN {webp} WHEN 6 THEN {tiff} WHEN 7 THEN {bmp} "
             "ELSE encode('no-magic-payload', 'UTF-8') END"
         ).alias("payload"),
     )
@@ -1160,27 +1173,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_metadata": """
             SELECT doc_id AS media_id,
-                   CASE CAST(doc_id % 7 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                   CASE CAST(doc_id % 9 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                         WHEN 2 THEN 'pdf' WHEN 3 THEN 'gif' WHEN 4 THEN 'wav'
-                        WHEN 5 THEN 'webp' ELSE 'unknown' END AS kind,
-                   CASE WHEN doc_id % 7 IN (0, 1, 3, 5) THEN CAST((doc_id % 300) + 16 AS INT) END AS width,
-                   CASE WHEN doc_id % 7 IN (0, 1, 3, 5) THEN CAST((doc_id % 200) + 16 AS INT) END AS height,
-                   CAST(CASE CAST(doc_id % 7 AS INT) WHEN 0 THEN 24 WHEN 1 THEN 58
+                        WHEN 5 THEN 'webp' WHEN 6 THEN 'tiff' WHEN 7 THEN 'bmp'
+                        ELSE 'unknown' END AS kind,
+                   CASE WHEN doc_id % 9 IN (0, 1, 3, 5, 6, 7) THEN CAST((doc_id % 300) + 16 AS INT) END AS width,
+                   CASE WHEN doc_id % 9 IN (0, 1, 3, 5, 6, 7) THEN CAST((doc_id % 200) + 16 AS INT) END AS height,
+                   CAST(CASE CAST(doc_id % 9 AS INT) WHEN 0 THEN 24 WHEN 1 THEN 58
                              WHEN 2 THEN 8 WHEN 3 THEN 13 WHEN 4 THEN 44
-                             WHEN 5 THEN 30 ELSE 16 END AS BIGINT) AS n_bytes,
-                   CASE WHEN doc_id % 7 = 1 THEN CAST((doc_id % 8) + 1 AS INT) END
+                             WHEN 5 THEN 30 WHEN 6 THEN 38 WHEN 7 THEN 26
+                             ELSE 16 END AS BIGINT) AS n_bytes,
+                   CASE WHEN doc_id % 9 = 1 THEN CAST((doc_id % 8) + 1 AS INT) END
                        AS exif_orientation,
-                   CAST(CASE WHEN doc_id % 7 = 1 THEN
+                   CAST(CASE WHEN doc_id % 9 = 1 THEN
                             90 * (CASE CAST((doc_id % 8) + 1 AS INT)
                                   WHEN 3 THEN 2 WHEN 4 THEN 2
                                   WHEN 5 THEN 1 WHEN 6 THEN 1
                                   WHEN 7 THEN 3 WHEN 8 THEN 3 ELSE 0 END)
                         ELSE 0 END AS INT) AS rotation_correction,
-                   CASE WHEN doc_id % 7 = 4
+                   CASE WHEN doc_id % 9 = 4
                         THEN CAST(8000 * (1 + (doc_id % 3)) AS INT) END AS sample_rate,
-                   CASE WHEN doc_id % 7 = 4
+                   CASE WHEN doc_id % 9 = 4
                         THEN CAST(1 + (doc_id % 2) AS INT) END AS channels,
-                   CASE WHEN doc_id % 7 = 4
+                   CASE WHEN doc_id % 9 = 4
                         THEN CAST((((doc_id % 50) + 1) * 100 * 1000)
                                   // (8000 * (1 + (doc_id % 3))) AS INT) END AS duration_ms
             FROM documents

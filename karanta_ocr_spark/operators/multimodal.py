@@ -43,6 +43,9 @@ _MAGIC = [
     ("gif", b"GIF8"),
     ("pdf", b"%PDF"),
     ("riff", b"RIFF"),  # wav/avi container
+    ("tiff", b"II*\x00"),
+    ("tiff", b"MM\x00*"),
+    ("bmp", b"BM"),
     ("html", b"<"),
 ]
 
@@ -224,6 +227,10 @@ def media_metadata(df: DataFrame, blob_col: str = "payload", id_col: str = "medi
                     orient = jpeg_exif_orientation(blob)
                 elif blob[:4] == b"GIF8":
                     kind, dims = "gif", gif_dimensions(blob)
+                elif blob[:4] in (b"II*\x00", b"MM\x00*"):
+                    kind, dims = "tiff", tiff_dimensions(blob)
+                elif blob[:2] == b"BM":
+                    kind, dims = "bmp", bmp_dimensions(blob)
                 elif blob[:4] == b"%PDF":
                     kind, dims = "pdf", None
                 elif blob[:4] == b"RIFF":
@@ -265,6 +272,62 @@ def media_metadata(df: DataFrame, blob_col: str = "payload", id_col: str = "medi
 _EXIF_ORIENT_TO_TURNS = {1: 0, 2: 0, 3: 2, 4: 2, 5: 1, 6: 1, 7: 3, 8: 3}
 
 
+def _tiff_ifd0(tiff: bytes) -> dict[int, int]:
+    """IFD0 tag → first SHORT/LONG value from a TIFF blob (either
+    endianness). Empty dict on malformed input — shared by the JPEG
+    EXIF path and bare-TIFF dimension sniffing."""
+    out: dict[int, int] = {}
+    if len(tiff) < 8:
+        return out
+    if tiff[:4] == b"II*\x00":
+        end = "<"
+    elif tiff[:4] == b"MM\x00*":
+        end = ">"
+    else:
+        return out
+    ifd_off = struct.unpack(end + "I", tiff[4:8])[0]
+    if ifd_off + 2 > len(tiff):
+        return out
+    n_entries = struct.unpack(end + "H", tiff[ifd_off : ifd_off + 2])[0]
+    for e in range(n_entries):
+        off = ifd_off + 2 + e * 12
+        if off + 12 > len(tiff):
+            break
+        tag, typ, cnt = struct.unpack(end + "HHI", tiff[off : off + 8])
+        if cnt >= 1 and tag not in out:
+            if typ == 3:  # SHORT
+                out[tag] = struct.unpack(end + "H", tiff[off + 8 : off + 10])[0]
+            elif typ == 4:  # LONG
+                out[tag] = struct.unpack(end + "I", tiff[off + 8 : off + 12])[0]
+    return out
+
+
+def tiff_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """Width/height from a bare TIFF's IFD0 (tags 0x0100/0x0101) —
+    the scanned-document format an OCR corpus sees constantly; header
+    walk only, no strip/tile decode."""
+    try:
+        ifd = _tiff_ifd0(payload)
+        w, h = ifd.get(0x0100), ifd.get(0x0101)
+        if w is None or h is None:
+            return None
+        return int(w), int(h)
+    except Exception:
+        return None
+
+
+def bmp_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """Width/height from a BMP BITMAPINFOHEADER — signed i32 pair at
+    offset 18; negative height means top-down row order (magnitude is
+    the pixel height)."""
+    if len(payload) < 26 or payload[:2] != b"BM":
+        return None
+    w, h = struct.unpack("<ii", payload[18:26])
+    if w <= 0 or h == 0:
+        return None
+    return int(w), abs(int(h))
+
+
 def jpeg_exif_orientation(payload: bytes) -> int | None:
     """EXIF orientation (1..8) from a JPEG's APP1 segment, pure
     stdlib: marker walk → ``Exif\\0\\0`` APP1 → TIFF header (either
@@ -289,28 +352,8 @@ def jpeg_exif_orientation(payload: bytes) -> int | None:
                 return None
             seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
             if marker == 0xE1 and payload[i + 4 : i + 10] == b"Exif\x00\x00":
-                tiff = payload[i + 10 : i + 2 + seg_len]
-                if len(tiff) < 8:
-                    return None
-                if tiff[:4] == b"II*\x00":
-                    end = "<"
-                elif tiff[:4] == b"MM\x00*":
-                    end = ">"
-                else:
-                    return None
-                ifd_off = struct.unpack(end + "I", tiff[4:8])[0]
-                if ifd_off + 2 > len(tiff):
-                    return None
-                n_entries = struct.unpack(end + "H", tiff[ifd_off : ifd_off + 2])[0]
-                for e in range(n_entries):
-                    off = ifd_off + 2 + e * 12
-                    if off + 12 > len(tiff):
-                        return None
-                    tag, typ, cnt = struct.unpack(end + "HHI", tiff[off : off + 8])
-                    if tag == 0x0112 and typ == 3 and cnt >= 1:
-                        val = struct.unpack(end + "H", tiff[off + 8 : off + 10])[0]
-                        return val if 1 <= val <= 8 else None
-                return None
+                val = _tiff_ifd0(payload[i + 10 : i + 2 + seg_len]).get(0x0112)
+                return val if val is not None and 1 <= val <= 8 else None
             i += 2 + max(seg_len, 1)
         return None
     except Exception:

@@ -397,6 +397,53 @@ def test_media_metadata_and_kind(spark):
                      6: "html", 7: "wav", 8: "riff", 9: "webp"}  # Arrow ≡ Catalyst
 
 
+def _tiff_le(w, h, typ=3):
+    def entry(tag, val):
+        if typ == 3:
+            return struct.pack("<HHI", tag, 3, 1) + struct.pack("<H", val) + b"\x00\x00"
+        return struct.pack("<HHI", tag, 4, 1) + struct.pack("<I", val)
+
+    return (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 2)
+            + entry(0x0100, w) + entry(0x0101, h) + struct.pack("<I", 0))
+
+
+def _bmp(w, h):
+    return (b"BM" + struct.pack("<I", 58) + b"\x00\x00\x00\x00"
+            + struct.pack("<I", 54) + struct.pack("<I", 40)
+            + struct.pack("<ii", w, h))
+
+
+def test_tiff_bmp_dimension_sniff(spark):
+    from karanta_ocr_spark.operators.multimodal import (
+        bmp_dimensions,
+        media_kind_expr,
+        tiff_dimensions,
+    )
+
+    assert tiff_dimensions(_tiff_le(1288, 1650)) == (1288, 1650)
+    assert tiff_dimensions(_tiff_le(640, 480, typ=4)) == (640, 480)  # LONG tags
+    # big-endian TIFF
+    be = (b"MM\x00*" + struct.pack(">I", 8) + struct.pack(">H", 2)
+          + struct.pack(">HHI", 0x0100, 3, 1) + struct.pack(">H", 77) + b"\x00\x00"
+          + struct.pack(">HHI", 0x0101, 3, 1) + struct.pack(">H", 99) + b"\x00\x00"
+          + struct.pack(">I", 0))
+    assert tiff_dimensions(be) == (77, 99)
+    assert tiff_dimensions(b"II*\x00") is None
+    assert tiff_dimensions(b"II*\x00" + b"\xff" * 20) is None
+    assert bmp_dimensions(_bmp(800, 600)) == (800, 600)
+    assert bmp_dimensions(_bmp(800, -600)) == (800, 600)  # top-down rows
+    assert bmp_dimensions(b"BMshort") is None
+    rows = [(1, _tiff_le(10, 11)), (2, _bmp(12, 13)), (3, be)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    meta = {r["media_id"]: r for r in media_metadata(df).collect()}
+    assert (meta[1]["kind"], meta[1]["width"], meta[1]["height"]) == ("tiff", 10, 11)
+    assert (meta[2]["kind"], meta[2]["width"], meta[2]["height"]) == ("bmp", 12, 13)
+    assert (meta[3]["kind"], meta[3]["width"], meta[3]["height"]) == ("tiff", 77, 99)
+    kinds = {r["media_id"]: r["k"] for r in
+             df.select("media_id", media_kind_expr("payload").alias("k")).collect()}
+    assert kinds == {1: "tiff", 2: "bmp", 3: "tiff"}  # Arrow ≡ Catalyst
+
+
 def test_webp_dimensions_all_flavors():
     from karanta_ocr_spark.operators.multimodal import webp_dimensions
 
