@@ -481,9 +481,11 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_media_decode_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full un-faked multimodal chain: deterministic grayscale images
-    derived from doc ids → pure-stdlib baseline-JPEG encode →
-    decode_images (no PIL) → BT.601 grayscale → nearest resize →
-    pixel fingerprint. Rows-only (pixel bytes not SQL-expressible),
+    derived from doc ids → pure-stdlib baseline-JPEG encode (odd doc
+    ids additionally get an EXIF orientation-6 APP1 spliced in, so the
+    auto-orient rotation runs live through the gate) → decode_images
+    (no PIL, auto_orient) → BT.601 grayscale → nearest resize → pixel
+    fingerprint. Rows-only (pixel bytes not SQL-expressible),
     deterministic across partitionings."""
     from karanta_ocr_spark.operators.multimodal import (
         decode_images,
@@ -494,9 +496,19 @@ def _q_media_decode_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id")
 
     def make_jpegs(batches):
+        import struct as _struct
+
         import pandas as pd
 
         from karanta_ocr_spark.kernel.jpeg_mini import encode_jpeg_gray
+
+        # EXIF orientation 6 (= 90° CW to upright): rotated rows come
+        # back with swapped dims, proving the orientation path end-to-end.
+        tiff = (b"II*\x00" + _struct.pack("<I", 8) + _struct.pack("<H", 1)
+                + _struct.pack("<HHI", 0x0112, 3, 1)
+                + _struct.pack("<H", 6) + b"\x00\x00" + _struct.pack("<I", 0))
+        exif = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + _struct.pack(">H", len(exif) + 2) + exif
 
         w, h = 16, 8
         for pdf in batches:
@@ -507,14 +519,17 @@ def _q_media_decode_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for y in range(h)
                     for x in range(w)
                 )
+                jpg = encode_jpeg_gray(w, h, img)
+                if did % 2 == 1:
+                    jpg = jpg[:2] + app1 + jpg[2:]
                 out["media_id"].append(int(did))
-                out["payload"].append(encode_jpeg_gray(w, h, img))
+                out["payload"].append(jpg)
             yield pd.DataFrame(out)
 
     media = docs.repartition(8).mapInPandas(
         make_jpegs, "media_id long, payload binary"
     )
-    decoded = decode_images(media)  # strict: stdlib JPEG path
+    decoded = decode_images(media, auto_orient=True)  # strict stdlib JPEG path
     small = grayscale_images(resize_images(decoded, 8, 4))
     return small.select(
         "media_id",
