@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from karanta_ocr_spark.functions.text_analysis import (
+    WS,
     avg_token_len,
     fingerprint_md5,
     lang_id_heuristic,
@@ -325,7 +326,7 @@ def _q_anchor_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
-        F.when(F.size(F.split(F.trim("text"), r"\s+")) > 10, F.lit("text_page"))
+        F.when(F.size(F.split(F.trim("text"), WS + "+")) > 10, F.lit("text_page"))
         .otherwise(F.lit("image_page"))
         .alias("branch"),
     )
@@ -351,7 +352,7 @@ def _q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -> top 20 (ties broken by token for determinism).
     d = _docs(spark, sf_dir)
     toks = d.select(
-        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), WS + "+")).alias("token")
     )
     return (
         toks.groupBy("token")
@@ -706,6 +707,29 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.9 model-scoring operator (the reference's
+    process-singleton image classifier as a ``predict_batch_udf``):
+    per-doc quality features → worker-singleton md5-weighted logistic
+    model → score + segment/no_segment label. The DuckDB oracle
+    replays weights (md5-derived), the left-associative dot product,
+    the sigmoid, and the label threshold end-to-end."""
+    from karanta_ocr_spark.operators.classify import classify_features
+
+    d = _docs(spark, sf_dir)
+    feats = d.select(
+        "doc_id",
+        (F.length(F.trim("text")) / F.lit(1000.0)).alias("f_len"),
+        (token_count(F.col("text")) / F.lit(100.0)).alias("f_toks"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("f_stop"),
+        (F.round(avg_token_len(F.col("text")), 6) / F.lit(10.0)).alias("f_atl"),
+    )
+    scored = classify_features(feats, ["f_len", "f_toks", "f_stop", "f_atl"], seed=42)
+    return scored.select(
+        "doc_id", F.round("score", 6).alias("score"), "label"
+    )
+
+
 def _q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """float64 dot products (cast before the fold) so the score agrees
     with the DuckDB oracle to ~1e-15 — far inside the round-to-6dp
@@ -796,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "lang_id": _q_lang_id,
+        "classifier_scores": _q_classifier_scores,
         "ann_brute_topk": _q_ann_brute_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -816,7 +841,7 @@ _SHINGLES_SQL = """
                                                   i -> array_to_string(toks[i:i+2], ' ')))
            END AS sh
     FROM (SELECT doc_id, lang, source,
-                 regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                 regexp_split_to_array(lower(trim(text)), '[ \\t-\\r]+') AS toks
           FROM documents)
 """
 
@@ -826,7 +851,7 @@ _SHINGLES_SQL = """
 #: bit, sign-reconstructed int64.
 _SIMHASH_SIG_SQL = """
             tok AS (SELECT doc_id, unnest(toks) AS tk FROM
-                    (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                    (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t-\\r]+') AS toks
                      FROM documents)),
             h AS (SELECT doc_id,
                          ('0x' || substr(md5(tk), 1, 8))::BIGINT AS hi,
@@ -872,7 +897,7 @@ def _pii_oracle_sql() -> str:
                regexp_replace(regexp_replace(regexp_replace(text,
                    '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
                    '{IPV4_RE}', '\\1{IP_TOKEN}\\2', 'g'),
-                   '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS scrubbed
+                   '{PHONE_RE}', '\\1{PHONE_TOKEN}', 'g') AS scrubbed
         FROM s
     """
 
@@ -884,7 +909,7 @@ def _token_stats_oracle_sql() -> str:
     return f"""
         WITH s AS (
             SELECT doc_id,
-                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_split_to_array(trim(text), '[ \\t-\\r]+')) AS BIGINT) AS ws_tokens,
                    CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS bpe_ish_tokens,
                    CAST(length(trim(text)) AS BIGINT) AS n_chars
             FROM documents)
@@ -893,6 +918,45 @@ def _token_stats_oracle_sql() -> str:
                     THEN round(CAST(n_chars AS DOUBLE) / bpe_ish_tokens, 6)
                END AS chars_per_token
         FROM s
+    """
+
+
+def _classifier_oracle_sql(seed: int = 42) -> str:
+    """DuckDB twin of ``operators.classify.classify_features`` over
+    the quality features of ``_q_classifier_scores``: md5-derived
+    weights, LEFT-ASSOCIATIVE accumulation (matching the model's
+    sequential numpy accumulation bit-for-bit), sigmoid, 0.5-threshold
+    label (exactly z >= 0, so labels agree across engines)."""
+    wt = ",\n            ".join(
+        f"(('0x' || substr(md5('{seed}:w:{d}'), 1, 8))::BIGINT - 2147483648)"
+        f" / 2147483648.0 AS w{d}"
+        for d in range(4)
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, text,
+                          regexp_split_to_array(trim(text), '[ \\t-\\r]+') AS toks
+                   FROM documents),
+        f AS (SELECT doc_id,
+                     length(trim(text)) / 1000.0 AS f_len,
+                     len(toks) / 100.0 AS f_toks,
+                     round(CAST(len(list_filter(toks, x -> lower(x) IN {_STOP_SQL}))
+                                AS DOUBLE) / len(toks), 6) AS f_stop,
+                     round(CAST(list_aggregate(list_transform(toks, x -> length(x)),
+                                               'sum') AS DOUBLE) / len(toks), 6)
+                         / 10.0 AS f_atl
+              FROM t),
+        wt AS (SELECT
+            {wt},
+            (('0x' || substr(md5('{seed}:b'), 1, 8))::BIGINT - 2147483648)
+                / 2147483648.0 AS b),
+        z AS (SELECT doc_id,
+                     b + f_len * w0 + f_toks * w1 + f_stop * w2 + f_atl * w3 AS z
+              FROM f, wt)
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-z)), 6) AS score,
+               CASE WHEN 1.0 / (1.0 + exp(-z)) >= 0.5
+                    THEN 'segment' ELSE 'no_segment' END AS label
+        FROM z
     """
 
 
@@ -1047,8 +1111,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": """
             SELECT doc_id,
-                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
-                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+                   md5(lower(regexp_replace(trim(text), '[ \\t-\\r]+', ' ', 'g'))) AS fingerprint,
+                   CAST(len(regexp_split_to_array(trim(text), '[ \\t-\\r]+')) AS BIGINT) AS n_tokens
             FROM documents
         """,
         "exact_dedup_prefix": """
@@ -1060,7 +1124,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(toks) AS BIGINT) AS n_tokens,
                    round(CAST(len(list_filter(toks, x -> lower(x) IN {_STOP_SQL})) AS DOUBLE) / len(toks), 6) AS stop_ratio,
                    round(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks), 6) AS avg_tok_len
-            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t-\\r]+') AS toks FROM documents)
         """,
         "event_stats": """
             SELECT event_type,
@@ -1099,7 +1163,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "anchor_branch": """
             SELECT doc_id,
-                   CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 10
+                   CASE WHEN len(regexp_split_to_array(trim(text), '[ \\t-\\r]+')) > 10
                         THEN 'text_page' ELSE 'image_page' END AS branch
             FROM documents
         """,
@@ -1108,7 +1172,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_occurrences,
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
             FROM (
-                SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+                SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \\t-\\r]+')) AS token
                 FROM documents
             )
             GROUP BY token
@@ -1308,6 +1372,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": _token_stats_oracle_sql(),
         "pii_scrub": _pii_oracle_sql(),
+        "classifier_scores": _classifier_oracle_sql(),
         "url_canonical_dedup": """
             WITH u AS (
                 SELECT doc_id,
@@ -1355,7 +1420,7 @@ def oracle_sql() -> dict[str, str]:
             l AS (SELECT doc_id,
                          list_filter(list_transform(string_split(text, chr(10)),
                                                     x -> trim(x)), x -> x <> '') AS lines,
-                         regexp_split_to_array(trim(text), '\\s+') AS toks,
+                         regexp_split_to_array(trim(text), '[ \\t-\\r]+') AS toks,
                          CAST(length(trim(text)) AS BIGINT) AS n_chars
                   FROM syn),
             base AS (SELECT doc_id, n_chars,
@@ -1390,7 +1455,7 @@ def oracle_sql() -> dict[str, str]:
             WITH l AS (SELECT doc_id, text,
                               list_filter(list_transform(string_split(text, chr(10)),
                                                          x -> trim(x)), x -> x <> '') AS lines,
-                              regexp_split_to_array(trim(text), '\\s+') AS toks
+                              regexp_split_to_array(trim(text), '[ \\t-\\r]+') AS toks
                        FROM documents)
             SELECT doc_id,
                    CAST(len(toks) AS BIGINT) AS word_count,

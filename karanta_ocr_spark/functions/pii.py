@@ -6,8 +6,11 @@ Dolma's public toolkit applies exactly this email/phone/IP masking).
 All pure Catalyst ``regexp_replace``/string expressions — zero Python,
 zero shuffle. Patterns deliberately avoid constructs RE2 lacks
 (``\\b``, lookarounds) so the DuckDB oracle applies the IDENTICAL
-regex semantics (leftmost-longest greedy match behaves the same for
-these patterns in Java regex and RE2).
+regex semantics (leftmost-first greedy match behaves the same for
+these patterns in Java regex and RE2). Whitespace, where needed, is
+the explicit ``[ \\t-\\r]`` class from ``functions.text_analysis.WS``
+— NOT ``\\s``, whose membership differs between the engines (Java
+includes U+000B vertical tab, RE2 does not).
 """
 
 from __future__ import annotations
@@ -29,10 +32,15 @@ IPV4_RE = rf"(?:^|([^\d.])){_IPV4_OCT}(?:\.{_IPV4_OCT}){{3}}(?:$|([^\d.]))"
 #: separated groups, or the NANP 3-3-4 form with required separators.
 #: Deliberately does NOT match dates (2021-08-16), ISBNs
 #: (978-0-306-40615-7), or spaced numbers (1 000 000) — an earlier
-#: any-8+-digit-run pattern masked all of those.
+#: any-8+-digit-run pattern masked all of those. The left edge is the
+#: same consumed-boundary guard IPV4_RE uses (captured non-digit or
+#: string start, re-inserted by the replacement): without it the NANP
+#: alternative matched INSIDE longer digit runs, half-eating serials
+#: like 1234-567-8901 into ``1|||PHONE|||``.
 PHONE_RE = (
-    r"\+\d{1,3}(?:[ .-]?\d{2,4}){2,4}"
-    r"|\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}"
+    r"(?:^|([^\d]))"
+    r"(?:\+\d{1,3}(?:[ .-]?\d{2,4}){2,4}"
+    r"|\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4})"
 )
 
 EMAIL_TOKEN = "|||EMAIL|||"
@@ -47,12 +55,12 @@ def count_matches(col: Column, pattern: str) -> Column:
 def scrub_pii(col: Column) -> Column:
     """Mask emails, then IPv4 addresses, then phone numbers (order
     matters: emails can contain digit runs, IPs would otherwise be
-    eaten by the phone pattern). The IP replacement re-inserts the
-    captured boundary characters ($1/$2; unmatched at string edges →
-    empty)."""
+    eaten by the phone pattern). The IP and phone replacements
+    re-insert their captured boundary characters ($1/$2; unmatched at
+    string edges → empty)."""
     out = F.regexp_replace(col, EMAIL_RE, EMAIL_TOKEN)
     out = F.regexp_replace(out, IPV4_RE, "$1" + IP_TOKEN + "$2")
-    out = F.regexp_replace(out, PHONE_RE, PHONE_TOKEN)
+    out = F.regexp_replace(out, PHONE_RE, "$1" + PHONE_TOKEN)
     return out
 
 

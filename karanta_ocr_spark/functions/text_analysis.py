@@ -10,6 +10,20 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+#: Explicit whitespace class shared by every oracle-checked pattern.
+#: Java's ``\s`` is ``[ \t\n\x0B\f\r]`` but RE2's ``\s`` is only
+#: ``[\t\n\f\r ]`` — a document containing a vertical tab (U+000B)
+#: would tokenize differently between Spark and the DuckDB oracle if
+#: the patterns said ``\s``. ``[ \t-\r]`` (space + the 0x09–0x0D
+#: range) spells out Java's set and means the same thing in both
+#: engines. Three spellings for the three quoting layers:
+#: ``WS`` goes straight to a Java-regex API (F.split/regexp_replace),
+#: ``WS_SQL`` is embedded in Spark SQL text (one unescape pass),
+#: ``WS_DUCK`` is embedded in DuckDB SQL text (no unescape pass).
+WS = r"[ \t-\r]"
+WS_SQL = r"[ \\t-\\r]"
+WS_DUCK = r"[ \t-\r]"
+
 # A small multilingual stopword list (English + French + Swahili +
 # Hausa function words) — enough signal for quality scoring.
 STOPWORDS = [
@@ -22,7 +36,7 @@ STOPWORDS = [
 
 def tokens(col: Column) -> Column:
     """Whitespace tokens (trimmed; no empty tokens)."""
-    return F.split(F.trim(col), r"\s+")
+    return F.split(F.trim(col), WS + "+")
 
 
 def token_count(col: Column) -> Column:
@@ -35,12 +49,13 @@ def token_count(col: Column) -> Column:
 #: lookahead ``\s+(?!\S)`` is dropped (RE2 has no lookarounds) — for
 #: counting purposes a run of spaces is one token either way.
 #: Alternation order matters (leftmost-first in both engines).
+#: Whitespace is the explicit ``WS`` class, not ``\s`` (VT caveat above).
 BPE_ISH_RE = (
     r"'(?:s|t|re|ve|m|ll|d)"
     r"| ?\p{L}+"
     r"| ?\p{N}+"
-    r"| ?[^\s\p{L}\p{N}]+"
-    r"|\s+"
+    r"| ?[^ \t-\r\p{L}\p{N}]+"
+    r"|" + WS + "+"
 )
 
 
@@ -86,13 +101,13 @@ def quality_score(col: Column) -> Column:
 def fingerprint_md5(col: Column) -> Column:
     """Content fingerprint over whitespace-canonicalized lowercase text
     (md5 so a DuckDB oracle can reproduce it)."""
-    canon = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    canon = F.lower(F.regexp_replace(F.trim(col), WS + "+", " "))
     return F.md5(canon)
 
 
 def fingerprint_xxh(col: Column) -> Column:
     """64-bit fingerprint for shuffle keys (xxhash64 — faster, JVM)."""
-    canon = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    canon = F.lower(F.regexp_replace(F.trim(col), WS + "+", " "))
     return F.xxhash64(canon)
 
 

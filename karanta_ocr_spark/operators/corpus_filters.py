@@ -13,9 +13,11 @@ Scale notes:
 * The top-bigram mode (``most frequent 2-gram`` of Gopher's
   repetition family) genuinely needs a count per (doc, bigram); a
   per-row HOF would be O(tokens²) per document, so it runs as
-  explode → two-stage aggregate (map-side partial combine) → join
-  back. The shuffle key (doc_id, bigram) is high-cardinality and
-  skew-free by construction.
+  explode → two-stage aggregate (map-side partial combine) → per-doc
+  window rank (count desc, bigram asc). The shuffle key (doc_id,
+  bigram) is high-cardinality and skew-free by construction, and the
+  window partitions by doc_id so no task sees more than one
+  document's bigrams.
 * Ties for the top bigram break to the lexicographically smallest —
   deterministic, partition-independent, and reproducible by the
   DuckDB oracle.
@@ -24,6 +26,8 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from karanta_ocr_spark.functions.text_analysis import WS, WS_SQL
 
 #: Terminal punctuation accepted by the C4 line rule.
 _TERMINALS = (".", "!", "?", '"')
@@ -60,7 +64,7 @@ def duplicate_line_stats(col: Column) -> tuple[Column, Column, Column]:
 def _bigrams_expr(text_col: str) -> str:
     """SQL text for the (non-distinct, case-preserving) word-bigram
     array — duplicates matter, they are what the mode counts."""
-    toks = f"split(trim({text_col}), '\\\\s+')"
+    toks = f"split(trim({text_col}), '{WS_SQL}+')"
     return (
         f"CASE WHEN size({toks}) < 2 THEN array() "
         f"ELSE transform(sequence(1, size({toks}) - 1), "
@@ -120,7 +124,8 @@ def gopher_repetition_stats(
 
 
 def dedup_paragraphs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    key: str = "xxhash64",
 ) -> DataFrame:
     """Corpus-wide repeated-paragraph removal (the RefinedWeb/Dolma
     pass that strips cross-site boilerplate lines): every occurrence
@@ -131,20 +136,40 @@ def dedup_paragraphs(
     Returns ``(id, text, n_kept, n_dropped)`` — one row per input row,
     text possibly empty when every paragraph was a repeat.
 
-    Scale shape: posexplode → groupBy(paragraph) with map-side partial
-    aggregation (a hot boilerplate line is ONE group — min(struct) not
-    collect), join back on the paragraph (AQE skew-join handles the
-    hot key), one final groupBy on the document id. No window over the
-    whole corpus, no driver collect."""
+    Scale shape: posexplode → groupBy a HASH of the paragraph with
+    map-side partial aggregation (a hot boilerplate line is ONE group
+    — min(struct) not collect), join back on the hash (AQE skew-join
+    handles the hot key), one final groupBy on the document id. No
+    window over the whole corpus, no driver collect. Grouping/joining
+    on the hash rather than the paragraph string keeps the full
+    corpus text OUT of the shuffle key and off the winners side
+    entirely — at 100 TB the alternative shuffles the corpus twice
+    keyed by its own content.
+
+    ``key='xxhash64'`` (default) pairs the 64-bit hash with the
+    paragraph length, so a silent first-occurrence miscount needs a
+    same-length 64-bit collision; ``key='md5'`` (128-bit) removes even
+    that at the cost of a 32-char shuffle key; ``key='text'`` keeps
+    the r1 exact-string behavior as spec/fallback."""
     lines = lines_expr(F.col(text_col))
     paras = df.select(
         F.col(id_col), F.posexplode(lines).alias("pos", "para")
     )
-    first = paras.groupBy("para").agg(
+    if key == "xxhash64":
+        paras = paras.withColumn(
+            "_pk", F.struct(F.xxhash64("para"), F.length("para"))
+        )
+    elif key == "md5":
+        paras = paras.withColumn("_pk", F.md5("para"))
+    elif key == "text":
+        paras = paras.withColumn("_pk", F.col("para"))
+    else:
+        raise ValueError(f"unknown key: {key!r}")
+    first = paras.select("_pk", id_col, "pos").groupBy("_pk").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first")
     )
     kept = (
-        paras.join(first, on="para")
+        paras.join(first, on="_pk")
         .filter(
             (F.col(id_col) == F.col("_first")[id_col])
             & (F.col("pos") == F.col("_first")["pos"])
@@ -194,7 +219,7 @@ def c4_quality_signals(
     col = F.col(text_col)
     lines = lines_expr(col)
     n = F.size(lines)
-    toks = F.split(F.trim(col), r"\s+")
+    toks = F.split(F.trim(col), WS + "+")
     wc = F.size(toks)
     terms = F.array(*[F.lit(t) for t in _TERMINALS])
     n_term = F.size(

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from karanta_ocr_spark.functions.text_analysis import WS_SQL
+
 
 # --------------------------------------------------------------- exact
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -56,13 +58,13 @@ def _shingles_expr(text_col: str, k: int, unit: str = "word") -> str:
     ``unit='char'``: classic k-char shingles for short/CJK-ish text.
     """
     if unit == "word":
-        toks = f"split(lower(trim({text_col})), '\\\\s+')"
+        toks = f"split(lower(trim({text_col})), '{WS_SQL}+')"
         return (
             f"CASE WHEN size({toks}) < {k} THEN array(array_join({toks}, ' ')) "
             f"ELSE array_distinct(transform(sequence(1, size({toks}) - {k} + 1), "
             f"i -> array_join(slice({toks}, i, {k}), ' '))) END"
         )
-    canon = f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))"
+    canon = f"lower(regexp_replace(trim({text_col}), '{WS_SQL}+', ' '))"
     return (
         f"CASE WHEN length({canon}) < {k} THEN array({canon}) "
         f"ELSE array_distinct(transform(sequence(1, length({canon}) - {k} + 1), "
@@ -384,7 +386,7 @@ def simhash64(text_col: str, base_hash: str = "xxhash64") -> Column:
     ``base_hash='md5'`` makes the signature reproducible in the DuckDB
     oracle; ``(h >> b) & 1`` extracts bit b correctly for either mode
     even though shiftright sign-extends (the mask keeps only bit 0)."""
-    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    toks = f"split(lower(trim({text_col})), '{WS_SQL}+')"
     per_token_bits = (
         "transform(sequence(0, 63), b -> "
         f"IF((shiftright({_token_hash_expr(base_hash)}, b) & 1) = 1, 1, -1))"
@@ -418,7 +420,7 @@ def with_simhash64(
 
     from pyspark.sql.types import LongType, StructField, StructType
 
-    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    toks = f"split(lower(trim({text_col})), '{WS_SQL}+')"
     # md5 mode hashes tokens inside the Arrow batch (hashlib) instead
     # of the JVM Md5/Conv expression pair — identical bits (first 8
     # md5 bytes big-endian), pinned by the Catalyst parity test.

@@ -45,9 +45,17 @@ _MAGIC = [
     ("riff", b"RIFF"),  # wav/avi container
     ("tiff", b"II*\x00"),
     ("tiff", b"MM\x00*"),
-    ("bmp", b"BM"),
     ("html", b"<"),
 ]
+
+#: BITMAPINFOHEADER-family sizes (the u32 at offset 14) accepted by
+#: the BMP sniff. The 2-byte 'BM' magic alone classifies any text
+#: starting with "BM" (e.g. "BMW …") as bmp, so the sniff also
+#: requires a plausible DIB header size — the same field
+#: ``bmp_dimensions`` depends on. The 12-byte BITMAPCOREHEADER is
+#: deliberately absent: its dims are u16 at a different offset, so a
+#: core-header file would sniff as bmp but parse garbage dims.
+_BMP_DIB_SIZES = (40, 52, 56, 64, 108, 124)
 
 
 def media_kind_expr(blob_col: str) -> Column:
@@ -56,7 +64,9 @@ def media_kind_expr(blob_col: str) -> Column:
     ``karanta/pipeline.py:1279``). Takes the column NAME (binary
     substring needs SQL syntax). RIFF containers are refined by their
     fourcc — ``WAVE`` → ``wav``, ``WEBP`` → ``webp`` (matching the
-    Arrow-side sniff); other RIFF (avi) stays ``riff``."""
+    Arrow-side sniff); other RIFF (avi) stays ``riff``. BMP requires
+    'BM' AND a known DIB header size at offset 14 (``_BMP_DIB_SIZES``),
+    identically to the Arrow-side sniff."""
     expr = F.lit("unknown")
     for kind, magic in reversed(_MAGIC):
         hexlit = magic.hex().upper()
@@ -64,6 +74,12 @@ def media_kind_expr(blob_col: str) -> Column:
             F.expr(f"substring({blob_col}, 1, {len(magic)})") == F.expr(f"X'{hexlit}'"),
             F.lit(kind),
         ).otherwise(expr)
+    is_bmp = F.expr(f"substring({blob_col}, 1, 2)") == F.expr("X'424D'")
+    dib = F.expr(f"substring({blob_col}, 15, 4)")
+    dib_ok = F.lit(False)
+    for s in _BMP_DIB_SIZES:
+        dib_ok = dib_ok | (dib == F.expr(f"X'{struct.pack('<I', s).hex().upper()}'"))
+    expr = F.when(is_bmp & dib_ok, F.lit("bmp")).otherwise(expr)
     is_riff = F.expr(f"substring({blob_col}, 1, 4)") == F.expr("X'52494646'")
     fourcc = F.expr(f"substring({blob_col}, 9, 4)")
     return (
@@ -229,7 +245,11 @@ def media_metadata(df: DataFrame, blob_col: str = "payload", id_col: str = "medi
                     kind, dims = "gif", gif_dimensions(blob)
                 elif blob[:4] in (b"II*\x00", b"MM\x00*"):
                     kind, dims = "tiff", tiff_dimensions(blob)
-                elif blob[:2] == b"BM":
+                elif (
+                    blob[:2] == b"BM"
+                    and len(blob) >= 18
+                    and struct.unpack("<I", blob[14:18])[0] in _BMP_DIB_SIZES
+                ):
                     kind, dims = "bmp", bmp_dimensions(blob)
                 elif blob[:4] == b"%PDF":
                     kind, dims = "pdf", None
@@ -294,11 +314,17 @@ def _tiff_ifd0(tiff: bytes) -> dict[int, int]:
         if off + 12 > len(tiff):
             break
         tag, typ, cnt = struct.unpack(end + "HHI", tiff[off : off + 8])
-        if cnt >= 1 and tag not in out:
-            if typ == 3:  # SHORT
-                out[tag] = struct.unpack(end + "H", tiff[off + 8 : off + 10])[0]
-            elif typ == 4:  # LONG
-                out[tag] = struct.unpack(end + "I", tiff[off + 8 : off + 12])[0]
+        if tag in out:
+            continue
+        # Per TIFF spec the 4-byte value field is only INLINE when the
+        # value fits (SHORT: cnt ≤ 2, LONG: cnt = 1) — otherwise it is
+        # an OFFSET, and reading it as a value would report bogus
+        # widths/heights/orientations. Multi-count tags are skipped
+        # entirely (the tags consumed here are all cnt=1 scalars).
+        if typ == 3 and 1 <= cnt <= 2:  # SHORT, inline
+            out[tag] = struct.unpack(end + "H", tiff[off + 8 : off + 10])[0]
+        elif typ == 4 and cnt == 1:  # LONG, inline
+            out[tag] = struct.unpack(end + "I", tiff[off + 8 : off + 12])[0]
     return out
 
 

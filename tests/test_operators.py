@@ -878,3 +878,40 @@ def test_decode_images_auto_orient_uprights_exif_jpeg(spark):
     raw = {r["media_id"]: r for r in decode_images(df).collect()}
     assert (raw[2]["width"], raw[2]["height"]) == (w, h)
     assert bytes(raw[2]["pixels"]) == bytes(raw[1]["pixels"])
+
+
+def test_bmp_sniff_requires_dib_header_size(spark):
+    # 'BM'-prefixed text (e.g. "BMW ...") must not classify as bmp in
+    # either engine; a valid DIB header size at offset 14 is required.
+    from karanta_ocr_spark.operators.multimodal import media_kind_expr
+
+    rows = [(1, b"BMW cars are from Munich, not bitmaps"), (2, _bmp(12, 13))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    meta = {r["media_id"]: r for r in media_metadata(df).collect()}
+    assert meta[1]["kind"] == "unknown" and meta[1]["width"] is None
+    assert (meta[2]["kind"], meta[2]["width"], meta[2]["height"]) == ("bmp", 12, 13)
+    kinds = {r["media_id"]: r["k"] for r in
+             df.select("media_id", media_kind_expr("payload").alias("k")).collect()}
+    assert kinds == {m: meta[m]["kind"] for m in kinds}  # Arrow ≡ Catalyst
+
+
+def test_tiff_multicount_tags_are_offsets_not_values():
+    # A SHORT tag with cnt>2 (or LONG with cnt>1) stores an OFFSET in
+    # the 4-byte field; reading it as an inline value reported bogus
+    # dims. Such tags must be skipped.
+    from karanta_ocr_spark.operators.multimodal import tiff_dimensions
+
+    def entry(tag, typ, cnt, field):
+        return struct.pack("<HHI", tag, typ, cnt) + field
+
+    multi = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 2)
+             + entry(0x0100, 3, 3, struct.pack("<I", 0x00200020))  # offset, not value
+             + entry(0x0101, 4, 2, struct.pack("<I", 0x00300030))
+             + struct.pack("<I", 0))
+    assert tiff_dimensions(multi) is None
+    # cnt=2 SHORT still fits inline (first value wins).
+    two = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 2)
+           + entry(0x0100, 3, 2, struct.pack("<HH", 640, 9))
+           + entry(0x0101, 3, 1, struct.pack("<HH", 480, 0))
+           + struct.pack("<I", 0))
+    assert tiff_dimensions(two) == (640, 480)

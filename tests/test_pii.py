@@ -100,3 +100,24 @@ def test_canonicalize_is_idempotent(spark):
 )
 def test_canonicalize_url(spark, url, expected):
     assert _canon_one(spark, url) == expected
+
+
+def test_scrub_phone_left_boundary_guard(spark):
+    # The NANP alternative must not match INSIDE a longer digit run:
+    # '1234-567-8901' used to half-eat into '1|||PHONE|||'.
+    s = "serial 1234-567-8901 intact"
+    assert _scrub_one(spark, s) == s
+    # ...but a real NANP number with a clean left edge still masks,
+    # with the boundary character re-inserted.
+    assert _scrub_one(spark, "call (555) 123-4567 now") == f"call {PHONE_TOKEN} now"
+    assert _scrub_one(spark, "555-123-4567 leads") == f"{PHONE_TOKEN} leads"
+
+
+def test_whitespace_class_matches_java_s_for_vertical_tab(spark):
+    # Shared oracle-safe patterns use the explicit [ \t-\r] class, which
+    # must treat U+000B exactly like Java's \s did (RE2's \s does not
+    # include VT — the class is what keeps Spark and DuckDB agreeing).
+    from karanta_ocr_spark.functions.text_analysis import token_count
+
+    df = spark.createDataFrame([("a\x0bb c",)], "t string")
+    assert df.select(token_count(F.col("t")).alias("n")).first()["n"] == 3
