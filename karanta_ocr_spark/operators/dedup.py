@@ -129,29 +129,51 @@ def minhash_signatures(
     shingle_unit: str = "word",
     use_numpy: bool = True,
     base_hash: str = "xxhash64",
+    emit_bands: int | None = None,
 ) -> DataFrame:
-    """Add ``minhash: array<bigint>`` of length *num_perm*.
+    """Add ``minhash: array<bigint>`` of length *num_perm* (and, with
+    ``emit_bands=B``, a ``_bands: array<bigint>`` of B LSH bucket ids).
 
-    One base hash per shingle (masked to 31 bits) stays JVM-side;
-    each permutation p then applies ``(a_p*h + b_p) mod prime`` and
-    takes the min. Products stay < 2^62, so the math is ANSI-overflow-
-    safe and exact in int64 either way.
+    One base hash per shingle (masked to 31 bits); each permutation p
+    then applies ``(a_p*h + b_p) mod prime`` and takes the min.
+    Products stay < 2^62, so the math is ANSI-overflow-safe and exact
+    in int64 either way.
 
-    The permutation fold is ``num_perm`` interpreted HOF lambdas in
-    Catalyst — the whole cost of the minhash headline query — so by
-    default it runs as one numpy outer-product + ``minimum.reduceat``
-    per Arrow batch (``use_numpy=False`` keeps the pure-Catalyst
-    formulation, bit-identical, as spec and fallback)."""
+    Path selection:
+
+    * ``use_numpy=False`` — the pure-Catalyst spec formulation
+      (shingle expr → JVM hash → HOF permutation fold), bit-identical
+      reference for the parity tests.
+    * xxhash64 + numpy (production default) — shingle + hash stay
+      JVM-side (xxhash64 has no stdlib twin), only the permutation
+      fold crosses into numpy.
+    * md5 + numpy — the FUSED path: raw text crosses Arrow once and
+      tokenize → shingle → md5 → permutation fold → band buckets all
+      run inside the batch. Shipping shingle string arrays through
+      Arrow was 3.5 s of the 4.1 s signature stage at sf0.1 (pandas
+      materializes a Python string object per shingle); the text
+      itself is ~3× smaller and stays a flat column. Tokenization
+      replicates the Catalyst expression exactly: ``strip(' ')`` =
+      SQL ``trim``, ``str.lower()``, and the shared ``[ \\t-\\r]+``
+      whitespace class (``re`` and Java agree on it, unlike ``\\s``).
+      Case-mapping caveat: Python/DuckDB lower() use the simple
+      Unicode mapping while the JVM's is locale-free FULL mapping —
+      they differ on Greek final sigma, so the fused path agrees with
+      the ORACLE there and the Catalyst spec path differs; parity
+      fixtures avoid the divergent code points.
+
+    Band buckets (``emit_bands``) are the md5-mode :func:`lsh_bands`
+    values computed in the same pass — ``int(md5("b:v1,…,vr")[:15],
+    16)`` — so candidate generation needs no JVM md5/concat per band.
+    """
     coeffs = _perm_coeffs(num_perm, seed)
-    df = df.withColumn("_shingles", F.expr(_shingles_expr(text_col, shingle_k, shingle_unit)))
-    # md5+numpy mode hashes shingles INSIDE the Arrow batch (hashlib);
-    # the JVM Md5/Conv expressions allocate a digest + do a string
-    # radix parse per shingle, which measured ~4× the cost of the whole
-    # permutation fold at sf0.1. Values are bit-identical either way
-    # (first 4 md5 bytes big-endian, masked to 31 bits) — pinned by the
-    # Catalyst-vs-numpy parity test and the DuckDB oracle.
     hash_in_python = use_numpy and base_hash == "md5"
+    if emit_bands is not None and not hash_in_python:
+        raise ValueError("emit_bands requires the md5+numpy fused path")
     if not hash_in_python:
+        df = df.withColumn(
+            "_shingles", F.expr(_shingles_expr(text_col, shingle_k, shingle_unit))
+        )
         df = df.withColumn(
             "_sh_hashes",
             F.expr(f"transform(_shingles, s -> {_shingle_hash_expr(base_hash)})"),
@@ -171,11 +193,16 @@ def minhash_signatures(
 
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-    feed_col = "_shingles" if hash_in_python else "_sh_hashes"
+    if shingle_unit not in ("word", "char"):
+        raise ValueError(f"unknown shingle_unit: {shingle_unit!r}")
     A = np.asarray([a for a, _ in coeffs], dtype=np.int64)[:, None]
     B = np.asarray([b for _, b in coeffs], dtype=np.int64)[:, None]
-    out_fields = [f for f in df.schema.fields if f.name != feed_col]
+    feed_col = text_col if hash_in_python else "_sh_hashes"
+    out_fields = [f for f in df.schema.fields if f.name != "_sh_hashes"]
     schema = StructType(out_fields + [StructField("minhash", ArrayType(LongType()))])
+    if emit_bands is not None:
+        schema = schema.add(StructField("_bands", ArrayType(LongType())))
+    rows_per_band = num_perm // emit_bands if emit_bands else 0
 
     #: bound the (num_perm × chunk_tokens) int64 working set per step
     #: (~64 MB at num_perm=64) — independent of Arrow batch sizing.
@@ -183,6 +210,9 @@ def minhash_signatures(
 
     def run(batches):
         import hashlib
+        import re
+
+        ws_re = re.compile(r"[ \t-\r]+")
 
         def h31(arr):
             return np.fromiter(
@@ -195,17 +225,45 @@ def minhash_signatures(
                 count=len(arr),
             )
 
+        def shingle_hashes(txt):
+            # Twin of _shingles_expr + _shingle_hash_expr('md5'):
+            # trim(' ') → lower → [ \t-\r]+ split → k-grams (the
+            # whole token list as ONE shingle when shorter than k).
+            # No distinct: duplicate shingles cannot change a min.
+            if shingle_unit == "word":
+                toks = ws_re.split(txt.strip(" ").lower())
+                if len(toks) < shingle_k:
+                    return h31([" ".join(toks)])
+                return h31(
+                    [
+                        " ".join(toks[i : i + shingle_k])
+                        for i in range(len(toks) - shingle_k + 1)
+                    ]
+                )
+            canon = ws_re.sub(" ", txt.strip(" ")).lower()
+            if len(canon) < shingle_k:
+                return h31([canon])
+            return h31(
+                [canon[i : i + shingle_k] for i in range(len(canon) - shingle_k + 1)]
+            )
+
         for pdf in batches:
             if not len(pdf):
-                pdf = pdf.drop(columns=[feed_col])
+                pdf = pdf.copy()
+                if not hash_in_python:
+                    pdf = pdf.drop(columns=["_sh_hashes"])
                 pdf["minhash"] = []
+                if emit_bands is not None:
+                    pdf["_bands"] = []
                 yield pdf
                 continue
             # NULL text → NULL shingle array; the pure-Catalyst
             # formulation then yields an array of num_perm nulls
             # (array_min over a null array per permutation) — match it.
             if hash_in_python:
-                arrs = [None if v is None else h31(v) for v in pdf[feed_col]]
+                arrs = [
+                    None if v is None else shingle_hashes(v) for v in pdf[feed_col]
+                ]
             else:
                 arrs = [
                     None if v is None else np.asarray(v, dtype=np.int64)
@@ -233,8 +291,37 @@ def minhash_signatures(
                     for col, g in enumerate(group):
                         sigs[g] = mins[:, col].tolist()
                 i = j
-            pdf = pdf.drop(columns=[feed_col])
+            pdf = pdf.copy()
+            if not hash_in_python:
+                pdf = pdf.drop(columns=["_sh_hashes"])
             pdf["minhash"] = sigs
+            if emit_bands is not None:
+                bands_out = []
+                for sig in sigs:
+                    if sig and sig[0] is None:
+                        bands_out.append(None)
+                        continue
+                    bands_out.append(
+                        [
+                            int(
+                                hashlib.md5(
+                                    (
+                                        f"{b}:"
+                                        + ",".join(
+                                            str(v)
+                                            for v in sig[
+                                                b * rows_per_band : (b + 1)
+                                                * rows_per_band
+                                            ]
+                                        )
+                                    ).encode()
+                                ).hexdigest()[:15],
+                                16,
+                            )
+                            for b in range(emit_bands)
+                        ]
+                    )
+                pdf["_bands"] = bands_out
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
@@ -275,6 +362,8 @@ def candidate_pairs(
     with_sig: DataFrame, id_col: str, bands: int, num_perm: int,
     bucket_cap: int = 64,
     base_hash: str = "xxhash64",
+    bands_col: str | None = None,
+    dedupe_pairs: bool = True,
 ) -> DataFrame:
     """Bucket-join candidate generation: explode band hashes, self-join
     within (band, bucket). Only same-bucket rows ever meet — this is
@@ -289,10 +378,19 @@ def candidate_pairs(
     non-anchor member loses its pair against the anchor. The recall
     trade (a pair similar to each other but not to the anchor) only
     applies inside oversized buckets, where all-pairs was never viable.
+
+    ``bands_col`` names a precomputed per-band bucket array (the fused
+    signature path emits one) — the explode then reads it directly
+    instead of re-hashing band slices JVM-side.
     """
+    band_src = (
+        F.col(bands_col)
+        if bands_col is not None
+        else lsh_bands(num_perm, bands, base_hash)
+    )
     exploded = with_sig.select(
         F.col(id_col), F.col("minhash"),
-        F.posexplode(lsh_bands(num_perm, bands, base_hash)).alias("band", "bucket"),
+        F.posexplode(band_src).alias("band", "bucket"),
     )
     anchors = exploded.groupBy("band", "bucket").agg(
         F.min(id_col).alias("_anchor_id"),
@@ -322,7 +420,14 @@ def candidate_pairs(
             F.col("minhash").alias("mh_b"),
         )
     )
-    return pairs_small.unionByName(pairs_big).dropDuplicates(["id_a", "id_b"])
+    pairs = pairs_small.unionByName(pairs_big)
+    # dedupe_pairs=False skips the pair-level shuffle: a pair sharing
+    # several bands is then emitted once per band, which is the right
+    # trade when the verify is a cheap per-row expression and the
+    # victim set is distinct-ed downstream (minhash est-Jaccard).
+    # Keep True when each pair feeds an expensive verify (the n-gram
+    # exact-Jaccard join) — there the dedup shuffle pays for itself.
+    return pairs.dropDuplicates(["id_a", "id_b"]) if dedupe_pairs else pairs
 
 
 def minhash_lsh_dedup(
@@ -345,11 +450,15 @@ def minhash_lsh_dedup(
     reproducible in an independent SQL engine — the DuckDB oracle in
     ``__spark_entry__.oracle_sql()['minhash_dedup']`` replays it
     end-to-end. xxhash64 stays the production default (cheaper)."""
+    fused = base_hash == "md5"
     with_sig = minhash_signatures(
         df, text_col, num_perm, shingle_k, shingle_unit=shingle_unit,
-        base_hash=base_hash,
+        base_hash=base_hash, emit_bands=bands if fused else None,
     ).persist()
-    pairs = candidate_pairs(with_sig, id_col, bands, num_perm, base_hash=base_hash)
+    pairs = candidate_pairs(
+        with_sig, id_col, bands, num_perm, base_hash=base_hash,
+        bands_col="_bands" if fused else None, dedupe_pairs=False,
+    )
     est = pairs.withColumn(
         "est_jaccard",
         F.size(

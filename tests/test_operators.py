@@ -915,3 +915,19 @@ def test_tiff_multicount_tags_are_offsets_not_values():
            + entry(0x0101, 3, 1, struct.pack("<HH", 480, 0))
            + struct.pack("<I", 0))
     assert tiff_dimensions(two) == (640, 480)
+
+
+def test_fused_band_buckets_match_catalyst_lsh_bands(docs_df):
+    # The fused md5 path emits band buckets from the same numpy pass
+    # as the signatures; they must equal the Catalyst lsh_bands
+    # formulation (md5 of "band:v1,...,vr", first 15 hex chars).
+    from karanta_ocr_spark.operators.dedup import lsh_bands, minhash_signatures
+
+    fused = {r["doc_id"]: r["_bands"] for r in
+             minhash_signatures(docs_df, "text", 16, base_hash="md5",
+                                emit_bands=4)
+             .select("doc_id", "_bands").collect()}
+    sig = minhash_signatures(docs_df, "text", 16, base_hash="md5")
+    cat = {r["doc_id"]: r["b"] for r in
+           sig.select("doc_id", lsh_bands(16, 4, "md5").alias("b")).collect()}
+    assert fused == cat and len(fused) > 0
