@@ -482,12 +482,16 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_media_decode_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full un-faked multimodal chain: deterministic grayscale images
-    derived from doc ids → pure-stdlib baseline-JPEG encode (odd doc
+    derived from doc ids → pure-stdlib JPEG encode — PROGRESSIVE
+    (5-scan SOF2) for doc_id % 3 == 0, baseline SOF0 otherwise, so
+    both entropy-coding parities run live through the gate; odd doc
     ids additionally get an EXIF orientation-6 APP1 spliced in, so the
-    auto-orient rotation runs live through the gate) → decode_images
-    (no PIL, auto_orient) → BT.601 grayscale → nearest resize → pixel
+    auto-orient rotation runs too → decode_images (no PIL,
+    auto_orient) → BT.601 grayscale → nearest resize → pixel
     fingerprint. Rows-only (pixel bytes not SQL-expressible),
-    deterministic across partitionings."""
+    deterministic across partitionings; baseline and progressive
+    encodings of the same image decode to identical pixels, so the
+    fingerprints depend only on content."""
     from karanta_ocr_spark.operators.multimodal import (
         decode_images,
         grayscale_images,
@@ -501,7 +505,10 @@ def _q_media_decode_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import pandas as pd
 
-        from karanta_ocr_spark.kernel.jpeg_mini import encode_jpeg_gray
+        from karanta_ocr_spark.kernel.jpeg_mini import (
+            encode_jpeg_gray,
+            encode_jpeg_gray_progressive,
+        )
 
         # EXIF orientation 6 (= 90° CW to upright): rotated rows come
         # back with swapped dims, proving the orientation path end-to-end.
@@ -520,7 +527,12 @@ def _q_media_decode_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for y in range(h)
                     for x in range(w)
                 )
-                jpg = encode_jpeg_gray(w, h, img)
+                enc = (
+                    encode_jpeg_gray_progressive
+                    if did % 3 == 0
+                    else encode_jpeg_gray
+                )
+                jpg = enc(w, h, img)
                 if did % 2 == 1:
                     jpg = jpg[:2] + app1 + jpg[2:]
                 out["media_id"].append(int(did))

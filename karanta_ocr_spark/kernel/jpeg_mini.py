@@ -1,22 +1,29 @@
-"""Pure-stdlib baseline JPEG (JFIF) decode.
+"""Pure-stdlib baseline + progressive JPEG (JFIF) decode.
 
 Finishes the real-image-decode story the PNG decoder started
 (``kernel/png_mini.py``): the container has no PIL/libjpeg, but
-baseline sequential JPEG — the overwhelming majority of crawled web
+Huffman-coded JPEG — the overwhelming majority of crawled web
 images — is decodable with stdlib only: marker walk, Huffman entropy
 decode with byte-unstuffing, DC prediction, dequantize + dezigzag,
 float IDCT, chroma upsampling, YCbCr→RGB.
 
-Supported: baseline DCT (SOF0), 8-bit, 1-component grayscale and
-3-component YCbCr at 4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers.
-Progressive (SOF2), arithmetic coding, and 12-bit raise
-``JpegError`` — callers treat that like any undecodable payload (the
-PIL-gated fallback in ``operators/multimodal.decode_images``).
+Supported: baseline DCT (SOF0) and progressive DCT (SOF2 — spectral
+selection AND successive approximation: DC/AC first + refinement
+scans, EOB runs, per-scan table redefinition), 8-bit, 1-component
+grayscale and 3-component YCbCr at 4:4:4 / 4:2:2 / 4:2:0 sampling,
+restart markers. Arithmetic coding, 12-bit, lossless, and
+hierarchical raise ``JpegError`` — callers treat that like any
+undecodable payload (the PIL-gated fallback in
+``operators/multimodal.decode_images``).
 
-A matching minimal encoder (gray/4:4:4, standard Annex K tables)
-exists for fixtures: flat 8×8 blocks survive the DCT+quant round trip
-exactly, which pins the entropy/DC-prediction/IDCT paths without a
-reference codec in the container.
+Matching minimal encoders (baseline gray and a 5-scan progressive
+gray: DC first/refine at Al=1→0, AC first split 1–5/6–63, AC refine
+with buffered correction bits and EOB-run accumulation, following
+the public libjpeg jcphuff.c algorithm) exist for fixtures: with
+all-ones quant tables the two encodings carry IDENTICAL final
+coefficients, so a progressive fixture must decode to the exact
+pixel bytes of its baseline twin — which pins every progressive scan
+path without a reference codec in the container.
 """
 
 from __future__ import annotations
@@ -157,8 +164,63 @@ def _idct2d(coef: list[float]) -> list[int]:
     return out
 
 
+def _planes_to_rgb(
+    comps: list[dict], width: int, height: int, hmax: int, vmax: int
+) -> bytes:
+    """Assemble per-component sample planes into row-major RGB bytes
+    (grayscale replicate or YCbCr→RGB with nearest-neighbor chroma
+    upsampling)."""
+    rgb = bytearray(width * height * 3)
+    if len(comps) == 1:
+        c = comps[0]
+        plane, pw = c["plane"], c["pw"]
+        for y in range(height):
+            base = y * pw
+            for x in range(width):
+                v = plane[base + x]
+                o = 3 * (y * width + x)
+                rgb[o] = rgb[o + 1] = rgb[o + 2] = v
+    elif len(comps) == 3:
+        cy, cb, cr = comps
+        for y in range(height):
+            for x in range(width):
+                Y = cy["plane"][(y * cy["v"] // vmax) * cy["pw"] + (x * cy["h"] // hmax)]
+                Cb = cb["plane"][(y * cb["v"] // vmax) * cb["pw"] + (x * cb["h"] // hmax)]
+                Cr = cr["plane"][(y * cr["v"] // vmax) * cr["pw"] + (x * cr["h"] // hmax)]
+                r = Y + 1.402 * (Cr - 128)
+                g = Y - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128)
+                b = Y + 1.772 * (Cb - 128)
+                o = 3 * (y * width + x)
+                rgb[o] = 0 if r < 0 else (255 if r > 255 else int(r + 0.5))
+                rgb[o + 1] = 0 if g < 0 else (255 if g > 255 else int(g + 0.5))
+                rgb[o + 2] = 0 if b < 0 else (255 if b > 255 else int(b + 0.5))
+    else:
+        raise JpegError(f"{len(comps)}-component images unsupported")
+    return bytes(rgb)
+
+
+def _parse_sof_body(body: bytes) -> tuple[int, int, list[dict]]:
+    prec = body[0]
+    if prec != 8:
+        raise JpegError("non-8-bit precision")
+    height, width = struct.unpack(">HH", body[1:5])
+    nc = body[5]
+    comps = []
+    for c in range(nc):
+        if 9 + 3 * c > len(body):
+            raise JpegError("truncated SOF")
+        cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+        h_f, v_f = hv >> 4, hv & 0xF
+        if not (1 <= h_f <= 4 and 1 <= v_f <= 4):
+            raise JpegError(f"bad sampling factors {h_f}x{v_f}")
+        comps.append({"id": cid, "h": h_f, "v": v_f, "tq": tq})
+    return width, height, comps
+
+
 def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
-    """Baseline JPEG bytes → ``(width, height, row-major RGB bytes)``."""
+    """JPEG bytes → ``(width, height, row-major RGB bytes)``.
+    Dispatches SOF0 → the streaming baseline path below, SOF2 →
+    :func:`_decode_progressive`."""
     if data[:2] != b"\xff\xd8":
         raise JpegError("bad SOI")
     qt: dict[int, list[int]] = {}
@@ -192,22 +254,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 qt[tq] = list(body[j + 1 : j + 65])
                 j += 65
         elif marker == 0xC0:  # SOF0 baseline
-            prec = body[0]
-            if prec != 8:
-                raise JpegError("non-8-bit precision")
-            height, width = struct.unpack(">HH", body[1:5])
-            nc = body[5]
-            comps = []
-            for c in range(nc):
-                if 9 + 3 * c > len(body):
-                    raise JpegError("truncated SOF0")
-                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                h_f, v_f = hv >> 4, hv & 0xF
-                if not (1 <= h_f <= 4 and 1 <= v_f <= 4):
-                    raise JpegError(f"bad sampling factors {h_f}x{v_f}")
-                comps.append({"id": cid, "h": h_f, "v": v_f, "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
-            raise JpegError("only baseline SOF0 supported")
+            width, height, comps = _parse_sof_body(body)
+        elif marker == 0xC2:  # SOF2 progressive — coefficient-accumulating path
+            return _decode_progressive(data)
+        elif marker in (0xC1, 0xC3, 0xC9, 0xCA, 0xCB):
+            raise JpegError("only SOF0/SOF2 supported")
         elif marker == 0xC4:  # DHT
             j = 0
             while j < len(body):
@@ -296,33 +347,292 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                             row = (oy + yy) * pw + ox
                             plane[row : row + 8] = bytes(px[yy * 8 : yy * 8 + 8])
 
-    rgb = bytearray(width * height * 3)
-    if len(comps) == 1:
-        c = comps[0]
-        plane, pw = c["plane"], c["pw"]
-        for y in range(height):
-            base = y * pw
-            for x in range(width):
-                v = plane[base + x]
-                o = 3 * (y * width + x)
-                rgb[o] = rgb[o + 1] = rgb[o + 2] = v
-    elif len(comps) == 3:
-        cy, cb, cr = comps
-        for y in range(height):
-            for x in range(width):
-                Y = cy["plane"][(y * cy["v"] // vmax) * cy["pw"] + (x * cy["h"] // hmax)]
-                Cb = cb["plane"][(y * cb["v"] // vmax) * cb["pw"] + (x * cb["h"] // hmax)]
-                Cr = cr["plane"][(y * cr["v"] // vmax) * cr["pw"] + (x * cr["h"] // hmax)]
-                r = Y + 1.402 * (Cr - 128)
-                g = Y - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128)
-                b = Y + 1.772 * (Cb - 128)
-                o = 3 * (y * width + x)
-                rgb[o] = 0 if r < 0 else (255 if r > 255 else int(r + 0.5))
-                rgb[o + 1] = 0 if g < 0 else (255 if g > 255 else int(g + 0.5))
-                rgb[o + 2] = 0 if b < 0 else (255 if b > 255 else int(b + 0.5))
+    return width, height, _planes_to_rgb(comps, width, height, hmax, vmax)
+
+
+# ---------------------------------------------------------- progressive
+def _decode_progressive(data: bytes) -> tuple[int, int, bytes]:
+    """Progressive (SOF2) decode: walk EVERY scan, accumulating raw
+    (undequantized) coefficients per block across spectral-selection
+    and successive-approximation passes, then dequantize + IDCT once
+    at the end. Tables may be redefined between scans (the common
+    libjpeg output shape); restart intervals apply per scan."""
+    from array import array
+
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, _Huff] = {}
+    huff_ac: dict[int, _Huff] = {}
+    comps: list[dict] = []
+    width = height = 0
+    restart_interval = 0
+    hmax = vmax = 1
+    mcux = mcuy = 0
+    allocated = False
+    saw_scan = False
+    i, n = 2, len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        body = data[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0xF
+                if pq != 0:
+                    raise JpegError("16-bit quant tables unsupported")
+                qt[tq] = list(body[j + 1 : j + 65])
+                j += 65
+        elif marker == 0xC2:
+            width, height, comps = _parse_sof_body(body)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC9, 0xCA, 0xCB):
+            raise JpegError("mixed/unsupported SOF in progressive stream")
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0xF
+                bits = list(body[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = body[j + 17 : j + 17 + nv]
+                (huff_dc if tc == 0 else huff_ac)[th] = _Huff(bits, vals)
+                j += 17 + nv
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:
+            if not comps or not width or not height:
+                raise JpegError("SOS before SOF2")
+            if not allocated:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = (width + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+                for c in comps:
+                    # MCU-padded block grid (interleaved scans) and the
+                    # component's own block grid (non-interleaved scans
+                    # iterate only the real blocks, per spec A.2.2).
+                    c["bw"] = mcux * c["h"]
+                    c["bh"] = mcuy * c["v"]
+                    cw = (width * c["h"] + hmax - 1) // hmax
+                    ch = (height * c["v"] + vmax - 1) // vmax
+                    c["nbw"] = (cw + 7) // 8
+                    c["nbh"] = (ch + 7) // 8
+                    c["coef"] = array("i", bytes(4 * c["bw"] * c["bh"] * 64))
+                allocated = True
+            ns = body[0]
+            by_id = {c["id"]: c for c in comps}
+            sel = []
+            for s_i in range(ns):
+                cs, tables = body[1 + 2 * s_i : 3 + 2 * s_i]
+                c = by_id.get(cs)
+                if c is None:
+                    raise JpegError("scan references unknown component")
+                c["td"], c["ta"] = tables >> 4, tables & 0xF
+                sel.append(c)
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            if ss > se or se > 63 or al > 13:
+                raise JpegError("bad spectral selection")
+            if ss > 0 and ns != 1:
+                raise JpegError("interleaved AC scan forbidden")
+            i = _progressive_scan(
+                data, i + 2 + seg_len, sel, ss, se, ah, al,
+                restart_interval, huff_dc, huff_ac, mcux, mcuy,
+            )
+            saw_scan = True
+            continue
+        i += 2 + seg_len
+    if not saw_scan:
+        raise JpegError("progressive stream without scans")
+
+    # dequantize + IDCT every (MCU-padded) block into sample planes
+    for c in comps:
+        q = qt.get(c["tq"])
+        if q is None:
+            raise JpegError("missing quant table")
+        c["pw"] = c["bw"] * 8
+        c["ph"] = c["bh"] * 8
+        plane = bytearray(c["pw"] * c["ph"])
+        coefs = c["coef"]
+        pw = c["pw"]
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                base = (by * c["bw"] + bx) * 64
+                block = [0.0] * 64
+                nz = False
+                for k in range(64):
+                    v = coefs[base + _ZIGZAG[k]]
+                    if v:
+                        block[_ZIGZAG[k]] = v * q[k]
+                        nz = True
+                px = _FLAT128 if not nz else _idct2d(block)
+                ox, oy = bx * 8, by * 8
+                for yy in range(8):
+                    row = (oy + yy) * pw + ox
+                    plane[row : row + 8] = bytes(px[yy * 8 : yy * 8 + 8])
+        c["plane"] = plane
+    return width, height, _planes_to_rgb(comps, width, height, hmax, vmax)
+
+
+#: all-zero coefficient block → constant level-shift gray (IDCT of 0).
+_FLAT128 = [128] * 64
+
+
+def _progressive_scan(
+    data: bytes,
+    pos: int,
+    sel: list[dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+    huff_dc: dict[int, _Huff],
+    huff_ac: dict[int, _Huff],
+    mcux: int,
+    mcuy: int,
+) -> int:
+    """Entropy-decode one progressive scan into the selected
+    components' coefficient arrays; returns the offset of the next
+    marker after the scan's entropy data."""
+    rd = _BitReader(data, pos)
+    for c in sel:
+        c["pred"] = 0
+    state = {"eobrun": 0}
+
+    def block(c: dict, by: int, bx: int) -> None:
+        coef = c["coef"]
+        base = (by * c["bw"] + bx) * 64
+        if ss == 0:
+            if ah == 0:  # DC first
+                dc_t = huff_dc.get(c.get("td"))
+                if dc_t is None:
+                    raise JpegError("missing huffman table")
+                size = rd.huff(dc_t)
+                c["pred"] += _extend(rd.bits(size), size)
+                coef[base] = c["pred"] << al
+            else:  # DC refinement: one bit per block
+                if rd.bits(1):
+                    coef[base] |= 1 << al
+            return
+        ac_t = huff_ac.get(c.get("ta"))
+        if ac_t is None:
+            raise JpegError("missing huffman table")
+        if ah == 0:  # AC first (band all-zero before this scan)
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = rd.huff(ac_t)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:  # EOBn: run of (1<<r)+bits(r) all-EOB blocks
+                        state["eobrun"] = (1 << r) - 1
+                        if r:
+                            state["eobrun"] += rd.bits(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise JpegError("AC index out of band")
+                coef[base + _ZIGZAG[k]] = _extend(rd.bits(s), s) << al
+                k += 1
+            return
+        # AC refinement (public libjpeg jdphuff.c decode_mcu_AC_refine
+        # shape): newly-significant coefficients arrive as s=1 codes;
+        # every already-nonzero coefficient passed on the way emits a
+        # correction bit; EOB runs cover whole blocks but still carry
+        # correction bits for their nonzero history.
+        p1 = 1 << al
+        m1 = -1 << al
+
+        def correct(z: int) -> None:
+            if rd.bits(1) and (coef[z] & p1) == 0:
+                coef[z] += p1 if coef[z] >= 0 else m1
+
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = rd.huff(ac_t)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += rd.bits(r)
+                        break
+                    # r == 15 (ZRL): pass 16 zero-history coefficients
+                elif s == 1:
+                    val = p1 if rd.bits(1) else m1
+                else:
+                    raise JpegError("bad AC refinement code")
+                while k <= se:
+                    z = base + _ZIGZAG[k]
+                    if coef[z] != 0:
+                        correct(z)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    coef[base + _ZIGZAG[k]] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                z = base + _ZIGZAG[k]
+                if coef[z] != 0:
+                    correct(z)
+                k += 1
+            state["eobrun"] -= 1
+
+    count = 0
+    if len(sel) == 1:
+        c = sel[0]
+        # Non-interleaved: the component's own block grid, not the
+        # MCU-padded one.
+        for by in range(c["nbh"]):
+            for bx in range(c["nbw"]):
+                if restart_interval and count and count % restart_interval == 0:
+                    rd.sync_restart()
+                    c["pred"] = 0
+                    state["eobrun"] = 0
+                count += 1
+                block(c, by, bx)
     else:
-        raise JpegError(f"{len(comps)}-component images unsupported")
-    return width, height, bytes(rgb)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and count and count % restart_interval == 0:
+                    rd.sync_restart()
+                    for c in sel:
+                        c["pred"] = 0
+                    state["eobrun"] = 0
+                count += 1
+                for c in sel:
+                    for byi in range(c["v"]):
+                        for bxi in range(c["h"]):
+                            block(c, my * c["v"] + byi, mx * c["h"] + bxi)
+
+    # locate the next marker after this scan's entropy bytes
+    j = max(rd.i, pos)
+    while j + 1 < len(data):
+        if data[j] == 0xFF and data[j + 1] != 0x00:
+            if 0xD0 <= data[j + 1] <= 0xD7:
+                j += 2
+                continue
+            return j
+        j += 1
+    return len(data)
 
 
 # ------------------------------------------------------------- encoder
@@ -469,3 +779,207 @@ def encode_jpeg_gray(width: int, height: int, gray: bytes) -> bytes:
         + bytes(w.out)
         + b"\xff\xd9"
     )
+
+
+#: Near-flat AC Huffman spec for progressive fixtures: all 256
+#: symbols (baseline Annex K lacks the EOBn codes progressive scans
+#: emit). DHT counts are u8, so 255 symbols sit at 9 bits and the
+#: last at 10 — still canonical and prefix-free.
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = bytes(range(256))
+
+
+def _quant_blocks(width: int, height: int, gray: bytes) -> list[list[int]]:
+    """Per-8×8-block quantized (q=1) zigzag coefficient lists — shared
+    by both encoders so baseline and progressive fixtures carry
+    IDENTICAL final coefficients."""
+    blocks = []
+    for by in range((height + 7) // 8):
+        for bx in range((width + 7) // 8):
+            block = [0] * 64
+            for y in range(8):
+                for x in range(8):
+                    sx = min(bx * 8 + x, width - 1)
+                    sy = min(by * 8 + y, height - 1)
+                    block[y * 8 + x] = gray[sy * width + sx]
+            coef = _fdct2d(block)
+            blocks.append([int(round(coef[_ZIGZAG[k]])) for k in range(64)])
+    return blocks
+
+
+def encode_jpeg_gray_progressive(width: int, height: int, gray: bytes) -> bytes:
+    """Minimal PROGRESSIVE grayscale encoder — fixture generation for
+    the SOF2 decode path. Five scans exercise every progressive decode
+    mode: DC first (Al=1), AC first over two spectral bands 1–5 and
+    6–63 (Al=1, EOB-run accumulation), DC refinement (Ah=1→Al=0), and
+    AC refinement 1–63 (correction bits buffered across ZRL/EOB runs —
+    the public libjpeg jcphuff.c shape). Same all-ones quant and
+    Annex K Huffman tables as :func:`encode_jpeg_gray`, so both
+    encodings decode to identical pixels."""
+    if len(gray) != width * height:
+        raise ValueError("gray length mismatch")
+    dc_codes = _huff_codes(_STD_DC_BITS, _STD_DC_VALS)
+    # The Annex K baseline AC table has no EOBn symbols (0x10..0xE0) —
+    # progressive streams need them, so fixtures carry a flat custom
+    # table: all 256 symbols at 9 bits (canonical, prefix-free, and it
+    # exercises the decoder's DHT parse of a non-standard table).
+    ac_codes = _huff_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    blocks = _quant_blocks(width, height, gray)
+
+    def dc_first_scan(al: int) -> bytes:
+        w = _BitWriter()
+        pred = 0
+        for q in blocks:
+            v = q[0] >> al  # DC point transform: arithmetic shift
+            diff = v - pred
+            pred = v
+            size = abs(diff).bit_length()
+            ln, code = dc_codes[size]
+            w.put(code, ln)
+            if size:
+                w.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+        w.flush()
+        return bytes(w.out)
+
+    def dc_refine_scan(al: int) -> bytes:
+        w = _BitWriter()
+        for q in blocks:
+            w.put((q[0] >> al) & 1, 1)
+        w.flush()
+        return bytes(w.out)
+
+    def ac_first_scan(ss: int, se: int, al: int) -> bytes:
+        w = _BitWriter()
+        eobrun = 0
+
+        def flush_eobrun() -> None:
+            nonlocal eobrun
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                ln, code = ac_codes[nbits << 4]
+                w.put(code, ln)
+                if nbits:
+                    w.put(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+
+        for q in blocks:
+            # AC point transform truncates the MAGNITUDE toward zero.
+            band = []
+            for k in range(ss, se + 1):
+                v = q[k]
+                t = (abs(v) >> al)
+                band.append(t if v >= 0 else -t)
+            last_nz = -1
+            for idx, v in enumerate(band):
+                if v:
+                    last_nz = idx
+            if last_nz < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+                continue
+            flush_eobrun()
+            run = 0
+            for idx in range(last_nz + 1):
+                v = band[idx]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_codes[0xF0]
+                    w.put(code, ln)
+                    run -= 16
+                size = abs(v).bit_length()
+                ln, code = ac_codes[(run << 4) | size]
+                w.put(code, ln)
+                w.put(v if v > 0 else v + (1 << size) - 1, size)
+                run = 0
+            if last_nz < len(band) - 1:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+        flush_eobrun()
+        w.flush()
+        return bytes(w.out)
+
+    def ac_refine_scan(ss: int, se: int, ah: int, al: int) -> bytes:
+        w = _BitWriter()
+        eobrun = 0
+        pending_bits: list[int] = []  # correction bits awaiting a flush
+
+        def emit_pending() -> None:
+            for b in pending_bits:
+                w.put(b, 1)
+            pending_bits.clear()
+
+        def flush_eobrun() -> None:
+            nonlocal eobrun
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                ln, code = ac_codes[nbits << 4]
+                w.put(code, ln)
+                if nbits:
+                    w.put(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+            emit_pending()
+
+        for q in blocks:
+            absvals = [abs(q[k]) >> al for k in range(ss, se + 1)]
+            signs = [1 if q[k] >= 0 else 0 for k in range(ss, se + 1)]
+            eob_idx = -1
+            for idx, t in enumerate(absvals):
+                if t == 1:
+                    eob_idx = idx
+            r = 0
+            br: list[int] = []
+            for idx, t in enumerate(absvals):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and idx <= eob_idx:
+                    flush_eobrun()
+                    ln, code = ac_codes[0xF0]
+                    w.put(code, ln)
+                    r -= 16
+                    for b in br:
+                        w.put(b, 1)
+                    br = []
+                if t > 1:  # previously significant: correction bit only
+                    br.append(t & 1)
+                    continue
+                flush_eobrun()
+                ln, code = ac_codes[(r << 4) | 1]
+                w.put(code, ln)
+                w.put(signs[idx], 1)
+                for b in br:
+                    w.put(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pending_bits.extend(br)
+                if eobrun == 0x7FFF or len(pending_bits) > 900:
+                    flush_eobrun()
+        flush_eobrun()
+        w.flush()
+        return bytes(w.out)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += seg(0xDB, b"\x00" + bytes([1] * 64))
+    out += seg(0xC2, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, b"\x00" + bytes(_STD_DC_BITS) + _STD_DC_VALS)
+    out += seg(0xC4, b"\x10" + bytes(_PROG_AC_BITS) + _PROG_AC_VALS)
+    out += sos(0, 0, 0, 1) + dc_first_scan(1)
+    out += sos(1, 5, 0, 1) + ac_first_scan(1, 5, 1)
+    out += sos(6, 63, 0, 1) + ac_first_scan(6, 63, 1)
+    out += sos(0, 0, 1, 0) + dc_refine_scan(0)
+    out += sos(1, 63, 1, 0) + ac_refine_scan(1, 63, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)

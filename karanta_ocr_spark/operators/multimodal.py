@@ -12,12 +12,13 @@ PNG and baseline JPEG payloads decode for real through the
 pure-stdlib ``kernel.png_mini`` (zlib inflate + scanline unfilter)
 and ``kernel.jpeg_mini`` (Huffman entropy decode + IDCT + YCbCr),
 so ``decode_images → grayscale_images → resize_images`` runs
-un-faked end-to-end on web images. Progressive JPEG and video
-frame-sampling need codec libraries that are NOT in this container
-(PIL/ffmpeg), so those paths are stubbed: the Spark-side plumbing (schemas,
-mapInPandas batch shape, partitioning) is real and tested; the inner
-pixel transform either raises ``NotImplementedError`` (strict mode)
-or produces a deterministic fake (test mode) clearly marked as such.
+un-faked end-to-end on web images — baseline AND progressive (SOF2)
+JPEG both decode in pure stdlib. Video frame-sampling needs codec
+libraries that are NOT in this container (ffmpeg), so that path is
+stubbed: the Spark-side plumbing (schemas, mapInPandas batch shape,
+partitioning) is real and tested; the inner pixel transform either
+raises ``NotImplementedError`` (strict mode) or produces a
+deterministic fake (test mode) clearly marked as such.
 """
 
 from __future__ import annotations
@@ -435,15 +436,16 @@ def decode_images(
 ) -> DataFrame:
     """Decode image bytes → raw RGB.
 
-    Decodable PNGs (8-bit, non-interlaced) and baseline JPEGs —
-    together the overwhelming majority of web images — decode for
-    real via the pure-stdlib :mod:`~karanta_ocr_spark.kernel.png_mini`
-    and :mod:`~karanta_ocr_spark.kernel.jpeg_mini`; no codec library
-    needed. Other formats (progressive JPEG, webp, …) need
-    PIL/libjpeg, which are NOT in this container: with ``allow_fake=True`` a deterministic fake exercises
-    the full Spark path (schema, Arrow batches, downstream ops);
-    otherwise the task raises ``NotImplementedError`` with the exact
-    dependency needed.
+    Decodable PNGs (8-bit, non-interlaced) and Huffman JPEGs —
+    baseline AND progressive, together the overwhelming majority of
+    web images — decode for real via the pure-stdlib
+    :mod:`~karanta_ocr_spark.kernel.png_mini` and
+    :mod:`~karanta_ocr_spark.kernel.jpeg_mini`; no codec library
+    needed. Other formats (webp, arithmetic-coded JPEG, …) need
+    PIL/libjpeg, which are NOT in this container: with
+    ``allow_fake=True`` a deterministic fake exercises the full Spark
+    path (schema, Arrow batches, downstream ops); otherwise the task
+    raises ``NotImplementedError`` with the exact dependency needed.
 
     With ``auto_orient=True``, JPEGs carrying an EXIF orientation are
     rotated upright (numpy ``rot90`` on the decoded array) before
@@ -482,7 +484,7 @@ def decode_images(
                     try:
                         w, h, px = decode_jpeg(blob)
                     except Exception:
-                        w = None  # progressive/corrupt → codec fallback
+                        w = None  # arithmetic/corrupt → codec fallback
                     if w is not None and auto_orient:
                         w, h, px = _upright(blob, w, h, px)
                 if w is None:

@@ -700,14 +700,76 @@ def test_jpeg_gradient_near_exact():
     assert max(abs(rgb[3 * i] - img[i]) for i in range(w * h)) <= 1
 
 
-def test_jpeg_rejects_progressive():
+def test_jpeg_truncated_progressive_raises():
     import pytest as _pytest
 
     from karanta_ocr_spark.kernel.jpeg_mini import JpegError, decode_jpeg
-    # SOF2 (progressive) marker right after SOI+APP0-less stream
+    # SOF2 with no scans (truncated progressive) must raise, not hang.
     bad = b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00" + b"\xff\xd9"
     with _pytest.raises(JpegError):
         decode_jpeg(bad)
+
+
+def test_progressive_jpeg_decodes_identical_to_baseline():
+    # The 5-scan progressive fixture (DC first/refine at Al=1→0, AC
+    # first over split bands, AC refine with correction bits and EOB
+    # runs) carries the same final coefficients as the baseline
+    # encoding — decoded pixels must match BYTE FOR BYTE.
+    from karanta_ocr_spark.kernel.jpeg_mini import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    for w, h, gen in [
+        (24, 16, lambda x, y: (x * 13 + y * 7) % 256),   # dense gradient
+        (17, 9, lambda x, y: (x * 31 + y * 5) % 256),    # non-multiple-of-8
+        (64, 48, lambda x, y: 128 + (20 if x % 16 == 0 and y % 16 == 0 else 0)),
+        # ^ sparse: exercises EOB runs > 1 across many blocks
+    ]:
+        img = bytes(gen(x, y) for y in range(h) for x in range(w))
+        bw, bh, base_rgb = decode_jpeg(encode_jpeg_gray(w, h, img))
+        pw, ph, prog_rgb = decode_jpeg(encode_jpeg_gray_progressive(w, h, img))
+        assert (bw, bh) == (pw, ph) == (w, h)
+        assert base_rgb == prog_rgb
+
+
+def test_progressive_jpeg_committed_pixel_sha1():
+    # Freeze the progressive decode output against drift.
+    import hashlib
+
+    from karanta_ocr_spark.kernel.jpeg_mini import (
+        decode_jpeg,
+        encode_jpeg_gray_progressive,
+    )
+
+    w, h = 24, 16
+    img = bytes(((x * 13 + y * 7) % 256) for y in range(h) for x in range(w))
+    _, _, rgb = decode_jpeg(encode_jpeg_gray_progressive(w, h, img))
+    assert hashlib.sha1(rgb).hexdigest() == (
+        "058af56a44672d0a6f0e03ff268a701cf840772b"
+    )
+
+
+def test_progressive_jpeg_unfaked_spark_decode(spark):
+    # Strict-mode Spark chain decodes a progressive payload end-to-end
+    # (no PIL, no fake) — dimension sniff agrees with the full decode.
+    from karanta_ocr_spark.kernel.jpeg_mini import (
+        decode_jpeg,
+        encode_jpeg_gray_progressive,
+    )
+    from karanta_ocr_spark.operators.multimodal import grayscale_images
+
+    w, h = 16, 8
+    img = bytes((100 if x < 8 else 200) for y in range(h) for x in range(w))
+    jpg = encode_jpeg_gray_progressive(w, h, img)
+    assert jpeg_dimensions(jpg) == (w, h)
+    df = spark.createDataFrame([(1, jpg)], "media_id long, payload binary")
+    rows = decode_images(df).collect()  # strict mode: must not raise
+    assert (rows[0]["width"], rows[0]["height"]) == (w, h)
+    assert bytes(rows[0]["pixels"]) == decode_jpeg(jpg)[2]
+    gray = grayscale_images(decode_images(df)).collect()
+    assert bytes(gray[0]["pixels"]) == img  # flat blocks survive exactly
 
 
 def test_corrupt_image_payloads_fall_back_not_crash(spark):
