@@ -178,6 +178,7 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "doc_fingerprints", "exact_dedup_prefix", "quality_scores",
         "minhash_dedup", "simhash_dedup", "ann_brute_topk",
         "ann_lsh_topk", "event_stats", "user_error_gate",
+        "classifier_scores",
     ]
     qs = entrymod.queries()
     # One untimed pass of every query at sf0.001: the first run of

@@ -19,7 +19,7 @@ from karanta_ocr_spark.kernel.linearize import (
     page_natural_text,
     seed_from_key,
 )
-from karanta_ocr_spark.kernel.pdf_mini import parse_pdf
+from karanta_ocr_spark.kernel.pdf_mini import PdfEncryptedError, parse_pdf
 
 PDF_MAGIC = b"%PDF"
 
@@ -74,5 +74,10 @@ def extract_document(
             except Exception as exc:  # per-page isolation
                 pages.append(PageExtract(i, None, "", False, f"page: {exc!r}"))
         return pages
+    except PdfEncryptedError:
+        # Typed classification, not a parse failure: the content is
+        # ciphertext by declaration, so retrying or quarantining as a
+        # parser bug would mislead — the row carries the precise cause.
+        return [PageExtract(1, None, "", False, "pdf: encrypted")]
     except Exception as exc:  # per-document isolation
         return [PageExtract(1, None, "", False, f"doc: {exc!r}")]

@@ -267,6 +267,43 @@ class Ref:
     gen: int
 
 
+def _is_encrypted(data: bytes) -> bool:
+    """True when a trailer declares ``/Encrypt`` — classic ``trailer``
+    dicts and PDF 1.5+ xref-stream trailers (``/Type /XRef`` object
+    dicts) both checked. Cheap byte prefilter first: the overwhelming
+    majority of documents never contain ``/Encrypt`` at all."""
+    if b"/Encrypt" not in data:
+        return False
+    for m in re.finditer(rb"trailer", data):
+        lex = _Lexer(data, m.end())
+        try:
+            d = lex.value()
+        except Exception:
+            continue
+        if isinstance(d, dict) and "/Encrypt" in d:
+            return True
+    for m in _OBJ_RE.finditer(data):
+        body = m.group(3)
+        if b"/XRef" not in body or b"/Encrypt" not in body:
+            continue
+        try:
+            d = _Lexer(body).value()
+        except Exception:
+            continue
+        if isinstance(d, dict) and d.get("/Type") == "/XRef" and "/Encrypt" in d:
+            return True
+    return False
+
+
+class PdfEncryptedError(ValueError):
+    """The document declares ``/Encrypt`` in a trailer: strings and
+    content streams are RC4/AES-encrypted, so a plaintext parse would
+    emit garbage. Surfaced as a TYPED error so the pipeline can mark
+    the row ``ok=false, error='encrypted'`` instead of quarantining a
+    confusing parse failure (the reference gets this classification
+    free from pypdf's ``is_encrypted``)."""
+
+
 class PdfDocument:
     """Sequentially-scanned PDF (no xref needed — robust to the
     truncated/regenerated files common in web crawls)."""
@@ -274,6 +311,8 @@ class PdfDocument:
     def __init__(self, data: bytes):
         if not data.startswith(b"%PDF"):
             raise ValueError("not a PDF (missing %PDF magic)")
+        if _is_encrypted(data):
+            raise PdfEncryptedError("encrypted PDF (/Encrypt in trailer)")
         self.objects: dict[int, tuple[dict | object, bytes | None]] = {}
         for m in _OBJ_RE.finditer(data):
             num = int(m.group(1))

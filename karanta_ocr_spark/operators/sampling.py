@@ -50,9 +50,21 @@ def proportional_allocation(
     apportionment — reference
     ``karanta/data/create_training_docs_azure.py:44-91``.
 
-    Group sums compute distributed; the remainder fixup runs on the
-    (small — one row per group) aggregated frame via window functions,
-    so no collect() is needed.
+    Group sums compute distributed (map-side partial agg); the
+    remainder fixup — floor each share, then grant +1 to the largest
+    remainders — runs DRIVER-SIDE on the collected one-row-per-group
+    totals, the same shape the reference uses. The r2 formulation
+    ranked remainders with an unpartitioned ``Window.orderBy``, which
+    funnels every group through one task: harmless at folder-like
+    cardinalities but a single-task bottleneck at per-domain
+    granularity (10^7 groups). The driver fixup is O(G log G) local
+    work on (key, int, float) triples — ~100 MB even at 10^7 groups —
+    and keeps the cluster out of a global sort entirely; beyond that,
+    shard the rank (compute per-shard allocations on shard subtotals).
+
+    Floats follow the exact expression shape of the SQL oracle
+    (``(w / gw) * eff`` in float64, remainder ties broken by group
+    key ascending), so results are bit-reproducible across engines.
 
     ``min_per_group`` is granted to every group off the top and the
     REST of the budget is apportioned, so ``sum(allocation) ==
@@ -60,37 +72,37 @@ def proportional_allocation(
     min_per_group`` (below that the minimum itself overshoots — the
     documented degenerate case).
     """
-    totals = df.groupBy(group_col).agg(F.sum(weight_col).alias("w"))
-    grand = totals.agg(F.sum("w").alias("gw")).select("gw")
-    t = totals.crossJoin(F.broadcast(grand))
-    w_sum = Window.partitionBy()
-    # Budget remaining after the per-group minimum; clamp at 0 so the
-    # degenerate budget < n_groups*min case yields min each, not junk.
-    t = t.withColumn(
-        "eff",
-        F.greatest(
-            F.lit(total_budget) - F.lit(min_per_group) * F.count("*").over(w_sum),
-            F.lit(0),
-        ),
+    import math
+
+    spark = df.sparkSession
+    totals = [
+        (r[0], r[1])
+        for r in df.groupBy(group_col).agg(F.sum(weight_col).alias("w")).collect()
+    ]
+    out_schema = (
+        df.select(F.col(group_col)).schema.add("total_weight", "long").add(
+            "allocation", "long"
+        )
     )
-    t = t.withColumn("raw", (F.col("w") / F.col("gw")) * F.col("eff")).withColumn(
-        "floor_alloc", F.floor("raw")
+    if not totals:
+        return spark.createDataFrame([], out_schema)
+    gw = sum(w for _, w in totals)
+    eff = max(total_budget - min_per_group * len(totals), 0)
+    rows = []
+    for g, w in totals:
+        raw = (w / gw) * eff
+        fl = math.floor(raw)
+        rows.append((g, w, fl, raw - fl))
+    leftover = eff - sum(fl for _, _, fl, _ in rows)
+    ranked = sorted(range(len(rows)), key=lambda i: (-rows[i][3], rows[i][0]))
+    bonus = set(ranked[: int(leftover)])
+    return spark.createDataFrame(
+        [
+            (g, int(w), int(min_per_group + fl + (1 if i in bonus else 0)))
+            for i, (g, w, fl, _) in enumerate(rows)
+        ],
+        out_schema,
     )
-    # leftover budget = eff - sum(floors); give 1 each to the
-    # largest remainders (ties broken by group key for determinism).
-    t = t.withColumn("rem", F.col("raw") - F.floor("raw"))
-    w_rank = Window.orderBy(F.desc("rem"), F.col(group_col))
-    t = t.withColumn("leftover", F.col("eff") - F.sum("floor_alloc").over(w_sum))
-    t = t.withColumn("rk", F.row_number().over(w_rank))
-    t = t.withColumn(
-        "allocation",
-        (
-            F.lit(min_per_group)
-            + F.col("floor_alloc")
-            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
-        ).cast("long"),
-    )
-    return t.select(group_col, F.col("w").alias("total_weight"), "allocation")
 
 
 def two_phase_coverage_sample(

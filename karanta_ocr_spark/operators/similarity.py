@@ -268,6 +268,72 @@ def _assign_centroids(df: DataFrame, centroids, vec_col: str, out_col: str) -> D
     return df.mapInPandas(run, schema=schema)
 
 
+def refine_codebook(
+    corpus: DataFrame,
+    centroids,
+    iters: int = 2,
+    vec_col: str = "embedding",
+):
+    """Lloyd (k-means) refinement of an IVF codebook: per iteration,
+    nearest-centroid assignment runs as the usual numpy matmul per
+    Arrow batch, each PARTITION reduces to K partial (count, sum)
+    rows inside the same ``mapInPandas`` pass, and the driver combines
+    the tiny (partitions × K) partial set into new means. One corpus
+    pass per iteration, no shuffle at all — the only materialization
+    is K rows per partition. At 10^12 vectors run the refinement on a
+    seeded sample of the corpus; the assignment cost structure is
+    identical.
+
+    Determinism: partials are summed on the driver in sorted order,
+    so centroid floats don't depend on which partition's result
+    arrives first. Empty cells keep their previous centroid."""
+    import numpy as np
+
+    import pandas as pd  # noqa: F401  (worker-side import sanity)
+
+    cents = np.asarray(centroids, dtype="float64").copy()
+    K, dim = cents.shape
+    for _ in range(int(iters)):
+        assigned = _assign_centroids(
+            corpus.select(vec_col), cents, vec_col, "_cell"
+        )
+
+        def partials(batches):
+            import pandas as pd
+
+            sums = np.zeros((K, dim), dtype="float64")
+            counts = np.zeros(K, dtype="int64")
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vecs = np.array(
+                    [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+                )
+                cells = pdf["_cell"].to_numpy()
+                np.add.at(sums, cells, vecs)
+                counts += np.bincount(cells, minlength=K)
+            yield pd.DataFrame(
+                {
+                    "cell": list(range(K)),
+                    "n": counts.tolist(),
+                    "s": [sums[c].tolist() for c in range(K)],
+                }
+            )
+
+        rows = assigned.mapInPandas(
+            partials, "cell int, n long, s array<double>"
+        ).collect()
+        sums = np.zeros((K, dim), dtype="float64")
+        counts = np.zeros(K, dtype="int64")
+        for r in sorted(rows, key=lambda r: (r["cell"], r["n"], tuple(r["s"]))):
+            sums[r["cell"]] += np.asarray(r["s"], dtype="float64")
+            counts[r["cell"]] += r["n"]
+        for c in range(K):
+            if counts[c] > 0:
+                cents[c] = sums[c] / counts[c]
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -278,13 +344,17 @@ def ivf_topk(
     probe_id: str = "probe_id",
     seed: int = 42,
     codebook_rank: str = "xxhash64",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k: a deterministic centroid codebook
-    (seeded hash-rank sample of the corpus — one tiny collect; a
-    k-means refinement would slot in here unchanged), nearest-centroid
-    assignment on both sides, then per-probe search within the probe's
-    inverted list only. One equi-join on the centroid id replaces the
-    full scan — the IVF recall/speed trade at 10^12 vectors.
+    (seeded hash-rank sample of the corpus — one tiny collect —
+    optionally Lloyd-refined with ``kmeans_iters`` passes of
+    :func:`refine_codebook`), nearest-centroid assignment on both
+    sides, then per-probe search within the probe's inverted list
+    only. One equi-join on the centroid id replaces the full scan —
+    the IVF recall/speed trade at 10^12 vectors. The driver-contract
+    oracle pins the ``kmeans_iters=0`` codebook (SQL-replayable);
+    refined recall is pinned by pytest against brute force.
 
     ``codebook_rank='md5_id'`` picks the codebook by the MD5 of
     ``"seed:id"`` (tie-broken by id) instead of xxhash64 of the vector
@@ -306,6 +376,8 @@ def ivf_topk(
         .collect()
     )
     centroids = [list(r[vec_col]) for r in sample]
+    if kmeans_iters:
+        centroids = refine_codebook(corpus, centroids, kmeans_iters, vec_col)
 
     c_assigned = _assign_centroids(corpus, centroids, vec_col, "_cell")
     p_assigned = _assign_centroids(

@@ -107,3 +107,99 @@ def running_domain_health(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+_EVENT_STATE_SCHEMA = StructType(
+    [
+        StructField("docs", LongType()),
+        StructField("failed", LongType()),
+        StructField("fail_streak", IntegerType()),
+        StructField("last_event_ms", LongType()),
+    ]
+)
+
+
+def running_domain_health_event_time(
+    docs: DataFrame,
+    streak_threshold: int = 3,
+    watermark_delay: str = "10 minutes",
+    idle_ttl_ms: int = 30 * 60 * 1000,
+    ts_col: str = "ts",
+    url_col: str = "url",
+    ok_col: str = "ok",
+) -> DataFrame:
+    """Event-time variant of :func:`running_domain_health`: rows carry
+    an event timestamp, the stream declares a watermark of
+    *watermark_delay*, and rows older than the current watermark are
+    DROPPED before the state fold — so a replayed or delayed crawl
+    shard cannot retroactively flip a domain's streak. Unlike
+    aggregations, ``applyInPandasWithState`` does NOT filter late
+    input automatically (Spark hands the watermark to the function
+    and leaves the policy to it), so the fold filters on
+    ``state.getCurrentWatermarkMs()`` explicitly — deterministic
+    given the watermark, which itself advances deterministically per
+    committed micro-batch. Within a batch the fold orders by (event
+    time, url), making the streak deterministic under out-of-order
+    arrival WITHIN the allowed lateness.
+
+    Eviction is event-time too: a domain times out *idle_ttl_ms* of
+    EVENT time after its newest row (clamped above the current
+    watermark, which Spark requires), so state size tracks the
+    watermark frontier rather than wall-clock processing pace —
+    replaying a day of history does not mass-evict live domains the
+    way a processing-time timeout would."""
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            docs_n, failed_n, streak, last_ms = state.get
+        else:
+            docs_n, failed_n, streak, last_ms = 0, 0, 0, 0
+        wm_ms = state.getCurrentWatermarkMs()
+        for pdf in pdfs:
+            if len(pdf) and wm_ms > 0:
+                ev_ms = (
+                    pdf[ts_col].values.astype("datetime64[ns]").astype("int64")
+                    // 1_000_000
+                )
+                pdf = pdf[ev_ms >= wm_ms]  # late beyond watermark: drop
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, url_col])
+            oks = pdf[ok_col].tolist()
+            docs_n += len(oks)
+            failed_n += sum(0 if b else 1 for b in oks)
+            for b in oks:
+                streak = 0 if b else streak + 1
+            # pandas .value is ns-since-epoch (UTC) for both naive and
+            # tz-aware timestamps — no local-zone round trip.
+            last_ms = max(last_ms, int(pdf[ts_col].max().value // 1_000_000))
+        state.update((docs_n, failed_n, streak, last_ms))
+        state.setTimeoutTimestamp(
+            max(last_ms + idle_ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(
+            {
+                "domain": [key[0]],
+                "docs": [docs_n],
+                "failed": [failed_n],
+                "fail_streak": [streak],
+                "quarantined": [streak >= streak_threshold],
+            }
+        )
+
+    with_domain = docs.withWatermark(ts_col, watermark_delay).withColumn(
+        "_domain",
+        F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1),
+    )
+    return with_domain.groupBy("_domain").applyInPandasWithState(
+        update,
+        outputStructType=STATS_SCHEMA,
+        stateStructType=_EVENT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -993,3 +993,49 @@ def test_fused_band_buckets_match_catalyst_lsh_bands(docs_df):
     cat = {r["doc_id"]: r["b"] for r in
            sig.select("doc_id", lsh_bands(16, 4, "md5").alias("b")).collect()}
     assert fused == cat and len(fused) > 0
+
+
+def test_ivf_kmeans_refinement_recall(spark):
+    # Lloyd-refined codebook must not lose recall vs the raw hash-rank
+    # sample codebook on clustered data, and must actually move the
+    # centroids. Gaussian blobs make cluster structure real.
+    from karanta_ocr_spark.operators.similarity import (
+        cosine_topk_per_probe,
+        ivf_topk,
+        refine_codebook,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 16)) * 4
+    vecs = np.concatenate(
+        [c + rng.normal(size=(60, 16)) for c in centers]
+    ).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    probes = df.filter("vec_id % 60 = 1").selectExpr(
+        "vec_id as probe_id", "embedding"
+    )
+    ex = {(r["probe_id"], r["vec_id"])
+          for r in cosine_topk_per_probe(df, probes, k=5).collect()}
+
+    def recall(it):
+        ap = {(r["probe_id"], r["vec_id"])
+              for r in ivf_topk(df, probes, k=5, n_centroids=4,
+                                kmeans_iters=it).collect()}
+        return len(ap & ex) / len(ex)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0
+    assert r2 >= 0.8  # clustered data + refined centroids → high recall
+    # centroids really moved under refinement
+    seed_rows = (
+        df.orderBy("vec_id").limit(4).collect()
+    )
+    init = [list(r["embedding"]) for r in seed_rows]
+    refined = refine_codebook(df, init, iters=1)
+    assert not np.allclose(np.asarray(init, dtype="float64"), refined)
+    # and refinement is deterministic under repartitioning
+    refined2 = refine_codebook(df.repartition(7), init, iters=1)
+    assert np.array_equal(refined, refined2)

@@ -319,3 +319,60 @@ def test_non_cid_font_still_decodes_plain_strings():
     })
     rep = parse_pdf(pdf)[0]
     assert rep.text_elements[0].text == "plain text"
+
+
+def test_encrypted_pdf_typed_error():
+    # /Encrypt in the trailer means ciphertext content: the parse must
+    # fail with the TYPED error, and extraction must classify the row
+    # as ok=false, error='pdf: encrypted' (not a generic parse crash).
+    import pytest as _pytest
+
+    from karanta_ocr_spark.kernel.extract import extract_document
+    from karanta_ocr_spark.kernel.pdf_mini import (
+        PdfDocument,
+        PdfEncryptedError,
+        _is_encrypted,
+    )
+
+    enc = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >> endobj\n"
+        b"5 0 obj << /Filter /Standard /V 2 /R 3 /O (x) /U (y) /P -44 >> endobj\n"
+        b"trailer << /Root 1 0 R /Encrypt 5 0 R /Size 6 >>\n"
+        b"%%EOF"
+    )
+    assert _is_encrypted(enc)
+    with _pytest.raises(PdfEncryptedError):
+        PdfDocument(enc)
+    pages = extract_document("https://x.example/enc.pdf", enc)
+    assert len(pages) == 1 and not pages[0].ok
+    assert pages[0].error == "pdf: encrypted"
+    # a document that merely MENTIONS /Encrypt in a content string is
+    # not encrypted — the detection requires a trailer declaration
+    benign = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >> endobj\n"
+        b"4 0 obj << /Note (the /Encrypt key is discussed here) >> endobj\n"
+        b"trailer << /Root 1 0 R /Size 5 >>\n"
+        b"%%EOF"
+    )
+    assert not _is_encrypted(benign)
+    assert PdfDocument(benign).num_pages() == 1
+
+
+def test_encrypted_pdf_xref_stream_trailer_detected():
+    from karanta_ocr_spark.kernel.pdf_mini import _is_encrypted
+
+    # PDF 1.5+: no classic trailer; the xref STREAM object carries the
+    # trailer keys, /Encrypt included.
+    enc = (
+        b"%PDF-1.5\n"
+        b"7 0 obj << /Type /XRef /Size 8 /Root 1 0 R /Encrypt 5 0 R "
+        b"/W [1 2 1] /Length 0 >> stream\nendstream endobj\n"
+        b"%%EOF"
+    )
+    assert _is_encrypted(enc)

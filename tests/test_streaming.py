@@ -172,3 +172,65 @@ def test_stateful_domain_health_across_microbatches(spark, tmp_path):
     # state really crossed batches: bad.com appears twice with growing docs
     bad_rows = sorted([r["docs"] for r in rows if r["domain"] == "bad.com"])
     assert bad_rows == [2, 4]
+
+
+def test_stateful_event_time_watermark_drops_late_rows(spark, tmp_path):
+    # Event-time variant: a row arriving LATER than the watermark must
+    # be dropped before it reaches the state fold. If the late bad.com
+    # failure were counted, the domain would hit streak 3 and
+    # quarantine — the assertion distinguishes the two worlds sharply.
+    from karanta_ocr_spark.streaming.stateful import (
+        running_domain_health_event_time,
+    )
+
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    schema = "url string, ok boolean, ts timestamp"
+    # batch 1: max event 10:30; watermark after commit = 10:20
+    b1 = [("https://good.com/a", True, "2026-01-01 10:00:00"),
+          ("https://good.com/b", True, "2026-01-01 10:01:00"),
+          ("https://bad.com/a", True, "2026-01-01 10:00:00"),
+          ("https://bad.com/b", False, "2026-01-01 10:30:00")]
+    # batch 2: one on-time failure (10:31), one LATE failure (10:05 <
+    # watermark 10:20 -> dropped), one on-time good row.
+    b2 = [("https://bad.com/c", False, "2026-01-01 10:31:00"),
+          ("https://bad.com/late", False, "2026-01-01 10:05:00"),
+          ("https://good.com/c", True, "2026-01-01 10:32:00")]
+
+    import pyspark.sql.functions as F
+
+    for name, rows in [("b1", b1), ("b2", b2)]:
+        spark.createDataFrame(rows, "url string, ok boolean, ts_s string") \
+            .select("url", "ok", F.to_timestamp("ts_s").alias("ts")) \
+            .coalesce(1).write.parquet(str(in_dir / name))
+
+    stream = (
+        spark.readStream.schema("url string, ok boolean, ts timestamp")
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(in_dir) + "/*")
+    )
+    out = running_domain_health_event_time(
+        stream, streak_threshold=3, watermark_delay="10 minutes"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("memory").queryName("domhealth_et")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from domhealth_et").collect()
+    final = {}
+    for r in rows:
+        if r["domain"] not in final or r["docs"] > final[r["domain"]]["docs"]:
+            final[r["domain"]] = r
+    b = final["bad.com"]
+    # late row dropped: 3 docs (not 4), 2 failures (not 3), streak 2,
+    # NOT quarantined. Counting the late row would give streak 3 and
+    # quarantined=True.
+    assert (b["docs"], b["failed"], b["fail_streak"], b["quarantined"]) == (
+        3, 2, 2, False,
+    )
+    g = final["good.com"]
+    assert (g["docs"], g["failed"], g["quarantined"]) == (3, 0, False)
