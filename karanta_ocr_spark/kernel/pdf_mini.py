@@ -267,6 +267,45 @@ class Ref:
     gen: int
 
 
+def _png_unpredict(buf: bytes, row: int) -> bytes | None:
+    """Undo PNG row predictors (each row prefixed by a filter tag;
+    bpp=1 — the form xref streams use, predictor 12 = Up being the
+    overwhelmingly common case). Returns None on malformed input."""
+    if len(buf) % (row + 1):
+        return None
+    out = bytearray()
+    prev = bytes(row)
+    for i in range(0, len(buf), row + 1):
+        tag = buf[i]
+        line = bytearray(buf[i + 1 : i + 1 + row])
+        if tag == 0:
+            pass
+        elif tag == 1:  # Sub
+            for j in range(1, row):
+                line[j] = (line[j] + line[j - 1]) & 0xFF
+        elif tag == 2:  # Up
+            for j in range(row):
+                line[j] = (line[j] + prev[j]) & 0xFF
+        elif tag == 3:  # Average
+            for j in range(row):
+                left = line[j - 1] if j else 0
+                line[j] = (line[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif tag == 4:  # Paeth
+            for j in range(row):
+                a = line[j - 1] if j else 0
+                b = prev[j]
+                c = prev[j - 1] if j else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[j] = (line[j] + pr) & 0xFF
+        else:
+            return None
+        out += line
+        prev = line
+    return bytes(out)
+
+
 def _is_encrypted(data: bytes) -> bool:
     """True when a trailer declares ``/Encrypt`` — classic ``trailer``
     dicts and PDF 1.5+ xref-stream trailers (``/Type /XRef`` object
@@ -305,39 +344,212 @@ class PdfEncryptedError(ValueError):
 
 
 class PdfDocument:
-    """Sequentially-scanned PDF (no xref needed — robust to the
-    truncated/regenerated files common in web crawls)."""
+    """Xref-seeking PDF parser with a sequential-scan safety net.
 
-    def __init__(self, data: bytes):
+    The fast path walks the cross-reference machinery the way a
+    seek-capable reader does — ``startxref`` → classic ``xref``
+    tables and/or PDF 1.5 xref STREAMS (``/W`` field widths,
+    ``/Index`` subsections, PNG-predictor-12 decoding), following
+    ``/Prev`` chains newest-first so incremental updates win — and
+    parses only the objects the table points at, instead of
+    regex-scanning every byte of the file (the difference between
+    touching ~#objects positions and streaming 500 MB through a
+    regex on a big scanned book). Any inconsistency — bad offsets,
+    missing trailer, an xref that doesn't lead to a /Root with pages
+    (common in regenerated/appended crawl files) — falls back to the
+    exhaustive sequential object scan, which remains the robustness
+    baseline for truncated files with no usable tail at all."""
+
+    def __init__(self, data: bytes, use_xref: bool = True):
         if not data.startswith(b"%PDF"):
             raise ValueError("not a PDF (missing %PDF magic)")
         if _is_encrypted(data):
             raise PdfEncryptedError("encrypted PDF (/Encrypt in trailer)")
         self.objects: dict[int, tuple[dict | object, bytes | None]] = {}
-        for m in _OBJ_RE.finditer(data):
-            num = int(m.group(1))
-            body = m.group(3)
-            lex = _Lexer(body)
-            val = lex.value()
-            stream = None
-            sm = _STREAM_RE.search(body)
-            if sm is not None:
-                stream = sm.group(1)
-                if isinstance(val, dict):
-                    filt = self._resolve_later(val.get("/Filter"))
-                    length = val.get("/Length")
-                    if isinstance(length, int):
-                        stream = stream[:length] if length <= len(stream) else stream
-                    if filt == "/FlateDecode" or (
-                        isinstance(filt, list) and "/FlateDecode" in filt
-                    ):
-                        try:
-                            stream = zlib.decompress(stream)
-                        except zlib.error:
-                            pass
-            self.objects[num] = (val, stream)
+        self.loaded_via_xref = False
+        if use_xref:
+            try:
+                self.loaded_via_xref = self._load_via_xref(data)
+            except Exception:
+                self.loaded_via_xref = False
+            if not self.loaded_via_xref:
+                self.objects = {}
+        if not self.loaded_via_xref:
+            self._scan_all_objects(data)
         self._load_object_streams()
         self._page_cache: list[tuple[dict, bytes, BoundingBox]] | None = None
+        if self.loaded_via_xref and self._find_root_pages() is None:
+            # The xref lied (regenerated file, stale offsets): retry
+            # with the exhaustive scan before giving up.
+            self.loaded_via_xref = False
+            self.objects = {}
+            self._scan_all_objects(data)
+            self._load_object_streams()
+
+    def _scan_all_objects(self, data: bytes) -> None:
+        for m in _OBJ_RE.finditer(data):
+            num, val, stream = self._parse_obj_match(m)
+            self.objects[num] = (val, stream)
+
+    def _parse_obj_match(self, m) -> tuple[int, object, bytes | None]:
+        num = int(m.group(1))
+        body = m.group(3)
+        lex = _Lexer(body)
+        val = lex.value()
+        stream = None
+        sm = _STREAM_RE.search(body)
+        if sm is not None:
+            stream = sm.group(1)
+            if isinstance(val, dict):
+                filt = self._resolve_later(val.get("/Filter"))
+                length = val.get("/Length")
+                if isinstance(length, int):
+                    stream = stream[:length] if length <= len(stream) else stream
+                if filt == "/FlateDecode" or (
+                    isinstance(filt, list) and "/FlateDecode" in filt
+                ):
+                    try:
+                        stream = zlib.decompress(stream)
+                    except zlib.error:
+                        pass
+        return num, val, stream
+
+    # ------------------------------------------------------ xref walk
+    def _load_via_xref(self, data: bytes) -> bool:
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", data[-2048:]):
+            pass
+        if m is None:
+            return False
+        off = int(m.group(1))
+        offsets: dict[int, int] = {}
+        dead: set[int] = set()
+        seen: set[int] = set()
+        found = False
+        while 0 <= off < len(data) and off not in seen:
+            seen.add(off)
+            if data.startswith(b"xref", off):
+                trailer = self._parse_xref_table(data, off, offsets, dead)
+                if trailer is None:
+                    return False
+                found = True
+                hybrid = trailer.get("/XRefStm")
+                if isinstance(hybrid, int):
+                    self._parse_xref_stream_at(data, hybrid, offsets, dead)
+            else:
+                trailer = self._parse_xref_stream_at(data, off, offsets, dead)
+                if trailer is None:
+                    return False
+                found = True
+            prev = trailer.get("/Prev")
+            if not isinstance(prev, int):
+                break
+            off = prev
+        if not found or not offsets:
+            return False
+        for num, o in offsets.items():
+            if num in self.objects or not (0 <= o < len(data)):
+                continue
+            om = _OBJ_RE.search(data, o)
+            # Tolerate a few bytes of slack (whitespace before the
+            # header); a far-away match means the offset pointed into
+            # garbage and would load the WRONG object — skip it and
+            # let the root-pages validation decide on fallback.
+            if om is None or om.start() - o > 8 or int(om.group(1)) != num:
+                continue
+            n2, val, stream = self._parse_obj_match(om)
+            self.objects[n2] = (val, stream)
+        return len(self.objects) > 0
+
+    def _parse_xref_table(
+        self, data: bytes, off: int, offsets: dict[int, int], dead: set[int]
+    ) -> dict | None:
+        """Classic ``xref`` section: subsection headers ``start count``
+        then 20-byte ``OOOOOOOOOO GGGGG n/f`` entries; returns the
+        trailer dict that follows."""
+        i = off + 4
+        sub_re = re.compile(rb"\s*(\d+)\s+(\d+)\s*")
+        ent_re = re.compile(rb"\s*(\d{10})\s+(\d{5})\s+([nf])")
+        while True:
+            sm = sub_re.match(data, i)
+            if sm is None:
+                break
+            start, count = int(sm.group(1)), int(sm.group(2))
+            if count > 1 << 22:
+                return None
+            i = sm.end()
+            for k in range(count):
+                em = ent_re.match(data, i)
+                if em is None:
+                    return None
+                num = start + k
+                if num not in offsets and num not in dead:
+                    if em.group(3) == b"n":
+                        offsets[num] = int(em.group(1))
+                    else:
+                        dead.add(num)
+                i = em.end()
+        tm = re.compile(rb"\s*trailer\s*").match(data, i)
+        if tm is None:
+            return None
+        trailer = _Lexer(data, tm.end()).value()
+        return trailer if isinstance(trailer, dict) else None
+
+    def _parse_xref_stream_at(
+        self, data: bytes, off: int, offsets: dict[int, int], dead: set[int]
+    ) -> dict | None:
+        """PDF 1.5 xref STREAM (``/Type /XRef``): binary entries of
+        ``/W``-declared field widths over ``/Index`` subsections,
+        FlateDecoded and PNG-predictor-unfiltered. Type 1 → direct
+        offset, type 2 → object lives in an ObjStm (the container is
+        itself type 1; ``_load_object_streams`` extracts it), type 0
+        → free."""
+        om = _OBJ_RE.search(data, off)
+        if om is None or om.start() - off > 8:
+            return None
+        num, val, stream = self._parse_obj_match(om)
+        if not isinstance(val, dict) or val.get("/Type") != "/XRef" or not stream:
+            return None
+        self.objects.setdefault(num, (val, stream))
+        w = val.get("/W")
+        size = val.get("/Size")
+        if not (isinstance(w, list) and len(w) == 3 and isinstance(size, int)):
+            return None
+        w0, w1, w2 = (int(x) for x in w)
+        parms = self._resolve_later(val.get("/DecodeParms")) or {}
+        if isinstance(parms, list):
+            parms = next((p for p in parms if isinstance(p, dict)), {})
+        pred = parms.get("/Predictor", 1) if isinstance(parms, dict) else 1
+        row = w0 + w1 + w2
+        if row <= 0:
+            return None
+        if isinstance(pred, int) and pred >= 10:
+            stream = _png_unpredict(stream, row)
+            if stream is None:
+                return None
+        index = val.get("/Index", [0, size])
+        if not isinstance(index, list) or len(index) % 2:
+            return None
+        pos = 0
+        for s_i in range(0, len(index), 2):
+            start, count = int(index[s_i]), int(index[s_i + 1])
+            for k in range(count):
+                if pos + row > len(stream):
+                    return val  # truncated tail: keep what we have
+                ent = stream[pos : pos + row]
+                pos += row
+                t = int.from_bytes(ent[:w0], "big") if w0 else 1
+                f1 = int.from_bytes(ent[w0 : w0 + w1], "big")
+                numk = start + k
+                if numk in offsets or numk in dead:
+                    continue
+                if t == 1:
+                    offsets[numk] = f1
+                elif t == 0:
+                    dead.add(numk)
+                # t == 2: lives in ObjStm f1 — the container arrives
+                # via its own type-1 entry; nothing to record here.
+        return val
 
     def _load_object_streams(self) -> None:
         """PDF 1.5+ compressed object streams (/Type /ObjStm): page

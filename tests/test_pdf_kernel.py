@@ -376,3 +376,131 @@ def test_encrypted_pdf_xref_stream_trailer_detected():
         b"%%EOF"
     )
     assert _is_encrypted(enc)
+
+
+def _xref_stream_pdf(predictor: bool) -> bytes:
+    """Minimal PDF 1.5 file: objects located ONLY by an xref STREAM
+    (no classic table), W [1 2 1], optional PNG predictor 12."""
+    import struct as _s
+    import zlib as _z
+
+    out = bytearray(b"%PDF-1.5\n")
+    offs = {}
+
+    def add(num, body):
+        offs[num] = len(out)
+        out.extend(f"{num} 0 obj ".encode() + body + b" endobj\n")
+
+    content = b"BT /F1 12 Tf 72 700 Td (XrefStream works) Tj ET"
+    add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    add(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    add(4, b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+           + content + b"\nendstream")
+    add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    xref_off = len(out)
+    rows = [(0, 0, 255)]  # obj 0: free
+    for n in range(1, 6):
+        rows.append((1, offs[n], 0))
+    rows.append((1, xref_off, 0))  # obj 6: the xref stream itself
+    raw = b"".join(
+        bytes([t]) + _s.pack(">H", f1) + bytes([f2]) for t, f1, f2 in rows
+    )
+    parms = b""
+    if predictor:
+        # PNG Up (tag 2) rows over 4-byte columns
+        enc = bytearray()
+        prev = bytes(4)
+        for i in range(0, len(raw), 4):
+            row = raw[i : i + 4]
+            enc.append(2)
+            enc.extend((row[j] - prev[j]) & 0xFF for j in range(4))
+            prev = row
+        raw = bytes(enc)
+        parms = b" /DecodeParms << /Predictor 12 /Columns 4 >>"
+    comp = _z.compress(raw)
+    hdr = (b"<< /Type /XRef /Size 7 /W [1 2 1] /Root 1 0 R"
+           + parms + b" /Filter /FlateDecode /Length "
+           + str(len(comp)).encode() + b" >>")
+    out.extend(b"6 0 obj " + hdr + b"\nstream\n" + comp + b"\nendstream endobj\n")
+    out.extend(b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n")
+    return bytes(out)
+
+
+def test_xref_table_path_loads_and_matches_scan():
+    from karanta_ocr_spark.fixtures.pdf_gen import PageSpec, TextRun, build_pdf
+    from karanta_ocr_spark.kernel.pdf_mini import PdfDocument, parse_pdf
+
+    pdf = build_pdf([PageSpec(runs=[TextRun("Hello xref", 72, 700)]),
+                     PageSpec(runs=[TextRun("Page two", 72, 650)])])
+    fast = PdfDocument(pdf)
+    slow = PdfDocument(pdf, use_xref=False)
+    assert fast.loaded_via_xref and not slow.loaded_via_xref
+    assert set(fast.objects) == set(slow.objects)
+    assert fast.num_pages() == slow.num_pages() == 2
+    texts = [t.text for r in parse_pdf(pdf) for t in r.text_elements]
+    assert texts == ["Hello xref", "Page two"]
+
+
+def test_xref_stream_path_with_and_without_predictor():
+    from karanta_ocr_spark.kernel.pdf_mini import PdfDocument, parse_pdf
+
+    for predictor in (False, True):
+        pdf = _xref_stream_pdf(predictor)
+        doc = PdfDocument(pdf)
+        assert doc.loaded_via_xref, f"predictor={predictor}"
+        assert doc.num_pages() == 1
+        texts = [t.text for r in parse_pdf(pdf) for t in r.text_elements]
+        assert texts == ["XrefStream works"]
+
+
+def test_xref_fallback_on_corrupt_or_lying_xref():
+    import re as _re
+
+    from karanta_ocr_spark.fixtures.pdf_gen import PageSpec, TextRun, build_pdf
+    from karanta_ocr_spark.kernel.pdf_mini import PdfDocument
+
+    pdf = build_pdf([PageSpec(runs=[TextRun("Survive", 72, 700)])])
+    no_sx = pdf.replace(b"startxref", b"startxrEf")
+    assert PdfDocument(no_sx).num_pages() == 1  # sequential fallback
+    lied = _re.sub(
+        rb"\n(\d{10}) (\d{5}) n",
+        lambda m: b"\n" + b"9" * 10 + b" " + m.group(2) + b" n",
+        pdf,
+    )
+    d = PdfDocument(lied)
+    assert not d.loaded_via_xref and d.num_pages() == 1
+
+
+def test_xref_incremental_update_newest_wins():
+    # Appended revision replaces the content object; the /Prev chain
+    # walks newest-first so the updated text must win on the xref path
+    # (and the sequential scan agrees).
+    import re as _re
+
+    from karanta_ocr_spark.fixtures.pdf_gen import PageSpec, TextRun, build_pdf
+    from karanta_ocr_spark.kernel.pdf_mini import PdfDocument, parse_pdf
+
+    pdf = bytearray(build_pdf([PageSpec(runs=[TextRun("Old text", 72, 700)])]))
+    old_xref = int(_re.search(rb"startxref\s+(\d+)", bytes(pdf)).group(1))
+    # find the content-stream object number (stream bodies may be
+    # Flate-compressed, so locate it via the parsed object map)
+    base = PdfDocument(bytes(pdf), use_xref=False)
+    objnum = next(
+        n for n, (_v, s) in base.objects.items() if s and b"Old text" in s
+    )
+    content = b"BT /F1 12 Tf 72 700 Td (New text) Tj ET"
+    new_off = len(pdf)
+    pdf.extend(f"{objnum} 0 obj << /Length {len(content)} >>\nstream\n".encode()
+               + content + b"\nendstream endobj\n")
+    xref2 = len(pdf)
+    pdf.extend(b"xref\n" + f"{objnum} 1\n".encode()
+               + f"{new_off:010d} 00000 n \n".encode()
+               + f"trailer\n<< /Size 99 /Root 1 0 R /Prev {old_xref} >>\n".encode()
+               + b"startxref\n" + str(xref2).encode() + b"\n%%EOF\n")
+    doc = PdfDocument(bytes(pdf))
+    assert doc.loaded_via_xref
+    texts = [t.text for r in parse_pdf(bytes(pdf)) for t in r.text_elements]
+    assert texts == ["New text"]
