@@ -304,6 +304,40 @@ def _q_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_seeded_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 in md5 rank mode: 3 rows per source chosen by the seeded
+    hash rank — the DuckDB oracle replays the ranking row-for-row."""
+    from karanta_ocr_spark.operators.sampling import seeded_sample_per_group
+
+    return seeded_sample_per_group(
+        _docs(spark, sf_dir), "source", k=3, seed=42, rank="md5"
+    ).select("doc_id", "source")
+
+
+def _q_two_phase_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 in md5 rank mode: coverage phase (2 per source) + largest-
+    remainder proportional fill to a 200-row budget; the oracle
+    replays both phases, the driver-side apportionment arithmetic
+    included."""
+    from karanta_ocr_spark.operators.sampling import two_phase_coverage_sample
+
+    return two_phase_coverage_sample(
+        _docs(spark, sf_dir), "source", "n_chars",
+        total_budget=200, base_per_group=2, rank="md5",
+    ).select("doc_id", "source")
+
+
+def _q_sampled_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 in md5 rank mode: bounded-sample mean of n_chars (the
+    reference's ≤100-PDF page-count sizing sample); rank ties are
+    only between equal values so the estimate is deterministic."""
+    from karanta_ocr_spark.operators.sampling import sampled_avg
+
+    return sampled_avg(
+        _docs(spark, sf_dir), "n_chars", n=100, seed=42, rank="md5"
+    ).select(F.round("avg_n_chars", 6).alias("avg_n_chars"))
+
+
 def _q_event_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A7: avg/min/max processing analytics per event type.
     return (
@@ -813,6 +847,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_stats": _q_event_stats,
         "user_error_gate": _q_user_error_gate,
         "proportional_allocation": _q_proportional_allocation,
+        "seeded_group_sample": _q_seeded_group_sample,
+        "two_phase_sampling": _q_two_phase_sampling,
+        "sampled_avg": _q_sampled_avg,
         "event_analytics": _q_event_analytics,
         "anchor_branch": _q_anchor_branch,
         "manifest_join": _q_manifest_join,
@@ -1164,6 +1201,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(w AS BIGINT) AS total_weight,
                    CAST(fa + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS allocation
             FROM lt
+        """,
+        "seeded_group_sample": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS rk
+                FROM documents)
+            WHERE rk <= 3
+        """,
+        "two_phase_sampling": """
+            WITH bud AS (
+                SELECT 200 - 2 * count(DISTINCT source) AS b FROM documents),
+            p1 AS (
+                SELECT doc_id, source FROM (
+                    SELECT doc_id, source,
+                           row_number() OVER (PARTITION BY source
+                               ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+                                        doc_id) AS rk
+                    FROM documents)
+                WHERE rk <= 2),
+            t AS (SELECT source, sum(n_chars) AS w FROM documents GROUP BY source),
+            g AS (SELECT sum(w) AS gw FROM t),
+            r AS (SELECT source, (w / gw) * (SELECT b FROM bud) AS raw FROM t, g),
+            fl AS (SELECT source, floor(raw) AS fa, raw - floor(raw) AS rem FROM r),
+            lt AS (SELECT *, (SELECT b FROM bud) - sum(fa) OVER () AS leftover,
+                          row_number() OVER (ORDER BY rem DESC, source) AS rk
+                   FROM fl),
+            alloc AS (SELECT source,
+                             fa + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                                 AS allocation
+                      FROM lt),
+            rest AS (SELECT doc_id, source FROM documents
+                     WHERE doc_id NOT IN (SELECT doc_id FROM p1)),
+            r2 AS (SELECT doc_id, source,
+                          row_number() OVER (PARTITION BY source
+                              ORDER BY md5('43:' || CAST(doc_id AS VARCHAR)),
+                                       doc_id) AS rk
+                   FROM rest),
+            p2 AS (SELECT r2.doc_id, r2.source
+                   FROM r2 JOIN alloc USING (source)
+                   WHERE r2.rk <= alloc.allocation)
+            SELECT doc_id, source FROM p1
+            UNION ALL
+            SELECT doc_id, source FROM p2
+        """,
+        "sampled_avg": """
+            SELECT round(avg(v), 6) AS avg_n_chars FROM (
+                SELECT n_chars AS v FROM documents
+                ORDER BY md5('42:' || CAST(n_chars AS VARCHAR)), n_chars
+                LIMIT 100)
         """,
         "event_analytics": """
             SELECT event_type,

@@ -382,7 +382,15 @@ def main() -> None:
             vals = [x["docs_per_sec"] for x in runs[cores]]
             return max(vals) / max(min(vals), 1.0)
 
-        for cores in (8, 32):
+        # Extend the NOISIEST level first: its best-of estimate is the
+        # most contaminated, and on this box that is structurally p32
+        # (no spare cores for co-tenants), whose samples are also ~3×
+        # cheaper than p8's — a fixed p8-first order can exhaust the
+        # hard budget on the level that needed help least (observed:
+        # r3 first run spent all extension on p8, lifting only the
+        # DENOMINATOR of the efficiency ratio while contended p32
+        # never got a second chance at a quiet window).
+        for cores in sorted((8, 32), key=_spread, reverse=True):
             loaded = any(
                 x.get("external_busy_at_start", 0) > 0.2 for x in runs[cores]
             )

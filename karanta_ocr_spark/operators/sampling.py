@@ -20,16 +20,32 @@ def systematic_sample(
     return df.filter(F.pmod(F.col(key_col) - phase, F.lit(stride)) == 0)
 
 
+def _seeded_rank_key(seed: int, order_col: str, rank: str):
+    """Deterministic per-row rank key. ``xxhash64`` (production,
+    cheapest) or ``md5`` of ``"seed:id"`` — the same engine-neutral
+    construction the dedup/mix operators use, so a DuckDB oracle can
+    replay the sample row-for-row."""
+    if rank == "xxhash64":
+        return F.xxhash64(F.lit(seed), F.col(order_col))
+    if rank == "md5":
+        return F.md5(
+            F.concat_ws(":", F.lit(str(seed)), F.col(order_col).cast("string"))
+        )
+    raise ValueError(f"unknown rank: {rank!r}")
+
+
 def seeded_sample_per_group(
-    df: DataFrame, group_col: str, k: int, seed: int = 42, order_col: str = "doc_id"
+    df: DataFrame, group_col: str, k: int, seed: int = 42,
+    order_col: str = "doc_id", rank: str = "xxhash64",
 ) -> DataFrame:
     """O9: k rows per group, chosen by a seeded deterministic hash
     rank (reference random page sample,
     ``karanta/data/create_batch_data_prompts.py:166-169`` — theirs is
-    unseeded; we rank by xxhash64(seed, key) so reruns and partition
-    layouts can't change the choice)."""
+    unseeded; we rank by hash(seed, key) so reruns and partition
+    layouts can't change the choice). ``rank='md5'`` makes the choice
+    reproducible in the DuckDB oracle."""
     w = Window.partitionBy(group_col).orderBy(
-        F.xxhash64(F.lit(seed), F.col(order_col)), F.col(order_col)
+        _seeded_rank_key(seed, order_col, rank), F.col(order_col)
     )
     return (
         df.withColumn("_rk", F.row_number().over(w))
@@ -113,14 +129,17 @@ def two_phase_coverage_sample(
     base_per_group: int = 1,
     id_col: str = "doc_id",
     seed: int = 42,
+    rank: str = "xxhash64",
 ) -> DataFrame:
     """O8: coverage + proportional two-phase sampling (reference
     ``create_training_docs_azure.py:94-173``): phase 1 guarantees
     ``base_per_group`` rows from every group; phase 2 fills the rest
     of the budget proportionally to group weight. Returns sampled
-    rows."""
+    rows. ``rank='md5'`` makes both phases DuckDB-replayable."""
     n_groups = df.select(group_col).distinct().count()
-    phase1 = seeded_sample_per_group(df, group_col, base_per_group, seed, id_col)
+    phase1 = seeded_sample_per_group(
+        df, group_col, base_per_group, seed, id_col, rank
+    )
     remaining_budget = max(total_budget - base_per_group * n_groups, 0)
     if remaining_budget == 0:
         return phase1
@@ -130,7 +149,7 @@ def two_phase_coverage_sample(
         "_rk",
         F.row_number().over(
             Window.partitionBy(group_col).orderBy(
-                F.xxhash64(F.lit(seed + 1), F.col(id_col)), F.col(id_col)
+                _seeded_rank_key(seed + 1, id_col, rank), F.col(id_col)
             )
         ),
     )
@@ -142,7 +161,10 @@ def two_phase_coverage_sample(
     return phase1.unionByName(phase2)
 
 
-def sampled_avg(df: DataFrame, value_col: str, n: int = 100, seed: int = 42):
+def sampled_avg(
+    df: DataFrame, value_col: str, n: int = 100, seed: int = 42,
+    rank: str = "xxhash64",
+):
     """A3: estimate a mean from a bounded deterministic sample
     (reference samples ≤100 PDFs for avg page count to size work
     groups, ``karanta/pipeline.py:1302-1333``). Returns a 1-row
@@ -151,9 +173,12 @@ def sampled_avg(df: DataFrame, value_col: str, n: int = 100, seed: int = 42):
     Uses ``orderBy(...).limit(n)`` — Spark plans that as TakeOrdered
     (per-partition top-n + driver merge of n rows), NOT a global sort;
     a ``Window.orderBy`` with no partitionBy would funnel the whole
-    table through one task."""
+    table through one task. ``rank='md5'`` makes the sample (and so
+    the estimate) DuckDB-replayable: hash ties can only occur between
+    EQUAL values, which are interchangeable under an average, so the
+    tie-break-free order is still deterministic in the output."""
     return (
-        df.orderBy(F.xxhash64(F.lit(seed), F.col(value_col)))
+        df.orderBy(_seeded_rank_key(seed, value_col, rank), F.col(value_col))
         .limit(n)
         .agg(F.avg(value_col).alias("avg_" + value_col))
     )
