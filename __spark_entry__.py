@@ -776,6 +776,152 @@ def _q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3/Gopher-style eval-set n-gram decontamination (md5 key
+    mode): the eval set is every 17th doc's leading 60 chars, so those
+    docs (and only text genuinely sharing a 5-gram with them) get
+    flagged; the DuckDB oracle replays n-gram build, the broadcast
+    semi-join and the per-doc distinct-hit count."""
+    from karanta_ocr_spark.operators.decontaminate import decontaminate
+
+    d = _docs(spark, sf_dir)
+    eval_df = d.filter(F.col("doc_id") % 17 == 0).select(
+        F.expr("trim(substring(trim(text), 1, 60))").alias("text")
+    )
+    return decontaminate(d, eval_df, n=5, hash_mode="md5")
+
+
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed ExactSubstr-style span dedup stats over docs wrapped
+    with a shared 12-token slogan (so corpus-duplicated windows
+    exist): the DuckDB oracle replays window build, global occurrence
+    count, and covered-token-fraction."""
+    from karanta_ocr_spark.operators.decontaminate import duplicate_span_stats
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.expr(
+            "concat(trim(substring(trim(text), 1, 80)), "
+            "' the quick brown fox jumps over the lazy dog again and again')"
+        ).alias("text"),
+    )
+    return duplicate_span_stats(synth, window=5, hash_mode="md5")
+
+
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-one bigram LM perplexity (CCNet-shape
+    quality score, md5 join-key mode): the DuckDB oracle retrains the
+    same counts and replays the left-associative position-ordered
+    log-prob fold."""
+    from karanta_ocr_spark.operators.lm_score import bigram_lm_perplexity
+
+    return bigram_lm_perplexity(_docs(spark, sf_dir), hash_mode="md5")
+
+
+def _q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling over BOTH stdlib-decodable moving-
+    picture formats: even doc_ids become an MJPEG AVI (``2 + doc_id %
+    4`` JPEG frames, pure-stdlib encoder, ``kernel.avi_mini``
+    container), odd doc_ids an animated GIF (same frame count, LZW via
+    ``kernel.gif_mini``). ``sample_video_frames`` walks the container,
+    samples every 2nd frame and DECODES it — width/height come from
+    the decoded frame, so the oracle's arithmetic prediction of
+    (n_frames, us_per_frame, frame_idx, width, height) verifies the
+    writer→parser→decoder chain end-to-end for both formats. Pixel
+    bytes are pinned separately by pytest (no SQL twin for
+    entropy-coded pixels)."""
+    from karanta_ocr_spark.operators.multimodal import sample_video_frames
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def make_avis(batches):
+        import pandas as pd
+
+        from karanta_ocr_spark.kernel.avi_mini import build_mjpeg_avi
+        from karanta_ocr_spark.kernel.gif_mini import encode_gif_gray
+        from karanta_ocr_spark.kernel.jpeg_mini import encode_jpeg_gray
+
+        w, h = 16, 8
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["doc_id"].tolist():
+                n = 2 + int(did) % 4
+                imgs = [
+                    bytes(
+                        (int(did) * 37 + k * 101 + y * 13 + x * 7) % 256
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    for k in range(n)
+                ]
+                if did % 2 == 0:
+                    payload = build_mjpeg_avi(
+                        [encode_jpeg_gray(w, h, im) for im in imgs],
+                        w, h, us_per_frame=33000 + (int(did) % 3) * 1000,
+                    )
+                else:
+                    payload = encode_gif_gray(
+                        w, h, imgs, delay_cs=3 + int(did) % 5
+                    )
+                out["media_id"].append(int(did))
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    media = docs.repartition(8).mapInPandas(make_avis, "media_id long, payload binary")
+    frames = sample_video_frames(media, every_n=2, max_frames=8)
+    return frames.select(
+        "media_id", "n_frames", "us_per_frame", "frame_idx", "width", "height"
+    )
+
+
+#: Per-sample value expression shared by the Spark-side WAV builder
+#: and the DuckDB oracle: 8 interleaved PCM16 samples per doc, with
+#: sample 7 pinned to full scale every 5th doc so clip detection has
+#: real work. (SQL text over bindings ``doc_id`` and ``k``.)
+_WAV_SAMPLE_SQL = (
+    "CASE WHEN {k} = 7 AND doc_id % 5 = 0 THEN 32767 "
+    "ELSE ((doc_id * 7 + {k} * 13) % 200 - 100) * 300 END"
+)
+
+
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM16 WAV decode + loudness stats: every doc becomes a
+    WAV built JVM-side (header + 8 two's-complement little-endian
+    samples, mono or stereo by parity, rate from doc_id), then
+    ``audio_features`` decodes the ACTUAL sample bytes (numpy
+    frombuffer) and computes rms/peak/clip_frac via an exact int64
+    sum-of-squares — all reproducible arithmetically by the DuckDB
+    oracle, so builder, RIFF walk, PCM decode and the feature math
+    are verified end-to-end."""
+    from karanta_ocr_spark.operators.multimodal import audio_features
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    ch = "(1 + doc_id % 2)"
+    rate = "(8000 * (1 + doc_id % 3))"
+
+    def le(e: str, nbytes: int) -> str:
+        parts = [
+            f"unhex(lpad(hex((({e}) div {256 ** k}) % 256), 2, '0'))"
+            for k in range(nbytes)
+        ]
+        return "concat(" + ", ".join(parts) + ")"
+
+    sample_bytes = ", ".join(
+        le(f"({_WAV_SAMPLE_SQL.format(k=k)}) & 65535", 2) for k in range(8)
+    )
+    wav = (
+        f"concat(X'52494646', {le('36 + 16', 4)}, X'57415645', "
+        f"X'666D742010000000', X'0100', {le(ch, 2)}, {le(rate, 4)}, "
+        f"{le(f'({rate}) * ({ch}) * 2', 4)}, {le(f'({ch}) * 2', 2)}, X'1000', "
+        f"X'64617461', {le('16', 4)}, {sample_bytes})"
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.expr(wav).alias("payload")
+    )
+    return audio_features(media)
+
+
 def _q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """float64 dot products (cast before the fold) so the score agrees
     with the DuckDB oracle to ~1e-15 — far inside the round-to-6dp
@@ -870,6 +1016,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": _q_url_canonical_dedup,
         "lang_id": _q_lang_id,
         "classifier_scores": _q_classifier_scores,
+        "decontamination": _q_decontamination,
+        "duplicate_spans": _q_duplicate_spans,
+        "lm_perplexity": _q_lm_perplexity,
+        "video_frame_sample": _q_video_frame_sample,
+        "audio_features": _q_audio_features,
         "ann_brute_topk": _q_ann_brute_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1469,6 +1620,119 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
                    CAST(b.n_total - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped
             FROM b LEFT JOIN k USING (doc_id)
+        """,
+        "decontamination": """
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(lower(trim(text)), '[ \\t-\\r]+') AS toks
+                       FROM documents),
+            dn AS (SELECT doc_id,
+                          CASE WHEN len(toks) < 5 THEN []
+                               ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                                    i -> array_to_string(toks[i:i+4], ' '))) END AS ngs
+                   FROM t),
+            et AS (SELECT regexp_split_to_array(
+                              lower(trim(substring(trim(text), 1, 60))), '[ \\t-\\r]+') AS toks
+                   FROM documents WHERE doc_id % 17 = 0),
+            ev AS (SELECT DISTINCT md5(ng) AS nk FROM (
+                       SELECT unnest(CASE WHEN len(toks) < 5 THEN []
+                                  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                                       i -> array_to_string(toks[i:i+4], ' '))) END) AS ng
+                       FROM et)),
+            dx AS (SELECT doc_id, md5(ng) AS nk
+                   FROM (SELECT doc_id, unnest(ngs) AS ng FROM dn)),
+            hits AS (SELECT doc_id, count(*) AS c FROM dx
+                     WHERE nk IN (SELECT nk FROM ev) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.c, 0) AS BIGINT) AS n_contaminated_ngrams,
+                   coalesce(h.c, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "duplicate_spans": """
+            WITH syn AS (SELECT doc_id,
+                                trim(substring(trim(text), 1, 80))
+                                || ' the quick brown fox jumps over the lazy dog again and again' AS text
+                         FROM documents),
+            t AS (SELECT doc_id,
+                         regexp_split_to_array(lower(trim(text)), '[ \\t-\\r]+') AS toks
+                  FROM syn),
+            w AS (SELECT doc_id, unnest(range(0, greatest(len(toks) - 4, 0))) AS pos, toks
+                  FROM t),
+            k AS (SELECT doc_id, pos,
+                         md5(array_to_string(toks[pos+1:pos+5], ' ')) AS nk
+                  FROM w),
+            dup AS (SELECT nk FROM k GROUP BY nk HAVING count(*) >= 2),
+            dp AS (SELECT doc_id, pos FROM k WHERE nk IN (SELECT nk FROM dup)),
+            cov AS (SELECT doc_id, count(DISTINCT ti) AS c
+                    FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS ti FROM dp)
+                    GROUP BY doc_id),
+            nd AS (SELECT doc_id, count(*) AS ndw FROM dp GROUP BY doc_id),
+            base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+            SELECT b.doc_id, b.n_tokens,
+                   CAST(coalesce(nd.ndw, 0) AS BIGINT) AS n_dup_windows,
+                   CASE WHEN b.n_tokens > 0
+                        THEN round(CAST(coalesce(cov.c, 0) AS DOUBLE) / b.n_tokens, 6)
+                        ELSE 0.0 END AS dup_token_frac
+            FROM base b LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)
+        """,
+        "lm_perplexity": """
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(lower(trim(text)), '[ \\t-\\r]+') AS toks
+                       FROM documents),
+            pb AS (SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
+                   FROM t WHERE len(toks) >= 2),
+            pk AS (SELECT doc_id, i - 1 AS pos, md5(toks[i]) AS ck,
+                          md5(toks[i] || ' ' || toks[i+1]) AS bk
+                   FROM pb),
+            bc AS (SELECT bk, count(*) AS bn FROM pk GROUP BY bk),
+            cc AS (SELECT ck, count(*) AS cn FROM pk GROUP BY ck),
+            v AS (SELECT count(DISTINCT tok) AS vv
+                  FROM (SELECT unnest(toks) AS tok FROM t)),
+            lp AS (SELECT pk.doc_id, pk.pos,
+                          ln(bn + 1.0) - ln(cn + 1.0 * vv) AS logp
+                   FROM pk JOIN bc USING (bk) JOIN cc USING (ck), v),
+            ag AS (SELECT doc_id, count(*) AS n,
+                          list_reduce(list_prepend(0.0, list(logp ORDER BY pos)),
+                                      (x, y) -> x + y) AS s
+                   FROM lp GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(ag.n, 0) AS BIGINT) AS n_bigrams,
+                   round(-ag.s / ag.n, 6) AS cross_entropy,
+                   round(exp(-ag.s / ag.n), 4) AS perplexity
+            FROM documents d LEFT JOIN ag USING (doc_id)
+        """,
+        "video_frame_sample": """
+            WITH n AS (SELECT doc_id AS media_id,
+                              CAST(2 + doc_id % 4 AS INT) AS n_frames,
+                              CAST(CASE WHEN doc_id % 2 = 0
+                                        THEN 33000 + (doc_id % 3) * 1000
+                                        ELSE (3 + doc_id % 5) * 10000
+                                   END AS INT) AS us_per_frame
+                       FROM documents)
+            SELECT media_id, n_frames, us_per_frame,
+                   CAST(fi AS INT) AS frame_idx,
+                   CAST(16 AS INT) AS width, CAST(8 AS INT) AS height
+            FROM (SELECT media_id, n_frames, us_per_frame,
+                         unnest(range(0, n_frames, 2)) AS fi
+                  FROM n)
+        """,
+        "audio_features": f"""
+            WITH s AS (SELECT doc_id,
+                              CAST(1 + doc_id % 2 AS INT) AS ch,
+                              CAST(8000 * (1 + doc_id % 3) AS INT) AS rate,
+                              {_WAV_SAMPLE_SQL.format(k='k')} AS sv
+                       FROM documents, (SELECT unnest(range(0, 8)) AS k)),
+            a AS (SELECT doc_id, ch, rate,
+                         sum(CAST(sv AS BIGINT) * sv) AS ss,
+                         max(abs(sv)) AS pk,
+                         sum(CASE WHEN abs(sv) >= 32767 THEN 1 ELSE 0 END) AS nclip
+                  FROM s GROUP BY doc_id, ch, rate)
+            SELECT doc_id AS media_id, rate AS sample_rate, ch AS channels,
+                   CAST(8 // ch AS BIGINT) AS n_samples,
+                   CAST(((8 // ch) * 1000) // rate AS INT) AS duration_ms,
+                   round(sqrt(ss / 8.0), 6) AS rms,
+                   CAST(pk AS INT) AS peak,
+                   round(nclip / 8.0, 6) AS clip_frac
+            FROM a
         """,
         "token_stats": _token_stats_oracle_sql(),
         "pii_scrub": _pii_oracle_sql(),

@@ -1,0 +1,133 @@
+"""Corpus-trained bigram language-model quality scoring — the CCNet
+shape (Wenzek et al. 2020, arXiv:1911.00359): score each document by
+its perplexity under a language model, then filter/bucket on the
+score. CCNet uses a pretrained KenLM; no model ships in this
+container, so the model here is trained ON THE CORPUS ITSELF in the
+same job — an add-one-smoothed token bigram LM. That is itself a
+standard corpus-quality signal: boilerplate and templated spam sit at
+low perplexity, lorem-ipsum-like noise at high perplexity.
+
+Model: ``P(w_i | w_{i-1}) = (B(w_{i-1}, w_i) + a) / (C(w_{i-1}) + a*V)``
+where ``B`` is the corpus bigram count, ``C`` counts the context
+token's occurrences AS a context (all but each doc's final token — so
+the conditional normalizes exactly), ``V`` is corpus vocabulary size,
+and ``a`` is the smoothing constant. Per doc: cross-entropy
+``H = -mean(ln P)`` over its bigram positions, perplexity ``e^H``.
+
+Scale shape (10^12 docs):
+
+* Token/bigram extraction is Catalyst HOF arrays — no Python.
+* Training is ONE groupBy over (context, bigram) hashes with map-side
+  partial aggregation; the context totals are then derived from that
+  aggregated table (``C(w1) = Σ_w2 B(w1, w2)``) instead of a second
+  pass over the corpus, and both counts ride a single corpus-sized
+  join keyed on the bigram hash (corpus text never becomes a shuffle
+  key; AQE handles hot boilerplate bigrams).
+* V is a 1-row aggregate, broadcast.
+* The per-doc log-prob sum folds LEFT-ASSOCIATIVELY over the
+  position-sorted array (collect_list is doc-bounded, never
+  corpus-wide) — bit-reproducible across partitionings, and replayed
+  by the DuckDB oracle with the same fold (``list_reduce`` over an
+  ORDER BY pos list).
+
+Reference scope note: the reference has no LM scoring stage; this is
+part of the beyond-reference training-data suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from karanta_ocr_spark.functions.text_analysis import WS_SQL
+
+
+def bigram_lm_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Per-document bigram-LM perplexity under the corpus-trained
+    model described above.
+
+    Returns ``(id_col, n_bigrams, cross_entropy, perplexity)`` — one
+    row per input doc; docs with fewer than 2 tokens report
+    ``n_bigrams = 0`` and NULL entropy/perplexity.
+
+    ``hash_mode`` picks the join key for the count joins:
+    ``'xxhash64'`` (production, 8-byte keys) or ``'md5'``
+    (engine-neutral, lets the SQL oracle replay the joins — the
+    PROBABILITIES are identical either way, only the shuffle key
+    representation changes).
+    """
+    if hash_mode == "xxhash64":
+        def key(c):  # 8-byte shuffle key
+            return F.xxhash64(c)
+    elif hash_mode == "md5":
+        def key(c):
+            return F.md5(c)
+    else:
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+
+    toks_sql = f"split(lower(trim({text_col})), '{WS_SQL}+')"
+    bigrams_sql = (
+        f"CASE WHEN size({toks_sql}) < 2 THEN "
+        "cast(array() as array<struct<pos:int,w1:string,bg:string>>) "
+        f"ELSE transform(sequence(1, size({toks_sql}) - 1), "
+        f"i -> named_struct('pos', i - 1, 'w1', element_at({toks_sql}, i), "
+        f"'bg', concat(element_at({toks_sql}, i), ' ', "
+        f"element_at({toks_sql}, i + 1)))) END"
+    )
+    pos_bg = docs.select(
+        F.col(id_col), F.explode(F.expr(bigrams_sql)).alias("e")
+    ).select(
+        id_col,
+        F.col("e.pos").alias("pos"),
+        key(F.col("e.w1")).alias("_ck"),
+        key(F.col("e.bg")).alias("_bk"),
+    )
+    # Training: every exploded row is one bigram occurrence AND one
+    # context occurrence of its w1, so one (ck, bk) count yields the
+    # bigram counts directly and the context counts by re-aggregation
+    # of the (small) counts table — the corpus is aggregated once and
+    # joined once, not three times.
+    bg_counts = pos_bg.groupBy("_ck", "_bk").agg(F.count(F.lit(1)).alias("_bn"))
+    ctx_counts = bg_counts.groupBy("_ck").agg(F.sum("_bn").alias("_cn"))
+    counts = bg_counts.join(ctx_counts, on="_ck").select("_bk", "_bn", "_cn")
+    vocab = docs.select(
+        F.explode(F.expr(toks_sql)).alias("tok")
+    ).agg(F.countDistinct("tok").alias("_v"))
+
+    scored = (
+        pos_bg.join(counts, on="_bk")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            "pos",
+            (
+                F.log((F.col("_bn") + F.lit(alpha)))
+                - F.log(F.col("_cn") + F.lit(alpha) * F.col("_v"))
+            ).alias("logp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "logp"))),
+                lambda s: s["logp"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_sum_logp"),
+    )
+    base = docs.select(F.col(id_col))
+    out = base.join(agg, on=id_col, how="left")
+    h = -F.col("_sum_logp") / F.col("_n")
+    return out.select(
+        id_col,
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.round(h, 6).alias("cross_entropy"),
+        F.round(F.exp(h), 4).alias("perplexity"),
+    )

@@ -13,12 +13,17 @@ pure-stdlib ``kernel.png_mini`` (zlib inflate + scanline unfilter)
 and ``kernel.jpeg_mini`` (Huffman entropy decode + IDCT + YCbCr),
 so ``decode_images → grayscale_images → resize_images`` runs
 un-faked end-to-end on web images — baseline AND progressive (SOF2)
-JPEG both decode in pure stdlib. Video frame-sampling needs codec
-libraries that are NOT in this container (ffmpeg), so that path is
-stubbed: the Spark-side plumbing (schemas, mapInPandas batch shape,
-partitioning) is real and tested; the inner pixel transform either
-raises ``NotImplementedError`` (strict mode) or produces a
-deterministic fake (test mode) clearly marked as such.
+JPEG both decode in pure stdlib.
+
+Video: MJPEG-in-AVI decodes for REAL (``sample_video_frames``) — the
+container walk is ``kernel.avi_mini`` and each sampled frame is an
+ordinary JPEG through ``jpeg_mini``. Other codecs (H.264 etc.) need
+ffmpeg, which is NOT in this container, so the general
+``sample_frames`` path stays honestly stubbed: the Spark-side
+plumbing (schemas, mapInPandas batch shape, partitioning) is real and
+tested; the inner pixel transform either raises
+``NotImplementedError`` (strict mode) or produces a deterministic
+fake (test mode) clearly marked as such.
 """
 
 from __future__ import annotations
@@ -29,6 +34,7 @@ from typing import Iterator
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -202,6 +208,112 @@ def wav_metadata(payload: bytes) -> tuple[int, int, int] | None:
     if _i32(rate) is None or _i32(duration_ms) is None:
         return None
     return int(rate), int(channels), int(duration_ms)
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, int, bytes] | None:
+    """(sample_rate, channels, raw PCM16-LE sample bytes) for a
+    RIFF/WAVE file with a 16-bit PCM ``fmt `` chunk — a REAL decode
+    (the samples, not just the headers). Truncated data chunks return
+    the bytes present (crawl cut-offs are data, not errors). None for
+    non-WAVE, non-PCM (compressed codecs need libs this container
+    lacks), or non-16-bit payloads."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(payload)
+    rate = channels = None
+    data: bytes | None = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"fmt " and size >= 16 and i + 24 <= n:
+            fmt_tag = struct.unpack("<H", payload[i + 8 : i + 10])[0]
+            bits = struct.unpack("<H", payload[i + 22 : i + 24])[0]
+            if fmt_tag != 1 or bits != 16:  # PCM16 only — honest scope
+                return None
+            channels = struct.unpack("<H", payload[i + 10 : i + 12])[0]
+            rate = struct.unpack("<I", payload[i + 12 : i + 16])[0]
+        elif cid == b"data":
+            data = payload[i + 8 : i + 8 + size]  # clamped if truncated
+        i += 8 + size + (size & 1)
+    if not rate or not channels or data is None or _i32(rate) is None:
+        return None
+    if len(data) & 1:
+        data = data[:-1]  # drop a torn trailing byte
+    return int(rate), int(channels), data
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", IntegerType()),
+        StructField("clip_frac", DoubleType()),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame, blob_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL audio feature extraction over PCM16 WAV payloads: decode
+    the samples (``decode_wav_pcm16``), then numpy-vectorized
+    loudness/clipping statistics per file — the triage features an
+    audio training-data pipeline buckets on before any expensive
+    model pass.
+
+    Output one row per input row: ``sample_rate, channels,
+    n_samples`` (frames per channel), ``duration_ms``, ``rms``
+    (root-mean-square over all interleaved samples — exact int64
+    sum-of-squares then one sqrt, so the value is reproducible
+    bit-for-bit by any engine), ``peak`` (max |sample|), and
+    ``clip_frac`` (fraction of samples at full scale ±32767/-32768).
+    Undecodable payloads yield NULL features (visible, not fatal).
+
+    Scale shape: one Arrow pass, numpy ``frombuffer`` on each blob —
+    no Python loops over samples; blob size is bounded by the Arrow
+    batch cap like every other media operator."""
+    schema = AUDIO_FEATURES_SCHEMA
+
+    def run(batches: Iterator) -> Iterator:
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {f.name: [] for f in schema.fields}
+            for mid, blob in zip(pdf[id_col].tolist(), pdf[blob_col].tolist()):
+                blob = bytes(blob) if blob is not None else b""
+                dec = decode_wav_pcm16(blob)
+                vals = dict.fromkeys(rows)
+                vals["media_id"] = mid
+                if dec is not None:
+                    rate, ch, data = dec
+                    s = np.frombuffer(data, dtype="<i2")
+                    n_frames = len(s) // ch
+                    vals["sample_rate"] = rate
+                    vals["channels"] = ch
+                    vals["n_samples"] = int(n_frames)
+                    vals["duration_ms"] = int(n_frames * 1000 // rate)
+                    if len(s):
+                        ss = int(np.sum(s.astype(np.int64) ** 2))
+                        vals["rms"] = round(math.sqrt(ss / len(s)), 6)
+                        vals["peak"] = int(np.max(np.abs(s.astype(np.int32))))
+                        vals["clip_frac"] = round(
+                            float(np.mean(np.abs(s.astype(np.int32)) >= 32767)), 6
+                        )
+                    else:
+                        vals["rms"], vals["peak"] = 0.0, 0
+                        vals["clip_frac"] = 0.0
+                for k, v in vals.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=schema)
 
 
 MEDIA_META_SCHEMA = StructType(
@@ -599,6 +711,106 @@ FRAME_SCHEMA = StructType(
 )
 
 
+#: Output of :func:`sample_video_frames` — one row per SAMPLED frame,
+#: dims taken from the DECODED frame (so a decode failure is visible
+#: as NULLs, never a task death).
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("us_per_frame", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 2,
+    max_frames: int = 8,
+    blob_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL video frame sampling (1 row in → ≤max_frames rows out)
+    for the two moving-picture formats web crawls actually carry that
+    are decodable without codec libraries:
+
+    * MJPEG AVI — RIFF walk via ``kernel.avi_mini``, each SAMPLED
+      frame decoded as an ordinary JPEG via ``kernel.jpeg_mini``;
+      unsampled frames are sliced, never decoded, so cost is
+      O(sampled) not O(duration).
+    * animated GIF — ``kernel.gif_mini`` LZW decode + compositing
+      (GIF frames are deltas over a canvas, so frames up to the last
+      sampled index must be composited; cost is O(last sampled)).
+
+    Sampled frame indices are ``0, every_n, 2*every_n, …`` capped at
+    *max_frames*; ``us_per_frame`` reports the AVI header rate or the
+    GIF first-frame delay. One Arrow batch holds a bounded number of
+    blobs (the global Arrow batch cap applies); failure rows degrade
+    to NULL dims/pixels like ``decode_images``. Other containers
+    (MP4/H.264 — needs ffmpeg, not in this container) and frameless
+    payloads emit a single NULL-fields row (n_frames=0) so lineage
+    can count them."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from karanta_ocr_spark.kernel.avi_mini import AviError, parse_avi
+        from karanta_ocr_spark.kernel.gif_mini import decode_gif
+        from karanta_ocr_spark.kernel.jpeg_mini import decode_jpeg
+
+        for pdf in batches:
+            rows = {f.name: [] for f in VIDEO_FRAME_SCHEMA.fields}
+
+            def emit(mid, n, us, idx, w, h, px):
+                rows["media_id"].append(mid)
+                rows["n_frames"].append(n)
+                rows["us_per_frame"].append(us)
+                rows["frame_idx"].append(idx)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixels"].append(px)
+
+            for mid, blob in zip(pdf[id_col].tolist(), pdf[blob_col].tolist()):
+                blob = bytes(blob) if blob is not None else b""
+                if blob[:4] == b"GIF8":
+                    try:
+                        anim = decode_gif(blob)
+                    except Exception:  # GifError or hostile-header artifacts
+                        emit(mid, 0, None, None, None, None, None)
+                        continue
+                    n = len(anim.frames)
+                    if n == 0:
+                        emit(mid, 0, None, None, None, None, None)
+                        continue
+                    us = anim.frames[0][0] * 10_000  # centisec → µs
+                    for idx in range(0, n, every_n)[:max_frames]:
+                        emit(mid, n, us, idx, anim.width, anim.height,
+                             anim.frames[idx][1])
+                    continue
+                try:
+                    vid = parse_avi(blob)
+                except AviError:
+                    emit(mid, 0, None, None, None, None, None)
+                    continue
+                n = len(vid.frames)
+                if n == 0:
+                    emit(mid, 0, vid.us_per_frame or None, None, None, None, None)
+                    continue
+                for idx in range(0, n, every_n)[:max_frames]:
+                    try:
+                        w, h, px = decode_jpeg(vid.frames[idx])
+                    except Exception:
+                        w = h = px = None  # corrupt frame → visible, not fatal
+                    emit(mid, n, vid.us_per_frame, idx, w, h, px)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     every_n: int = 10,
@@ -607,10 +819,12 @@ def sample_frames(
     id_col: str = "media_id",
     allow_fake: bool = False,
 ) -> DataFrame:
-    """Video frame sampling (1 row in → ≤max_frames rows out). STUB:
-    no ffmpeg in this container; the fake emits deterministic
-    ``max_frames`` byte-stamped frames so the fan-out shape, schema
-    and partition behavior are real and tested."""
+    """General-codec video frame sampling (1 row in → ≤max_frames rows
+    out). STUB for non-MJPEG codecs: no ffmpeg in this container (use
+    :func:`sample_video_frames` for MJPEG AVI, which decodes for
+    real); the fake emits deterministic ``max_frames`` byte-stamped
+    frames so the fan-out shape, schema and partition behavior are
+    real and tested."""
 
     def run(batches: Iterator) -> Iterator:
         import hashlib
