@@ -589,7 +589,10 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 base-hash mode: the ENTIRE MinHash+LSH pipeline (shingles →
     31-bit hashes → 32 permutations → 8 band buckets → capped
     candidate join → est-Jaccard ≥ 0.8 → min-id survivors) is replayed
-    by the DuckDB oracle. Production default stays xxhash64."""
+    by the DuckDB oracle. md5 is ALSO the production default since the
+    fused-path measurement (see minhash_lsh_dedup docstring): the
+    bench number and the verified configuration are the same code
+    path, not a special verification mode."""
     return minhash_lsh_dedup(
         _docs(spark, sf_dir), "text", "doc_id", num_perm=32, bands=8,
         base_hash="md5",

@@ -179,6 +179,11 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "minhash_dedup", "simhash_dedup", "ann_brute_topk",
         "ann_lsh_topk", "event_stats", "user_error_gate",
         "classifier_scores",
+        # r3 additions: corpus-shuffle LM scoring, broadcast-probe
+        # decontamination, hash-keyed span dedup, real video/audio
+        # decode chains.
+        "lm_perplexity", "decontamination", "duplicate_spans",
+        "video_frame_sample", "audio_features",
     ]
     qs = entrymod.queries()
     # One untimed pass of every query at sf0.001: the first run of

@@ -61,14 +61,16 @@ def duplicate_line_stats(col: Column) -> tuple[Column, Column, Column]:
     return n.cast("bigint"), dup_frac, dup_char_frac
 
 
-def _bigrams_expr(text_col: str) -> str:
+def _bigrams_expr(toks_col: str) -> str:
     """SQL text for the (non-distinct, case-preserving) word-bigram
-    array — duplicates matter, they are what the mode counts."""
-    toks = f"split(trim({text_col}), '{WS_SQL}+')"
+    array over a PRE-HOISTED token-array column — duplicates matter,
+    they are what the mode counts. (Inlining the split() here would
+    re-tokenize once per bigram: Catalyst does not CSE across lambda
+    boundaries.)"""
     return (
-        f"CASE WHEN size({toks}) < 2 THEN array() "
-        f"ELSE transform(sequence(1, size({toks}) - 1), "
-        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) END"
+        f"CASE WHEN size({toks_col}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size({toks_col}) - 1), "
+        f"i -> concat(element_at({toks_col}, i), ' ', element_at({toks_col}, i + 1))) END"
     )
 
 
@@ -93,7 +95,10 @@ def gopher_repetition_stats(
     )
     bg = df.select(
         F.col(id_col),
-        F.explode(F.expr(_bigrams_expr(text_col))).alias("bigram"),
+        F.expr(f"split(trim({text_col}), '{WS_SQL}+')").alias("_toks"),
+    ).select(
+        F.col(id_col),
+        F.explode(F.expr(_bigrams_expr("_toks"))).alias("bigram"),
     )
     cnt = bg.groupBy(id_col, "bigram").agg(F.count("*").alias("c"))
     # One pass over the counted rows: a per-document window (rank by

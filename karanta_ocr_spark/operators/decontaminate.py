@@ -33,16 +33,23 @@ from pyspark.sql import DataFrame, functions as F
 from karanta_ocr_spark.functions.text_analysis import WS_SQL
 
 
-def _ngrams_expr(text_col: str, n: int) -> str:
-    """SQL text for the DISTINCT lowercase word n-gram array of
-    *text_col*. Documents shorter than *n* tokens yield an empty array
+def _toks_sql(text_col: str) -> str:
+    return f"split(lower(trim({text_col})), '{WS_SQL}+')"
+
+
+def _ngrams_expr(toks_col: str, n: int) -> str:
+    """SQL text for the DISTINCT word n-gram array over a PRE-HOISTED
+    token-array column (Catalyst does not common-subexpression-
+    eliminate across lambda boundaries, so inlining the split() here
+    would re-tokenize once per n-gram — O(tokens²) per doc; hoisting
+    it into a column first was measured 4-5× on the sibling LM
+    operator). Documents shorter than *n* tokens yield an empty array
     (they cannot contain an n-gram, unlike the shingler which falls
     back to the whole text)."""
-    toks = f"split(lower(trim({text_col})), '{WS_SQL}+')"
     return (
-        f"CASE WHEN size({toks}) < {n} THEN array() "
-        f"ELSE array_distinct(transform(sequence(1, size({toks}) - {n} + 1), "
-        f"i -> array_join(slice({toks}, i, {n}), ' '))) END"
+        f"CASE WHEN size({toks_col}) < {n} THEN array() "
+        f"ELSE array_distinct(transform(sequence(1, size({toks_col}) - {n} + 1), "
+        f"i -> array_join(slice({toks_col}, i, {n}), ' '))) END"
     )
 
 
@@ -79,15 +86,18 @@ def decontaminate(
     a shuffle hash join on the hash key.
     """
     ev = (
-        eval_df.select(F.explode(F.expr(_ngrams_expr(eval_text_col, n))).alias("ngram"))
+        eval_df.select(F.expr(_toks_sql(eval_text_col)).alias("_toks"))
+        .select(F.explode(F.expr(_ngrams_expr("_toks", n))).alias("ngram"))
         .select(_key_col(hash_mode).alias("_nk"))
         .distinct()
     )
     if broadcast_eval:
         ev = F.broadcast(ev)
-    doc_ngrams = docs.select(
-        F.col(id_col), F.explode(F.expr(_ngrams_expr(text_col, n))).alias("ngram")
-    ).select(id_col, _key_col(hash_mode).alias("_nk"))
+    doc_ngrams = (
+        docs.select(F.col(id_col), F.expr(_toks_sql(text_col)).alias("_toks"))
+        .select(F.col(id_col), F.explode(F.expr(_ngrams_expr("_toks", n))).alias("ngram"))
+        .select(id_col, _key_col(hash_mode).alias("_nk"))
+    )
     hits = (
         doc_ngrams.join(ev, on="_nk", how="left_semi")
         .groupBy(id_col)
@@ -137,15 +147,15 @@ def duplicate_span_stats(
     explode factor is bounded by the constant *window*, and the
     count-distinct aggregates partially map-side.
     """
-    toks = f"split(lower(trim({text_col})), '{WS_SQL}+')"
+    toks = _toks_sql(text_col)
     wins = (
-        f"CASE WHEN size({toks}) < {window} THEN array() "
-        f"ELSE transform(sequence(1, size({toks}) - {window} + 1), "
-        f"i -> array_join(slice({toks}, i, {window}), ' ')) END"
+        f"CASE WHEN size(_toks) < {window} THEN array() "
+        f"ELSE transform(sequence(1, size(_toks) - {window} + 1), "
+        f"i -> array_join(slice(_toks, i, {window}), ' ')) END"
     )
     per_pos = docs.select(
-        F.col(id_col), F.posexplode(F.expr(wins)).alias("pos", "ngram")
-    )
+        F.col(id_col), F.expr(toks).alias("_toks")
+    ).select(F.col(id_col), F.posexplode(F.expr(wins)).alias("pos", "ngram"))
     keyed = per_pos.select(id_col, "pos", _key_col(hash_mode).alias("_nk"))
     dup_keys = (
         keyed.groupBy("_nk")

@@ -71,15 +71,21 @@ def bigram_lm_perplexity(
         raise ValueError(f"unknown hash_mode: {hash_mode!r}")
 
     toks_sql = f"split(lower(trim({text_col})), '{WS_SQL}+')"
+    # The token array is hoisted into a column FIRST: inlining the
+    # split() into every element_at of the transform lambda would
+    # re-tokenize per element (Catalyst does not CSE across lambda
+    # boundaries) — O(tokens²) string work per document.
     bigrams_sql = (
-        f"CASE WHEN size({toks_sql}) < 2 THEN "
+        "CASE WHEN size(_toks) < 2 THEN "
         "cast(array() as array<struct<pos:int,w1:string,bg:string>>) "
-        f"ELSE transform(sequence(1, size({toks_sql}) - 1), "
-        f"i -> named_struct('pos', i - 1, 'w1', element_at({toks_sql}, i), "
-        f"'bg', concat(element_at({toks_sql}, i), ' ', "
-        f"element_at({toks_sql}, i + 1)))) END"
+        "ELSE transform(sequence(1, size(_toks) - 1), "
+        "i -> named_struct('pos', i - 1, 'w1', element_at(_toks, i), "
+        "'bg', concat(element_at(_toks, i), ' ', "
+        "element_at(_toks, i + 1)))) END"
     )
     pos_bg = docs.select(
+        F.col(id_col), F.expr(toks_sql).alias("_toks")
+    ).select(
         F.col(id_col), F.explode(F.expr(bigrams_sql)).alias("e")
     ).select(
         id_col,
