@@ -878,6 +878,35 @@ def _q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1/C4-style domain+word blocklist gate over urls/words
+    synthesized in-plan (every 5th doc a blocked domain, every 7th a
+    blocked word appended), so the host extraction, subdomain match
+    and token-membership count all do real work; the DuckDB oracle
+    replays each rule."""
+    from karanta_ocr_spark.operators.corpus_filters import blocklist_filter
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.expr(
+            "CASE CAST(doc_id % 5 AS INT) "
+            "WHEN 0 THEN concat('https://spam.bad-ads.example/p/', doc_id) "
+            "WHEN 1 THEN concat('https://sub.tracker.example:8080/x/', doc_id) "
+            "ELSE concat('https://docs.example.org/doc/', doc_id) END"
+        ).alias("url"),
+        F.expr(
+            "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' casino jackpot') "
+            "ELSE text END"
+        ).alias("text"),
+    )
+    return blocklist_filter(
+        synth,
+        blocked_domains=["bad-ads.example", "tracker.example"],
+        blocked_words=["casino", "jackpot", "viagra"],
+    )
+
+
 #: Per-sample value expression shared by the Spark-side WAV builder
 #: and the DuckDB oracle: 8 interleaved PCM16 samples per doc, with
 #: sample 7 pinned to full scale every 5th doc so clip detection has
@@ -1024,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "video_frame_sample": _q_video_frame_sample,
         "audio_features": _q_audio_features,
+        "blocklist_filter": _q_blocklist_filter,
         "ann_brute_topk": _q_ann_brute_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1717,6 +1747,40 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT media_id, n_frames, us_per_frame,
                          unnest(range(0, n_frames, 2)) AS fi
                   FROM n)
+        """,
+        "blocklist_filter": """
+            WITH syn AS (
+                SELECT doc_id,
+                       CASE CAST(doc_id % 5 AS INT)
+                            WHEN 0 THEN 'https://spam.bad-ads.example/p/' || doc_id
+                            WHEN 1 THEN 'https://sub.tracker.example:8080/x/' || doc_id
+                            ELSE 'https://docs.example.org/doc/' || doc_id END AS url,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' casino jackpot'
+                            ELSE text END AS text
+                FROM documents),
+            h AS (SELECT doc_id,
+                         lower(regexp_extract(url,
+                             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+                         regexp_split_to_array(lower(trim(text)), '[ \\t-\\r]+') AS toks
+                  FROM syn),
+            s AS (SELECT doc_id, host,
+                         (host = 'bad-ads.example' OR host LIKE '%.bad-ads.example'
+                          OR host = 'tracker.example' OR host LIKE '%.tracker.example')
+                             AS blocked_domain,
+                         CAST(len(toks) AS BIGINT) AS n_toks,
+                         CAST(len(list_filter(toks,
+                             t -> list_contains(['casino','jackpot','viagra'], t)))
+                             AS BIGINT) AS n_blocked_words
+                  FROM h)
+            SELECT doc_id, host, blocked_domain, n_blocked_words,
+                   CASE WHEN n_toks > 0
+                        THEN round(CAST(n_blocked_words AS DOUBLE) / n_toks, 6)
+                        ELSE 0.0 END AS blocked_word_frac,
+                   (NOT blocked_domain AND
+                    (CASE WHEN n_toks > 0
+                          THEN round(CAST(n_blocked_words AS DOUBLE) / n_toks, 6)
+                          ELSE 0.0 END) <= 0.0) AS keep
+            FROM s
         """,
         "audio_features": f"""
             WITH s AS (SELECT doc_id,

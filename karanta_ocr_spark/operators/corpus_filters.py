@@ -206,6 +206,66 @@ def dedup_paragraphs(
     )
 
 
+def blocklist_filter(
+    df: DataFrame,
+    blocked_domains: list[str],
+    blocked_words: list[str],
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_word_frac: float = 0.0,
+) -> DataFrame:
+    """UT1/C4-style blocklist gate — the first policy filter of a web
+    pipeline (C4 drops pages containing any "bad word"; RefinedWeb
+    drops blocklisted domains before fetch).
+
+    Emits per-doc ``host``, ``blocked_domain`` (host equals a listed
+    domain or is a subdomain of one), ``n_blocked_words`` (lowercased
+    whitespace tokens found in *blocked_words*), ``blocked_word_frac``
+    and ``keep`` (no blocked domain AND word fraction ≤
+    *max_word_frac*; the default 0.0 is C4's any-hit-drops rule).
+
+    Scale shape: everything is per-row Catalyst — host via one regexp,
+    token membership via an array-literal ``array_contains`` over the
+    HOISTED token array (the word list is a plan literal; for
+    million-entry lists switch to a broadcast join on the token — this
+    operator targets the few-thousand-entry UT1 category lists).
+    Zero shuffle."""
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    dom_hit = F.lit(False)
+    for d in blocked_domains:
+        dl = d.lower()
+        dom_hit = dom_hit | (F.col("host") == dl) | F.col("host").endswith("." + dl)
+    words = F.array(*[F.lit(w.lower()) for w in blocked_words])
+    toks = F.split(F.lower(F.trim(F.col(text_col))), WS + "+")
+    out = df.select(
+        F.col(id_col), host.alias("host"), toks.alias("_toks")
+    ).select(
+        id_col,
+        "host",
+        F.size("_toks").cast("long").alias("_n_toks"),
+        F.size(F.filter(F.col("_toks"), lambda t: F.array_contains(words, t)))
+        .cast("long")
+        .alias("n_blocked_words"),
+    )
+    frac = F.when(
+        F.col("_n_toks") > 0, F.round(F.col("n_blocked_words") / F.col("_n_toks"), 6)
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col,
+        "host",
+        dom_hit.alias("blocked_domain"),
+        "n_blocked_words",
+        frac.alias("blocked_word_frac"),
+        (
+            ~dom_hit
+            & (frac <= F.lit(max_word_frac))
+        ).alias("keep"),
+    )
+
+
 def c4_quality_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -120,3 +120,44 @@ def test_c4_quality_signals(spark, docs):
     assert r4["n_lines"] == 0 and r4["c4_keep"] is False
     assert r4["terminal_punct_line_frac"] == 0.0
     assert r4["mean_words_per_line"] is None
+
+
+def test_blocklist_filter(spark):
+    from karanta_ocr_spark.operators.corpus_filters import blocklist_filter
+
+    rows = [
+        (1, "https://spam.bad-ads.example/p/1", "clean words here"),
+        (2, "https://bad-ads.example/root", "clean words here"),
+        (3, "https://docs.example.org/doc/3", "visit the casino tonight"),
+        (4, "https://docs.example.org/doc/4", "all good content"),
+        (5, "https://notbad-ads.example.org/x", "fine"),  # not a subdomain match
+        (6, "https://sub.deep.tracker.example/y", "fine"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in blocklist_filter(
+            spark.createDataFrame(rows, "doc_id long, url string, text string"),
+            blocked_domains=["bad-ads.example", "tracker.example"],
+            blocked_words=["casino"],
+        ).collect()
+    }
+    assert out[1]["blocked_domain"] and not out[1]["keep"]  # subdomain
+    assert out[2]["blocked_domain"]  # exact domain
+    assert not out[3]["blocked_domain"] and out[3]["n_blocked_words"] == 1
+    assert not out[3]["keep"]  # any-hit-drops default
+    assert out[4]["keep"] and out[4]["n_blocked_words"] == 0
+    assert not out[5]["blocked_domain"] and out[5]["keep"]
+    assert out[6]["blocked_domain"]  # deep subdomain
+    assert out[3]["blocked_word_frac"] == 0.25
+
+
+def test_blocklist_filter_word_frac_threshold(spark):
+    from karanta_ocr_spark.operators.corpus_filters import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(1, "https://a.example/x", "casino " + "word " * 99)],
+        "doc_id long, url string, text string",
+    )
+    strict = blocklist_filter(df, [], ["casino"]).collect()[0]
+    lax = blocklist_filter(df, [], ["casino"], max_word_frac=0.05).collect()[0]
+    assert not strict["keep"] and lax["keep"]

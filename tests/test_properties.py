@@ -166,3 +166,65 @@ def test_image_decoders_never_hang_on_magic_prefixed_garbage(payload):
             dec(prefix + payload)
         except Exception:
             pass
+
+
+@settings(max_examples=120, deadline=3000)
+@given(st.data())
+def test_container_decoders_never_hang_on_mutations(data):
+    """AVI/GIF/WAV twin of the image-decoder property: mutations of
+    valid container bytes must neither hang nor escape with an
+    untyped error the operators' fallbacks rely on catching."""
+    from karanta_ocr_spark.kernel.avi_mini import build_mjpeg_avi, parse_avi
+    from karanta_ocr_spark.kernel.gif_mini import decode_gif, encode_gif_gray
+    from karanta_ocr_spark.kernel.jpeg_mini import encode_jpeg_gray
+    from karanta_ocr_spark.operators.multimodal import decode_wav_pcm16
+
+    import struct as _s
+
+    w, h = 16, 8
+    gray = bytes((x * 13 + y * 7) % 256 for y in range(h) for x in range(w))
+    kind = data.draw(st.integers(0, 2))
+    if kind == 0:
+        base = bytearray(
+            build_mjpeg_avi([encode_jpeg_gray(w, h, gray)] * 2, w, h)
+        )
+        dec = parse_avi
+    elif kind == 1:
+        base = bytearray(encode_gif_gray(w, h, [gray] * 2))
+        dec = decode_gif
+    else:
+        pcm = b"".join(_s.pack("<h", ((i * 37) % 200 - 100) * 100) for i in range(32))
+        fmt = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = (b"WAVE" + b"fmt " + _s.pack("<I", 16) + fmt
+                + b"data" + _s.pack("<I", len(pcm)) + pcm)
+        base = bytearray(b"RIFF" + _s.pack("<I", len(body)) + body)
+        dec = decode_wav_pcm16
+    buf = bytearray(base)
+    for _ in range(data.draw(st.integers(1, 6))):
+        if data.draw(st.booleans()) and buf:
+            i = data.draw(st.integers(0, len(buf) - 1))
+            buf[i] = data.draw(st.integers(0, 255))
+        elif len(buf) > 4:
+            buf = buf[: data.draw(st.integers(1, len(buf) - 1))]
+    try:
+        dec(bytes(buf))
+    except Exception:
+        pass  # raising is fine; hanging (deadline) is not
+
+
+@settings(max_examples=150, deadline=2000)
+@given(st.binary(min_size=0, max_size=300))
+def test_container_decoders_never_hang_on_magic_prefixed_garbage(payload):
+    from karanta_ocr_spark.kernel.avi_mini import parse_avi
+    from karanta_ocr_spark.kernel.gif_mini import decode_gif
+    from karanta_ocr_spark.operators.multimodal import decode_wav_pcm16
+
+    for prefix, dec in (
+        (b"RIFF\xff\xff\x00\x00AVI ", parse_avi),
+        (b"GIF89a", decode_gif),
+        (b"RIFF\xff\xff\x00\x00WAVE", decode_wav_pcm16),
+    ):
+        try:
+            dec(prefix + payload)
+        except Exception:
+            pass

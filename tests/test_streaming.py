@@ -234,3 +234,60 @@ def test_stateful_event_time_watermark_drops_late_rows(spark, tmp_path):
     )
     g = final["good.com"]
     assert (g["docs"], g["failed"], g["quarantined"]) == (3, 0, False)
+
+
+def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
+    """Duplicate texts arriving in DIFFERENT micro-batches within the
+    watermark are suppressed; the first arrival and all uniques
+    survive. maxFilesPerTrigger=1 forces the duplicate pair to cross
+    a micro-batch boundary so the state store does the work."""
+    import datetime as dt
+
+    from karanta_ocr_spark.streaming.dedup import streaming_exact_dedup
+
+    base = dt.datetime(2025, 1, 1, 12, 0)
+    in_dir = str(tmp_path / "dd")
+    schema = "url string, warc_ts timestamp, text string"
+    batch1 = spark.createDataFrame(
+        [
+            ("u1", base, "shared boilerplate page"),
+            ("u2", base + dt.timedelta(minutes=1), "a unique document"),
+        ],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        [
+            ("u3", base + dt.timedelta(minutes=2), "shared boilerplate page"),
+            ("u4", base + dt.timedelta(minutes=3), "another unique one"),
+        ],
+        schema,
+    )
+    batch1.coalesce(1).write.parquet(in_dir)
+    batch2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(in_dir)
+    )
+    out = streaming_exact_dedup(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_stream").collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == [
+        "a unique document",
+        "another unique one",
+        "shared boilerplate page",
+    ]
+    # survivor of the duplicate pair is the first arrival
+    survivor = [r for r in rows if r["text"] == "shared boilerplate page"]
+    assert {r["url"] for r in survivor} <= {"u1", "u3"} and len(survivor) == 1
+    assert not any(c.startswith("_dk") for c in rows[0].asDict())
