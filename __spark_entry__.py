@@ -983,6 +983,22 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, probes, k=5, n_centroids=8, codebook_rank="md5_id")
 
 
+def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (md5_id codebook): the DuckDB
+    oracle replays codebook selection → per-subspace encode (rounded
+    argmin, first-index ties) → probe distance tables → ordered ADC
+    fold → top-k end-to-end."""
+    from karanta_ocr_spark.operators.similarity import pq_topk
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return pq_topk(emb, probes, k=5, m=8, n_codes=16, codebook_rank="md5_id")
+
+
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5-derived hyperplanes + float64 vectors: the DuckDB oracle
     recomputes the identical plane matrix (exact rational coefficients
@@ -1056,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": _q_blocklist_filter,
         "ann_brute_topk": _q_ann_brute_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_pq_topk": _q_ann_pq_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         # rows-only (decoded pixel bytes have no SQL twin):
@@ -1920,6 +1937,39 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY cos_sim DESC, vec_id) AS rk
                   FROM s)
             SELECT probe_id, vec_id, cos_sim FROM r WHERE rk <= 5
+        """,
+        "ann_pq_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cb AS (SELECT v AS cv,
+                          row_number() OVER (ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)),
+                                             vec_id) - 1 AS cidx
+                   FROM e
+                   QUALIFY row_number() OVER (ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)),
+                                              vec_id) <= 16),
+            sd AS (SELECT e.vec_id, cb.cidx, ss.s,
+                          round(list_reduce(list_prepend(0.0,
+                              list_transform(range(1, 9),
+                                  i -> (e.v[ss.s*8 + i] - cb.cv[ss.s*8 + i]) ^ 2)),
+                              (x, y) -> x + y), 6) AS d
+                   FROM e CROSS JOIN cb
+                        CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss),
+            enc AS (SELECT vec_id, s, cidx AS code FROM (
+                        SELECT vec_id, s, cidx,
+                               row_number() OVER (PARTITION BY vec_id, s
+                                                  ORDER BY d, cidx) AS rk
+                        FROM sd) WHERE rk = 1),
+            pj AS (SELECT sdp.vec_id AS probe_id, enc.vec_id AS vec_id, enc.s, sdp.d
+                   FROM enc JOIN (SELECT * FROM sd WHERE vec_id < 3) sdp
+                     ON sdp.s = enc.s AND sdp.cidx = enc.code),
+            dist AS (SELECT probe_id, vec_id,
+                            round(list_reduce(list_prepend(0.0, list(d ORDER BY s)),
+                                              (x, y) -> x + y), 6) AS approx_dist
+                     FROM pj GROUP BY probe_id, vec_id),
+            r AS (SELECT probe_id, vec_id, approx_dist,
+                         row_number() OVER (PARTITION BY probe_id
+                                            ORDER BY approx_dist, vec_id) AS rk
+                  FROM dist)
+            SELECT probe_id, vec_id, approx_dist FROM r WHERE rk <= 5
         """,
         "ann_ivf_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

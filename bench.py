@@ -183,7 +183,8 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
         # decontamination, hash-keyed span dedup, real video/audio
         # decode chains.
         "lm_perplexity", "decontamination", "duplicate_spans",
-        "video_frame_sample", "audio_features",
+        "video_frame_sample", "audio_features", "blocklist_filter",
+        "ann_pq_topk",
     ]
     qs = entrymod.queries()
     # One untimed pass of every query at sf0.001: the first run of

@@ -397,6 +397,144 @@ def ivf_topk(
     )
 
 
+def pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id: str = "probe_id",
+    seed: int = 42,
+    codebook_rank: str = "xxhash64",
+) -> DataFrame:
+    """Product-quantization approximate top-k (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search") — the memory
+    side of the canonical IVF-PQ architecture at 10^12 vectors: each
+    vector is stored as *m* sub-space code bytes (here dim/m-dim
+    sub-vectors quantized against an *n_codes*-entry per-subspace
+    codebook), and search is asymmetric distance computation (ADC):
+    the probe precomputes an (m × n_codes) distance table, and each
+    corpus vector costs m table lookups instead of dim multiplies.
+
+    Returns ``(probe_id, id_col, approx_dist)`` — squared-L2 ADC
+    distance (ascending = nearest), rounded to 6 dp with an id
+    tie-break so ranking is deterministic and engine-reproducible.
+
+    Determinism/oracle notes: the codebook is a seeded hash-rank
+    sample of the corpus (one tiny collect, like :func:`ivf_topk`);
+    per-subspace encode takes argmin over distances ROUNDED to 6 dp
+    with a first-index tie-break, so float summation-order ulps
+    (numpy pairwise vs an ordered SQL fold) cannot flip a code.
+    ``codebook_rank='md5_id'`` makes the whole chain — codebook →
+    encode → distance table → ADC sum → top-k — replayable by the
+    DuckDB oracle.
+
+    Scale shape: encode is one numpy pass per Arrow batch over the
+    corpus (in production the codes column is written once and
+    reused); the probe side is a tiny broadcast of distance-table
+    arrays; ADC is a per-row Catalyst fold over m lookups — zero
+    shuffle before the per-probe top-k window.
+    """
+    import numpy as np
+
+    if codebook_rank == "xxhash64":
+        rank_key = F.xxhash64(F.lit(seed), F.col(vec_col).cast("string"))
+    elif codebook_rank == "md5_id":
+        rank_key = F.md5(
+            F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+        )
+    else:
+        raise ValueError(f"unknown codebook_rank: {codebook_rank!r}")
+    sample = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(rank_key, F.col(id_col))
+        .limit(n_codes)
+        .collect()
+    )
+    cb = np.asarray([list(r[vec_col]) for r in sample], dtype="float64")
+    dim = cb.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            codes = []
+            for v in pdf[vec_col]:
+                x = np.asarray(v, dtype="float64")
+                row = []
+                for s in range(m):
+                    d = np.round(
+                        ((x[s * sub : (s + 1) * sub] - cb[:, s * sub : (s + 1) * sub])
+                         ** 2).sum(axis=1),
+                        6,
+                    )
+                    row.append(int(np.argmin(d)))  # first-index tie-break
+                codes.append(row)
+            out = pdf[[c for c in pdf.columns if c != vec_col]].copy()
+            out["_codes"] = codes
+            yield out
+
+    enc_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in corpus.select(id_col).schema.fields
+    ) + ", _codes array<int>"
+    encoded = corpus.select(id_col, vec_col).mapInPandas(encode, enc_schema)
+
+    def probe_tables(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            tabs = []
+            for v in pdf[vec_col]:
+                x = np.asarray(v, dtype="float64")
+                tabs.append(
+                    [
+                        np.round(
+                            ((x[s * sub : (s + 1) * sub]
+                              - cb[:, s * sub : (s + 1) * sub]) ** 2).sum(axis=1),
+                            6,
+                        ).tolist()
+                        for s in range(m)
+                    ]
+                )
+            out = pdf[[c for c in pdf.columns if c != vec_col]].copy()
+            out["_dtab"] = tabs
+            yield out
+
+    pt_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in probes.select(probe_id).schema.fields
+    ) + ", _dtab array<array<double>>"
+    ptab = probes.select(probe_id, vec_col).mapInPandas(probe_tables, pt_schema)
+
+    # ADC: fixed-order left-associative fold over the m lookups (the
+    # table entries are already on the 1e-6 grid, so the sum is
+    # engine-reproducible).
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0).cast("double"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("_dtab"), s + 1),
+            F.element_at(F.col("_codes"), s + 1) + 1,
+        ),
+    )
+    joined = encoded.crossJoin(F.broadcast(ptab)).select(
+        probe_id, id_col, F.round(adc, 6).alias("approx_dist")
+    )
+    w = Window.partitionBy(probe_id).orderBy("approx_dist", F.col(id_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.98,

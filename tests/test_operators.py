@@ -1039,3 +1039,61 @@ def test_ivf_kmeans_refinement_recall(spark):
     # and refinement is deterministic under repartitioning
     refined2 = refine_codebook(df.repartition(7), init, iters=1)
     assert np.array_equal(refined, refined2)
+
+
+def test_pq_topk_self_nearest_and_determinism(spark):
+    from karanta_ocr_spark.operators.similarity import pq_topk
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(120, 16)).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    probes = df.filter("vec_id < 3").selectExpr("vec_id as probe_id", "embedding")
+    out = pq_topk(df, probes, k=5, m=4, n_codes=8)
+    rows = out.collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert set(by_probe) == {0, 1, 2} and all(len(v) == 5 for v in by_probe.values())
+    # ADC distance of a probe to ITSELF equals its quantization error,
+    # which is minimal over vectors sharing its codes -> the probe
+    # appears in its own top-5 (with 8^4 code space and 120 vectors,
+    # code collisions that tie it out are essentially impossible).
+    for pid, rs in by_probe.items():
+        assert pid in {r["vec_id"] for r in rs}
+    assert all(r["approx_dist"] >= 0.0 for r in rows)
+    # deterministic under repartitioning
+    again = {
+        (r["probe_id"], r["vec_id"], r["approx_dist"])
+        for r in pq_topk(df.repartition(7), probes, k=5, m=4, n_codes=8).collect()
+    }
+    assert again == {(r["probe_id"], r["vec_id"], r["approx_dist"]) for r in rows}
+
+
+def test_pq_topk_beats_random_on_clusters(spark):
+    # Two well-separated clusters: PQ top-k for a probe in cluster A
+    # must return only cluster-A vectors.
+    from karanta_ocr_spark.operators.similarity import pq_topk
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(loc=0.0, scale=0.05, size=(40, 16))
+    b = rng.normal(loc=5.0, scale=0.05, size=(40, 16))
+    rows = [(i, [float(x) for x in a[i]]) for i in range(40)]
+    rows += [(100 + i, [float(x) for x in b[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = df.filter("vec_id = 0").selectExpr("vec_id as probe_id", "embedding")
+    got = {r["vec_id"] for r in pq_topk(df, probes, k=10, m=4, n_codes=8).collect()}
+    assert got and all(v < 100 for v in got)
+
+
+def test_pq_topk_rejects_bad_m(spark):
+    from karanta_ocr_spark.operators.similarity import pq_topk
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 10)], "vec_id long, embedding array<double>"
+    )
+    probes = df.selectExpr("vec_id as probe_id", "embedding")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_topk(df, probes, m=3)
