@@ -812,6 +812,25 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_stats(synth, window=5, hash_mode="md5")
 
 
+def _q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ExactSubstr rewrite over the same shared-slogan corpus as
+    ``duplicate_spans``: the globally-first holder of each duplicated
+    window keeps its tokens, every other occurrence is cut; the
+    DuckDB oracle replays first-occurrence selection, coverage
+    verdicts, and the in-order token rebuild."""
+    from karanta_ocr_spark.operators.decontaminate import remove_duplicate_spans
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.expr(
+            "concat(trim(substring(trim(text), 1, 80)), "
+            "' the quick brown fox jumps over the lazy dog again and again')"
+        ).alias("text"),
+    )
+    return remove_duplicate_spans(synth, window=5, hash_mode="md5")
+
+
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained add-one bigram LM perplexity (CCNet-shape
     quality score, md5 join-key mode): the DuckDB oracle retrains the
@@ -1066,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_scores": _q_classifier_scores,
         "decontamination": _q_decontamination,
         "duplicate_spans": _q_duplicate_spans,
+        "duplicate_span_removal": _q_duplicate_span_removal,
         "lm_perplexity": _q_lm_perplexity,
         "video_frame_sample": _q_video_frame_sample,
         "audio_features": _q_audio_features,
@@ -1723,6 +1743,48 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(CAST(coalesce(cov.c, 0) AS DOUBLE) / b.n_tokens, 6)
                         ELSE 0.0 END AS dup_token_frac
             FROM base b LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)
+        """,
+        "duplicate_span_removal": """
+            WITH syn AS (SELECT doc_id,
+                                trim(substring(trim(text), 1, 80))
+                                || ' the quick brown fox jumps over the lazy dog again and again' AS text
+                         FROM documents),
+            t AS (SELECT doc_id,
+                         regexp_split_to_array(lower(trim(text)), '[ \\t-\\r]+') AS toks
+                  FROM syn),
+            w AS (SELECT doc_id, unnest(range(0, greatest(len(toks) - 4, 0))) AS pos, toks
+                  FROM t),
+            k AS (SELECT doc_id, pos,
+                         md5(array_to_string(toks[pos+1:pos+5], ' ')) AS nk
+                  FROM w),
+            fo AS (SELECT nk, doc_id AS fd, pos AS fp FROM (
+                       SELECT nk, doc_id, pos,
+                              row_number() OVER (PARTITION BY nk
+                                                 ORDER BY doc_id, pos) AS rk,
+                              count(*) OVER (PARTITION BY nk) AS occ
+                       FROM k) WHERE rk = 1 AND occ >= 2),
+            docc AS (SELECT k.doc_id, k.pos,
+                            (k.doc_id = fo.fd AND k.pos = fo.fp) AS isf
+                     FROM k JOIN fo USING (nk)),
+            cov AS (SELECT doc_id, unnest(range(pos, pos + 5)) AS ti, isf FROM docc),
+            verd AS (SELECT doc_id, ti,
+                            max(CASE WHEN isf THEN 1 ELSE 0 END) AS kc,
+                            max(CASE WHEN isf THEN 0 ELSE 1 END) AS dc
+                     FROM cov GROUP BY doc_id, ti),
+            drp AS (SELECT doc_id, ti FROM verd WHERE dc = 1 AND kc = 0),
+            tp AS (SELECT doc_id, unnest(toks) AS tok,
+                          unnest(range(0, len(toks))) AS ti
+                   FROM t),
+            keep AS (SELECT tp.doc_id, tp.ti, tp.tok FROM tp
+                     LEFT JOIN drp ON tp.doc_id = drp.doc_id AND tp.ti = drp.ti
+                     WHERE drp.ti IS NULL),
+            ag AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS text,
+                          count(*) AS nk
+                   FROM keep GROUP BY doc_id),
+            b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+            SELECT b.doc_id, coalesce(ag.text, '') AS text, b.n_tokens,
+                   CAST(b.n_tokens - coalesce(ag.nk, 0) AS BIGINT) AS n_dropped
+            FROM b LEFT JOIN ag USING (doc_id)
         """,
         "lm_perplexity": """
             WITH t AS (SELECT doc_id,

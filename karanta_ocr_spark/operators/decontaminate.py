@@ -116,6 +116,102 @@ def decontaminate(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    window: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact-substring deduplication with REWRITE (the full Lee et al.
+    2021 ExactSubstr semantics, windowed variant): corpus-duplicated
+    *window*-token windows keep their globally-FIRST occurrence (by
+    (doc, position) order, like ``dedup_paragraphs``); every token
+    covered only by non-first duplicate occurrences is dropped, and
+    each document's text is rebuilt from its surviving tokens in
+    order.
+
+    Returns ``(id_col, text, n_tokens, n_dropped)`` — one row per
+    input row; a token survives unless some duplicated window covers
+    it at a non-first occurrence and no first occurrence covers it.
+    The rebuilt text is the LOWERCASED single-space token stream (the
+    operator's unit is the token, not the byte — matching the
+    windowed/tokenized variant of the algorithm, and keeping the
+    match semantics identical to :func:`duplicate_span_stats`).
+
+    Scale shape: same as :func:`duplicate_span_stats` (window HOF →
+    hash groupBy with min(struct) first-occurrence selection →
+    join-back on the hash — corpus text never a shuffle key) plus one
+    groupBy per doc to rebuild the text from kept (pos, token) pairs;
+    coverage explodes are bounded by the constant *window*."""
+    toks_sql = _toks_sql(text_col)
+    wins = (
+        f"CASE WHEN size(_toks) < {window} THEN array() "
+        f"ELSE transform(sequence(1, size(_toks) - {window} + 1), "
+        f"i -> array_join(slice(_toks, i, {window}), ' ')) END"
+    )
+    base = docs.select(F.col(id_col), F.expr(toks_sql).alias("_toks"))
+    per_pos = base.select(
+        F.col(id_col), F.posexplode(F.expr(wins)).alias("pos", "ngram")
+    ).select(id_col, "pos", _key_col(hash_mode).alias("_nk"))
+    stats = per_pos.groupBy("_nk").agg(
+        F.count(F.lit(1)).alias("_occ"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+    )
+    dup_occ = per_pos.join(
+        stats.filter(F.col("_occ") >= min_occurrences), on="_nk"
+    ).withColumn(
+        "_is_first",
+        (F.col(id_col) == F.col("_first")[id_col])
+        & (F.col("pos") == F.col("_first")["pos"]),
+    )
+    covered = dup_occ.select(
+        F.col(id_col),
+        "_is_first",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))
+        ).alias("tok_idx"),
+    )
+    # A token drops iff covered by some non-first occurrence and no
+    # first occurrence covers it.
+    verdict = covered.groupBy(id_col, "tok_idx").agg(
+        F.max(F.when(F.col("_is_first"), 1).otherwise(0)).alias("_kept_cov"),
+        F.max(F.when(~F.col("_is_first"), 1).otherwise(0)).alias("_dup_cov"),
+    )
+    dropped = verdict.filter(
+        (F.col("_dup_cov") == 1) & (F.col("_kept_cov") == 0)
+    ).select(id_col, "tok_idx")
+    toks_pos = base.select(
+        F.col(id_col), F.posexplode("_toks").alias("tok_idx", "tok")
+    )
+    kept = (
+        toks_pos.join(dropped, on=[id_col, "tok_idx"], how="left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("tok_idx", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("_text"),
+            F.count(F.lit(1)).alias("_n_kept"),
+        )
+    )
+    out = base.select(
+        F.col(id_col), F.size("_toks").cast("long").alias("n_tokens")
+    ).join(kept, on=id_col, how="left")
+    return out.select(
+        id_col,
+        F.coalesce(F.col("_text"), F.lit("")).alias("text"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
 def duplicate_span_stats(
     docs: DataFrame,
     window: int = 13,

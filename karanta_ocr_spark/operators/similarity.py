@@ -397,6 +397,81 @@ def ivf_topk(
     )
 
 
+def refine_pq_codebook(
+    corpus: DataFrame,
+    codebook,
+    m: int,
+    iters: int = 1,
+    vec_col: str = "embedding",
+):
+    """Per-subspace Lloyd refinement of a PQ codebook — the PQ twin of
+    :func:`refine_codebook`: per iteration one corpus pass assigns
+    every sub-vector to its nearest sub-centroid (numpy, rounded
+    distances like the encoder) and reduces to (m × n_codes) partial
+    (count, sum) rows per partition inside the same ``mapInPandas``;
+    the driver combines the tiny partial set in sorted order (so
+    centroid floats don't depend on partition arrival) into new
+    per-subspace means. Empty cells keep their previous sub-centroid.
+    No shuffle; at 10^12 vectors refine on a seeded sample."""
+    import numpy as np
+
+    cb = np.asarray(codebook, dtype="float64").copy()
+    n_codes, dim = cb.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    for _ in range(int(iters)):
+        cb_cur = cb.copy()
+
+        def partials(batches):
+            import pandas as pd
+
+            sums = np.zeros((m, n_codes, sub), dtype="float64")
+            counts = np.zeros((m, n_codes), dtype="int64")
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(
+                    [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+                )
+                for s in range(m):
+                    xs = X[:, s * sub : (s + 1) * sub]
+                    d = np.round(
+                        ((xs[:, None, :] - cb_cur[None, :, s * sub : (s + 1) * sub])
+                         ** 2).sum(-1),
+                        6,
+                    )
+                    code = np.argmin(d, axis=1)
+                    np.add.at(sums[s], code, xs)
+                    counts[s] += np.bincount(code, minlength=n_codes)
+            yield pd.DataFrame(
+                {
+                    "s": [s for s in range(m) for _ in range(n_codes)],
+                    "code": [c for _ in range(m) for c in range(n_codes)],
+                    "n": counts.reshape(-1).tolist(),
+                    "sm": [
+                        sums[s, c].tolist()
+                        for s in range(m)
+                        for c in range(n_codes)
+                    ],
+                }
+            )
+
+        rows = corpus.select(vec_col).mapInPandas(
+            partials, "s int, code int, n long, sm array<double>"
+        ).collect()
+        sums = np.zeros((m, n_codes, sub), dtype="float64")
+        counts = np.zeros((m, n_codes), dtype="int64")
+        for r in sorted(rows, key=lambda r: (r["s"], r["code"], r["n"], tuple(r["sm"]))):
+            sums[r["s"], r["code"]] += np.asarray(r["sm"], dtype="float64")
+            counts[r["s"], r["code"]] += r["n"]
+        for s in range(m):
+            for c in range(n_codes):
+                if counts[s, c] > 0:
+                    cb[c, s * sub : (s + 1) * sub] = sums[s, c] / counts[s, c]
+    return cb
+
+
 def pq_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -408,6 +483,7 @@ def pq_topk(
     probe_id: str = "probe_id",
     seed: int = 42,
     codebook_rank: str = "xxhash64",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """Product-quantization approximate top-k (Jégou et al. 2011,
     "Product Quantization for Nearest Neighbor Search") — the memory
@@ -458,6 +534,10 @@ def pq_topk(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
+    if kmeans_iters:
+        # Per-subspace Lloyd refinement (pytest-pinned; the oracle
+        # replays the kmeans_iters=0 codebook, like ivf_topk).
+        cb = refine_pq_codebook(corpus, cb, m, kmeans_iters, vec_col)
 
     def encode(batches):
         import pandas as pd

@@ -121,3 +121,42 @@ def test_duplicate_span_partition_invariance(spark, span_docs):
         )
     )
     assert a == b
+
+
+@pytest.mark.parametrize("mode", ["xxhash64", "md5"])
+def test_remove_duplicate_spans(spark, span_docs, mode):
+    from karanta_ocr_spark.operators.decontaminate import remove_duplicate_spans
+
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            span_docs, window=5, hash_mode=mode
+        ).collect()
+    }
+    # Doc 1 holds the globally-first occurrence of the shared run
+    # "one two three four five six" -> keeps everything.
+    assert out[1]["text"] == "one two three four five six alpha beta gamma delta"
+    assert out[1]["n_dropped"] == 0
+    # Doc 2's copy is non-first -> loses tokens 0..5, keeps its tail.
+    assert out[2]["text"] == "omega psi chi phi"
+    assert out[2]["n_dropped"] == 6
+    # Doc 3 repeats "x y z w v" internally: first occurrence (pos 0)
+    # keeps, second (pos 5) is cut.
+    assert out[3]["text"] == "x y z w v"
+    assert out[3]["n_dropped"] == 5
+    # No duplicated window anywhere / shorter than window: unchanged.
+    assert out[4]["text"] == "p q r s t u" and out[4]["n_dropped"] == 0
+    assert out[5]["text"] == "a b c" and out[5]["n_dropped"] == 0
+
+
+def test_remove_duplicate_spans_partition_invariance(spark, span_docs):
+    from karanta_ocr_spark.operators.decontaminate import remove_duplicate_spans
+
+    a = sorted(map(tuple, remove_duplicate_spans(span_docs, window=5).collect()))
+    b = sorted(
+        map(
+            tuple,
+            remove_duplicate_spans(span_docs.repartition(9), window=5).collect(),
+        )
+    )
+    assert a == b

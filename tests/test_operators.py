@@ -1097,3 +1097,38 @@ def test_pq_topk_rejects_bad_m(spark):
     probes = df.selectExpr("vec_id as probe_id", "embedding")
     with pytest.raises(ValueError, match="not divisible"):
         pq_topk(df, probes, m=3)
+
+
+def test_refine_pq_codebook_reduces_quantization_error(spark):
+    from karanta_ocr_spark.operators.similarity import (
+        pq_topk,
+        refine_pq_codebook,
+    )
+
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(size=(150, 16)).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(150)],
+        "vec_id long, embedding array<double>",
+    )
+    m, n_codes, sub = 4, 8, 4
+    init = vecs[:n_codes].copy()
+    refined = refine_pq_codebook(df, init, m=m, iters=2)
+
+    def qerr(cb):
+        tot = 0.0
+        for x in vecs:
+            for s in range(m):
+                d = (((x[s * sub:(s + 1) * sub]
+                       - cb[:, s * sub:(s + 1) * sub]) ** 2).sum(axis=1))
+                tot += d.min()
+        return tot
+
+    assert qerr(refined) < qerr(init)
+    # refined search still runs and is deterministic
+    probes = df.filter("vec_id < 2").selectExpr("vec_id as probe_id", "embedding")
+    a = sorted(map(tuple, pq_topk(df, probes, k=5, m=m, n_codes=n_codes,
+                                  kmeans_iters=2).collect()))
+    b = sorted(map(tuple, pq_topk(df.repartition(6), probes, k=5, m=m,
+                                  n_codes=n_codes, kmeans_iters=2).collect()))
+    assert a == b
