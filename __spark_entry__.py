@@ -170,6 +170,63 @@ def _q_pdf_anchor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.select("url", "anchor_text")
 
 
+def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full WARC ingest chain, oracle-checked: documents are wrapped
+    into the standard Common-Crawl-style HTML (pure JVM), each page is
+    containerized into a per-record-gzip WARC by ``kernel.warc_mini``,
+    parsed back by ``sources.warc.parse_warc_blobs`` (gzip → record
+    walk → HTTP parse), converted to web_pages and run through the
+    extraction pipeline — so the oracle's prediction of
+    (url, text, spans, status, content type) verifies the WARC
+    writer → parser → HTTP → extraction chain end-to-end."""
+    from karanta_ocr_spark.pipeline import run_extraction
+    from karanta_ocr_spark.sources.warc import (
+        parse_warc_blobs,
+        warc_records_to_web_pages,
+    )
+
+    web = web_pages_from_documents(spark, sf_dir)
+
+    def to_warc(batches):
+        import pandas as pd
+
+        from karanta_ocr_spark.kernel.warc_mini import build_warc
+
+        for pdf in batches:
+            out = {"path": [], "content": []}
+            for url, html in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+                out["path"].append(f"synthetic://{url}")
+                out["content"].append(
+                    build_warc([(url, "2025-01-01T00:00:00Z", bytes(html))])
+                )
+            yield pd.DataFrame(out)
+
+    blobs = (
+        web.select("url", "html")
+        .repartition(8)
+        .mapInPandas(to_warc, "path string, content binary")
+    )
+    records = parse_warc_blobs(blobs)
+    docs = run_extraction(
+        spark, warc_records_to_web_pages(records),
+        num_partitions=8, repartition_input=False,
+    )
+    rec_meta = records.select(
+        "url",
+        "http_status",
+        F.col("content_type").alias("warc_content_type"),
+    )
+    return docs.join(rec_meta, on="url").select(
+        "url",
+        "text",
+        F.col("n_pages").cast("int").alias("n_pages"),
+        F.element_at("spans", 1)["start"].cast("long").alias("span_start"),
+        F.element_at("spans", 1)["end"].cast("long").alias("span_end"),
+        "http_status",
+        "warc_content_type",
+    )
+
+
 def _q_source_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A1/T15 analog in pure SQL shape: per-source ordered concat.
     return (
@@ -1048,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html_docs": _q_extract_html_docs,
         "extract_pdf_docs": _q_extract_pdf_docs,
         "pdf_anchor_report": _q_pdf_anchor_report,
+        "warc_extract": _q_warc_extract,
         "source_assembly": _q_source_assembly,
         "lang_stats": _q_lang_stats,
         "workspace_stats": _q_workspace_stats,
@@ -1343,6 +1401,17 @@ def oracle_sql() -> dict[str, str]:
                    || '[72x680]' || trim(substring(trim(text), 1, 40)) || chr(10)
                    || '[Image 100x100 to 180x160]' || chr(10) AS anchor_text
             FROM documents
+        """,
+        "warc_extract": """
+            SELECT 'https://docs.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || trim(text) AS text,
+                   1 AS n_pages,
+                   CAST(0 AS BIGINT) AS span_start,
+                   CAST(length('Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || trim(text)) AS BIGINT) AS span_end,
+                   CAST(200 AS INT) AS http_status,
+                   'text/html; charset=UTF-8' AS warc_content_type
+            FROM documents
+            WHERE length(trim(text)) >= 25
         """,
         "source_assembly": """
             SELECT source,

@@ -76,12 +76,20 @@ class _BitReader:
         self.i = pos
         self.buf = 0
         self.n = 0
+        #: True once synthetic zero bits were served past the end of
+        #: the entropy data (input exhausted or EOI/segment reached) —
+        #: a VALID stream only pads inside its final MCU, so a row
+        #: loop that sees this flag mid-image is decoding a truncated/
+        #: dimension-forged file and should stop (a 16x9480 forged SOF
+        #: otherwise grinds ~1200 empty MCU rows through the IDCT).
+        self.padded = False
 
     def _fill(self) -> None:
         while self.n <= 24:
             if self.i >= len(self.d):
                 self.buf = (self.buf << 8) | 0
                 self.n += 8
+                self.padded = True
                 continue
             b = self.d[self.i]
             if b == 0xFF:
@@ -96,6 +104,7 @@ class _BitReader:
                 else:  # EOI or next segment: pad with zeros
                     self.buf = (self.buf << 8) | 0
                     self.n += 8
+                    self.padded = True
                     continue
             else:
                 self.i += 1
@@ -303,6 +312,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     rd = _BitReader(data, scan_pos)
     mcu_count = 0
     for my in range(mcuy):
+        if rd.padded:
+            break  # entropy data ended on a prior row: truncated image
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 rd.sync_restart()

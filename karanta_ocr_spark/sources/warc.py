@@ -1,0 +1,114 @@
+"""WARC crawl files → the input_hint web_pages table.
+
+Production ingest for Common-Crawl-style input when the upstream is
+raw WARC rather than an Iceberg table: ``spark.read.format
+("binaryFile")`` lists the crawl segment files, each Arrow batch of
+file blobs is parsed by the pure-stdlib ``kernel.warc_mini``, and the
+``response`` records come out as ``(url, warc_ts, html, text, lang)``
+rows ready for ``run_extraction``.
+
+Scale notes: Common Crawl ships ~1 GB per-record-gzip segment files —
+one file is one row into the parse (``binaryFile`` caps at
+2 GB/file), and parallelism comes from the number of segment files
+(a crawl has ~64k of them), which is exactly how production jobs
+consume CC. Parse failures and non-response records become counted
+``ok=false``-style rows, never task failures.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Parsed-record schema: web_pages columns plus provenance/diagnostics.
+WARC_PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_date", StringType()),  # raw ISO 8601 from the record
+        StructField("html", BinaryType()),
+        StructField("http_status", IntegerType()),
+        StructField("content_type", StringType()),
+        StructField("warc_path", StringType()),
+        StructField("rec_type", StringType()),
+    ]
+)
+
+
+def parse_warc_blobs(
+    df: DataFrame, blob_col: str = "content", path_col: str = "path"
+) -> DataFrame:
+    """(path, blob) rows → one row per WARC record (response records
+    carry the HTTP body as ``html``; other types carry NULL html so
+    lineage can count them; an unparseable file yields a single
+    ``rec_type='error'`` row)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from karanta_ocr_spark.kernel.warc_mini import WarcError, parse_warc
+
+        for pdf in batches:
+            rows = {f.name: [] for f in WARC_PAGES_SCHEMA.fields}
+
+            def emit(url, date, html, status, ctype, path, rtype):
+                rows["url"].append(url)
+                rows["warc_date"].append(date)
+                rows["html"].append(html)
+                rows["http_status"].append(status)
+                rows["content_type"].append(ctype)
+                rows["warc_path"].append(path)
+                rows["rec_type"].append(rtype)
+
+            for path, blob in zip(pdf[path_col].tolist(), pdf[blob_col].tolist()):
+                blob = bytes(blob) if blob is not None else b""
+                try:
+                    recs = parse_warc(blob)
+                except WarcError:
+                    emit(None, None, None, None, None, path, "error")
+                    continue
+                for r in recs:
+                    emit(
+                        r.url,
+                        r.date,
+                        r.body if r.rec_type == "response" else None,
+                        r.http_status,
+                        r.content_type,
+                        path,
+                        r.rec_type,
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(path_col, blob_col).mapInPandas(run, schema=WARC_PAGES_SCHEMA)
+
+
+def read_warc_files(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Crawl segment files → parsed record rows (see module notes)."""
+    files = spark.read.format("binaryFile").load(path_glob)
+    return parse_warc_blobs(files)
+
+
+def warc_records_to_web_pages(records: DataFrame) -> DataFrame:
+    """Parsed records → the input_hint web_pages shape (200-status
+    responses only; ``text``/``lang`` NULL — extraction fills them)."""
+    return (
+        records.filter(
+            (F.col("rec_type") == "response") & (F.col("http_status") == 200)
+        )
+        .select(
+            "url",
+            F.to_timestamp(
+                F.trim(F.regexp_replace(F.col("warc_date"), "[TZ]", " "))
+            ).alias("warc_ts"),
+            "html",
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )

@@ -1,0 +1,98 @@
+"""WARC kernel + Spark source: roundtrip, truncation recovery,
+hostile input, and the file→records→web_pages→extraction chain."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from karanta_ocr_spark.kernel.warc_mini import (
+    WarcError,
+    build_warc,
+    parse_warc,
+)
+
+PAGES = [
+    ("https://a.example/1", "2025-01-01T00:00:00Z", b"<html><p>one page</p></html>"),
+    ("https://a.example/2", "2025-01-02T12:30:00Z", b"<html>two &amp; x</html>"),
+]
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_roundtrip(gz):
+    recs = parse_warc(build_warc(PAGES, per_record_gzip=gz))
+    assert [(r.url, r.date, r.body) for r in recs] == PAGES
+    assert all(r.http_status == 200 and r.rec_type == "response" for r in recs)
+    assert all(r.content_type.startswith("text/html") for r in recs)
+
+
+def test_whole_file_gzip_of_plain_warc():
+    plain = build_warc(PAGES, per_record_gzip=False)
+    assert len(parse_warc(gzip.compress(plain))) == 2
+
+
+def test_truncated_gzip_keeps_prefix_members():
+    w = build_warc(PAGES)
+    recs = parse_warc(w[: len(w) - 20])  # cut inside the final member
+    assert recs and recs[0].body == PAGES[0][2]  # first record intact
+
+
+def test_truncated_plain_keeps_parsed_records():
+    plain = build_warc(PAGES, per_record_gzip=False)
+    first_len = len(build_warc(PAGES[:1], per_record_gzip=False))
+    recs = parse_warc(plain[: first_len + 40])
+    assert recs and recs[0].body == PAGES[0][2]
+
+
+def test_hostile_inputs_fail_typed():
+    for bad in (b"garbage data here", b"\x1f\x8bnotgzip"):
+        with pytest.raises(WarcError):
+            parse_warc(bad)
+    assert parse_warc(b"") == []  # empty file: no records, not an error
+
+
+def test_non_response_records_surface():
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\n"
+        b"info body\r\n\r\n"
+    )
+    data = info + build_warc(PAGES[:1], per_record_gzip=False)
+    recs = parse_warc(data)
+    assert [r.rec_type for r in recs] == ["warcinfo", "response"]
+    assert recs[0].http_status is None and recs[0].body == b"info body"
+
+
+def test_warc_source_to_extraction(spark, tmp_path):
+    """Files on disk → binaryFile scan → parse → web_pages →
+    run_extraction: the full ingest chain produces the same text the
+    direct web_pages path does."""
+    from karanta_ocr_spark.pipeline import run_extraction
+    from karanta_ocr_spark.sources.warc import (
+        read_warc_files,
+        warc_records_to_web_pages,
+    )
+    from karanta_ocr_spark.sources.web_pages import synthetic_web_pages
+
+    web = synthetic_web_pages(spark, n_docs=24, seed=42)
+    rows = web.collect()
+    # Two segment files, as a crawl would ship.
+    for half, name in ((rows[:12], "seg0"), (rows[12:], "seg1")):
+        pages = [
+            (r["url"], "2025-01-01T00:00:00Z", bytes(r["html"]))
+            for r in half
+            if r["html"] is not None
+        ]
+        (tmp_path / f"{name}.warc.gz").write_bytes(build_warc(pages))
+
+    records = read_warc_files(spark, str(tmp_path / "*.warc.gz"))
+    assert records.filter("rec_type = 'response'").count() == web.filter(
+        "html is not null"
+    ).count()
+    via_warc = run_extraction(
+        spark, warc_records_to_web_pages(records), num_partitions=4
+    )
+    direct = run_extraction(spark, web, num_partitions=4)
+    a = {(r["url"], r["doc_id"], r["text"]) for r in via_warc.collect()}
+    b = {(r["url"], r["doc_id"], r["text"]) for r in direct.collect()}
+    assert a == b
