@@ -73,13 +73,15 @@ def parse_avi(data: bytes) -> AviVideo:
     width = height = us_per_frame = total = 0
     frames: list[bytes] = []
 
-    def walk(lo: int, hi: int) -> None:
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
         nonlocal width, height, us_per_frame, total
+        if depth > 16:  # crafted LIST nesting: real AVIs use ≤3 levels
+            return      # (RecursionError is not AviError — bound it)
         for fcc, body, size in _chunks(data, lo, hi):
             if fcc == b"LIST" and size >= 4:
                 kind = data[body : body + 4]
                 if kind in (b"hdrl", b"movi", b"strl", b"rec "):
-                    walk(body + 4, body + size)
+                    walk(body + 4, body + size, depth + 1)
             elif fcc == b"avih" and size >= 40:
                 f = struct.unpack_from("<10I", data, body)
                 us_per_frame, total = f[0], f[4]

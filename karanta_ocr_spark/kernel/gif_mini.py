@@ -137,8 +137,16 @@ def _deinterlace(idx: bytes, w: int, h: int) -> bytes:
     return b"".join(out)
 
 
-def decode_gif(data: bytes, max_frames: int = 256) -> GifAnim:
-    """Decode an (animated) GIF to full-canvas RGB frames."""
+def decode_gif(
+    data: bytes, max_frames: int = 256, max_total_pixels: int = 1 << 26
+) -> GifAnim:
+    """Decode an (animated) GIF to full-canvas RGB frames.
+
+    *max_frames* bounds how many frames are composited (a sampler
+    that needs frame k only has to pay for frames ≤ k — GIF frames
+    are deltas, so earlier frames cannot be skipped);
+    *max_total_pixels* (default 64M) bounds canvas×frames work so a
+    forged-dimension file cannot grind the pure-Python compositor."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise GifError("bad GIF signature")
     if len(data) < 13:
@@ -146,6 +154,11 @@ def decode_gif(data: bytes, max_frames: int = 256) -> GifAnim:
     w, h = struct.unpack_from("<HH", data, 6)
     if not (0 < w <= 1 << 14 and 0 < h <= 1 << 14):
         raise GifError(f"implausible dims {w}x{h}")
+    if w * h > max_total_pixels:
+        # Even one frame exceeds the budget — and the canvas alone
+        # would be a multi-hundred-MB allocation per row.
+        raise GifError(f"canvas {w}x{h} exceeds pixel budget")
+    max_frames = min(max_frames, max_total_pixels // (w * h))
     flags, bg_idx = data[10], data[11]
     gct, off = _color_table(data, 13, flags)
     canvas = bytearray(w * h * 3)  # composited RGB canvas, starts black

@@ -778,7 +778,11 @@ def sample_video_frames(
                 blob = bytes(blob) if blob is not None else b""
                 if blob[:4] == b"GIF8":
                     try:
-                        anim = decode_gif(blob)
+                        # Last sampled index bounds the compositing
+                        # work; frames past it are never decoded.
+                        anim = decode_gif(
+                            blob, max_frames=(max_frames - 1) * every_n + 1
+                        )
                     except Exception:  # GifError or hostile-header artifacts
                         emit(mid, 0, None, None, None, None, None)
                         continue
