@@ -163,3 +163,35 @@ def test_sample_video_frames_hostile_inputs(spark):
     ok = [r for r in by_mid[3] if r["frame_idx"] == 1][0]
     assert ok["width"] == W
     assert by_mid[4][0]["n_frames"] == 0
+
+
+def test_avi_list_nesting_bounded():
+    # ~60k nested LIST chunks must not overflow the recursion limit.
+    import struct as _s
+
+    from karanta_ocr_spark.kernel.avi_mini import parse_avi
+
+    inner = b""
+    for _ in range(60_000):
+        inner = b"LIST" + _s.pack("<I", len(inner) + 4) + b"hdrl" + inner
+    bomb = b"RIFF" + _s.pack("<I", len(inner) + 4) + b"AVI " + inner
+    assert parse_avi(bomb).frames == []  # no crash, nothing decoded
+
+
+def test_gif_pixel_budget_is_typed():
+    import struct as _s
+
+    from karanta_ocr_spark.kernel.gif_mini import GifError, decode_gif
+
+    hdr = (b"GIF89a" + _s.pack("<HH", 16383, 16383)
+           + bytes([0x87, 0, 0]) + bytes(range(256)) * 3 + b"\x3b")
+    with pytest.raises(GifError, match="pixel budget"):
+        decode_gif(hdr)
+
+
+def test_gif_sampler_skips_tail_frames():
+    from karanta_ocr_spark.kernel.gif_mini import decode_gif, encode_gif_gray
+
+    frames = [bytes([k]) * (W * H) for k in range(6)]
+    gif = encode_gif_gray(W, H, frames)
+    assert len(decode_gif(gif, max_frames=3).frames) == 3
