@@ -983,6 +983,33 @@ def _q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-meta flags over HTML built in-plan with four known
+    variants (name-first noindex,nofollow / content-first noindex /
+    index,follow / no meta at all), so the oracle predicts the
+    verdicts arithmetically and the Spark regexes are verified
+    against ground-truth HTML."""
+    from karanta_ocr_spark.operators.corpus_filters import meta_robots_flags
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.encode(
+            F.expr(
+                "concat('<html><head>', "
+                "CASE CAST(doc_id % 4 AS INT) "
+                "WHEN 0 THEN '<meta name=\"robots\" content=\"noindex, nofollow\">' "
+                "WHEN 1 THEN '<meta content=''noindex'' name=robots>' "
+                "WHEN 2 THEN '<meta name=\"ROBOTS\" content=\"index, follow\">' "
+                "ELSE '<meta charset=\"utf-8\">' END, "
+                "'</head><body>', text, '</body></html>')"
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return meta_robots_flags(synth)
+
+
 #: Per-sample value expression shared by the Spark-side WAV builder
 #: and the DuckDB oracle: 8 interleaved PCM16 samples per doc, with
 #: sample 7 pinned to full scale every 5th doc so clip detection has
@@ -1148,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": _q_video_frame_sample,
         "audio_features": _q_audio_features,
         "blocklist_filter": _q_blocklist_filter,
+        "meta_robots": _q_meta_robots,
         "ann_brute_topk": _q_ann_brute_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_pq_topk": _q_ann_pq_topk,
@@ -1895,6 +1923,13 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT media_id, n_frames, us_per_frame,
                          unnest(range(0, n_frames, 2)) AS fi
                   FROM n)
+        """,
+        "meta_robots": """
+            SELECT doc_id,
+                   doc_id % 4 IN (0, 1) AS noindex,
+                   doc_id % 4 = 0 AS nofollow,
+                   doc_id % 4 NOT IN (0, 1) AS indexable
+            FROM documents
         """,
         "blocklist_filter": """
             WITH syn AS (

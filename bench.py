@@ -184,7 +184,7 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
         # decode chains.
         "lm_perplexity", "decontamination", "duplicate_spans",
         "video_frame_sample", "audio_features", "blocklist_filter",
-        "duplicate_span_removal", "warc_extract",
+        "duplicate_span_removal", "warc_extract", "meta_robots",
         "ann_pq_topk",
     ]
     qs = entrymod.queries()

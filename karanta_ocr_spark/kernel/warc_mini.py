@@ -148,6 +148,31 @@ def parse_warc(data: bytes, max_records: int = 100_000) -> list[WarcRecord]:
     return records
 
 
+def build_wet(pages: list[tuple[str, str, str]]) -> bytes:
+    """Assemble ``(url, iso_date, extracted_text)`` into a WET file —
+    the Common Crawl *conversion* sidecar format (one ``conversion``
+    record per page, text/plain payload, per-record gzip). The
+    :func:`parse_warc` reader surfaces these as
+    ``rec_type='conversion'`` records with the text as ``body``."""
+    out = bytearray()
+    for idx, (url, date, text) in enumerate(pages):
+        body = text.encode("utf-8")
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            + f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0001-{idx:012d}>\r\n".encode()
+            + f"WARC-Date: {date}\r\n".encode()
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + b"Content-Type: text/plain\r\n"
+            + f"Content-Length: {len(body)}\r\n".encode()
+            + b"\r\n"
+            + body
+            + b"\r\n\r\n"
+        )
+        out += gzip.compress(bytes(rec), mtime=0)
+    return bytes(out)
+
+
 def build_warc(
     pages: list[tuple[str, str, bytes]],
     per_record_gzip: bool = True,

@@ -206,6 +206,42 @@ def dedup_paragraphs(
     )
 
 
+def meta_robots_flags(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Robots-meta policy flags — the page-level opt-out a compliant
+    crawl pipeline honors before training on a page: ``noindex`` /
+    ``nofollow`` from ``<meta name="robots" content="...">`` (both
+    attribute orders), plus ``indexable`` (= NOT noindex).
+
+    Honest scope: the HTML meta tag only (the common in-band signal);
+    the HTTP ``X-Robots-Tag`` header lives in the WARC record headers
+    and would be a column by the time rows reach this operator.
+    Per-row Catalyst ``rlike`` over the decoded html — zero shuffle,
+    RE2-safe patterns (no lookarounds/backrefs) so an independent SQL
+    engine evaluates them identically."""
+    s = F.decode(F.col(html_col), "UTF-8")
+
+    def flag(token: str) -> Column:
+        name_first = (
+            r"(?i)<meta[^>]*name[ \t]*=[ \t]*[\"']?robots[^>]*"
+            r"content[ \t]*=[ \t]*[\"'][^\"'>]*" + token
+        )
+        content_first = (
+            r"(?i)<meta[^>]*content[ \t]*=[ \t]*[\"'][^\"'>]*" + token
+            + r"[^>]*name[ \t]*=[ \t]*[\"']?robots"
+        )
+        return s.rlike(name_first) | s.rlike(content_first)
+
+    noindex = flag("noindex")
+    return df.select(
+        F.col(id_col),
+        noindex.alias("noindex"),
+        flag("nofollow").alias("nofollow"),
+        (~noindex).alias("indexable"),
+    )
+
+
 def blocklist_filter(
     df: DataFrame,
     blocked_domains: list[str],

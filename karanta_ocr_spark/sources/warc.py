@@ -95,6 +95,42 @@ def read_warc_files(spark: SparkSession, path_glob: str) -> DataFrame:
     return parse_warc_blobs(files)
 
 
+def write_wet(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    text_col: str = "text",
+    date: str = "2025-01-01T00:00:00Z",
+) -> int:
+    """Extraction output → WET segment files (one ``.warc.wet.gz``
+    per partition, written partition-local with no driver collection
+    — the same sink shape as ``write_markdown``). Together with
+    :func:`read_warc_files` this closes the Common Crawl loop:
+    WARC in → extraction → WET out."""
+    acc = df.sparkSession.sparkContext.accumulator(0)
+
+    def write_part(rows) -> None:
+        import os
+
+        from pyspark import TaskContext
+
+        from karanta_ocr_spark.kernel.warc_mini import build_wet
+
+        pages = [(r[url_col], date, r[text_col] or "") for r in rows]
+        if not pages:
+            return
+        pid = TaskContext.get().partitionId()
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = os.path.join(out_dir, f".seg-{pid:05d}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(build_wet(pages))
+        os.replace(tmp, os.path.join(out_dir, f"seg-{pid:05d}.warc.wet.gz"))
+        acc.add(len(pages))
+
+    df.select(url_col, text_col).foreachPartition(write_part)
+    return acc.value
+
+
 def warc_records_to_web_pages(records: DataFrame) -> DataFrame:
     """Parsed records → the input_hint web_pages shape (200-status
     responses only; ``text``/``lang`` NULL — extraction fills them)."""

@@ -161,3 +161,26 @@ def test_blocklist_filter_word_frac_threshold(spark):
     strict = blocklist_filter(df, [], ["casino"]).collect()[0]
     lax = blocklist_filter(df, [], ["casino"], max_word_frac=0.05).collect()[0]
     assert not strict["keep"] and lax["keep"]
+
+
+def test_meta_robots_flags(spark):
+    from karanta_ocr_spark.operators.corpus_filters import meta_robots_flags
+
+    rows = [
+        (1, b'<html><head><meta name="robots" content="noindex, nofollow"></head></html>'),
+        (2, b"<html><head><meta content='noindex' name=robots></head></html>"),
+        (3, b'<html><head><meta name="ROBOTS" content="INDEX, FOLLOW"></head></html>'),
+        (4, b"<html><head><meta charset='utf-8'></head><body>noindex as text</body></html>"),
+        (5, b'<html><meta name="description" content="noindex is a word"></html>'),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in meta_robots_flags(
+            spark.createDataFrame(rows, "doc_id long, html binary")
+        ).collect()
+    }
+    assert out[1]["noindex"] and out[1]["nofollow"] and not out[1]["indexable"]
+    assert out[2]["noindex"] and not out[2]["nofollow"]
+    assert not out[3]["noindex"] and out[3]["indexable"]
+    assert not out[4]["noindex"]  # body text is not a meta tag
+    assert not out[5]["noindex"]  # description meta, not robots

@@ -96,3 +96,26 @@ def test_warc_source_to_extraction(spark, tmp_path):
     a = {(r["url"], r["doc_id"], r["text"]) for r in via_warc.collect()}
     b = {(r["url"], r["doc_id"], r["text"]) for r in direct.collect()}
     assert a == b
+
+
+def test_write_wet_roundtrip(spark, tmp_path):
+    from karanta_ocr_spark.kernel.warc_mini import parse_warc
+    from karanta_ocr_spark.sources.warc import write_wet
+
+    rows = [
+        ("https://a.example/1", "first extracted text"),
+        ("https://a.example/2", "second text with unicode: Ge'ez ለ"),
+        ("https://a.example/3", None),  # null text -> empty payload
+    ]
+    df = spark.createDataFrame(rows, "url string, text string").repartition(2)
+    out = str(tmp_path / "wet")
+    n = write_wet(df, out)
+    assert n == 3
+    import glob
+
+    got = {}
+    for p in sorted(glob.glob(out + "/seg-*.warc.wet.gz")):
+        for r in parse_warc(open(p, "rb").read()):
+            assert r.rec_type == "conversion"
+            got[r.url] = r.body.decode("utf-8")
+    assert got == {u: (t or "") for u, t in rows}
