@@ -1253,7 +1253,7 @@ def _pii_oracle_sql() -> str:
                regexp_replace(regexp_replace(regexp_replace(text,
                    '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
                    '{IPV4_RE}', '\\1{IP_TOKEN}\\2', 'g'),
-                   '{PHONE_RE}', '\\1{PHONE_TOKEN}', 'g') AS scrubbed
+                   '{PHONE_RE}', '\\1{PHONE_TOKEN}\\2', 'g') AS scrubbed
         FROM s
     """
 

@@ -32,15 +32,18 @@ IPV4_RE = rf"(?:^|([^\d.])){_IPV4_OCT}(?:\.{_IPV4_OCT}){{3}}(?:$|([^\d.]))"
 #: separated groups, or the NANP 3-3-4 form with required separators.
 #: Deliberately does NOT match dates (2021-08-16), ISBNs
 #: (978-0-306-40615-7), or spaced numbers (1 000 000) — an earlier
-#: any-8+-digit-run pattern masked all of those. The left edge is the
-#: same consumed-boundary guard IPV4_RE uses (captured non-digit or
-#: string start, re-inserted by the replacement): without it the NANP
-#: alternative matched INSIDE longer digit runs, half-eating serials
-#: like 1234-567-8901 into ``1|||PHONE|||``.
+#: any-8+-digit-run pattern masked all of those.
+#: Both edges carry the consumed-boundary guard (like IPV4_RE): the
+#: left one stops the NANP alternative matching INSIDE longer digit
+#: runs (1234-567-8901 → ``1|||PHONE|||``), the right one stops it
+#: half-eating runs that EXTEND past ten digits (555-123-45678 →
+#: ``|||PHONE|||8``). Same shared-boundary limitation as IPV4_RE for
+#: two phones separated by a single character.
 PHONE_RE = (
     r"(?:^|([^\d]))"
     r"(?:\+\d{1,3}(?:[ .-]?\d{2,4}){2,4}"
     r"|\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4})"
+    r"(?:$|([^\d]))"
 )
 
 EMAIL_TOKEN = "|||EMAIL|||"
@@ -60,7 +63,7 @@ def scrub_pii(col: Column) -> Column:
     string edges → empty)."""
     out = F.regexp_replace(col, EMAIL_RE, EMAIL_TOKEN)
     out = F.regexp_replace(out, IPV4_RE, "$1" + IP_TOKEN + "$2")
-    out = F.regexp_replace(out, PHONE_RE, "$1" + PHONE_TOKEN)
+    out = F.regexp_replace(out, PHONE_RE, "$1" + PHONE_TOKEN + "$2")
     return out
 
 

@@ -38,6 +38,11 @@ class GifAnim:
     height: int
     #: (delay_centiseconds, row-major RGB bytes of the full canvas)
     frames: list[tuple[int, bytes]] = field(default_factory=list)
+    #: Image descriptors present in the container — can exceed
+    #: ``len(frames)`` when decoding was capped; a sampler should
+    #: report THIS as the frame count (matching the AVI path, which
+    #: reports the container count, not the decoded count).
+    total_frames: int = 0
 
 
 def _color_table(data: bytes, off: int, flags: int) -> tuple[list[bytes], int]:
@@ -178,8 +183,40 @@ def decode_gif(
             )
         except GifError:
             if anim.frames:
-                break  # truncated download: keep recovered frames
+                anim.total_frames = len(anim.frames)
+                return anim  # truncated download: keep recovered frames
             raise
+    # Count image descriptors past the decode cap WITHOUT decoding,
+    # so total_frames reports the container truth even when
+    # compositing stopped early.
+    total = len(anim.frames)
+    while off < len(data):
+        b = data[off]
+        off += 1
+        if b == 0x3B:
+            break
+        try:
+            if b == 0x21:
+                if off >= len(data):
+                    break
+                off += 1  # label
+                _, off = _sub_blocks(data, off)
+            elif b == 0x2C:
+                if off + 9 > len(data):
+                    break
+                iflags = data[off + 8]
+                off += 9
+                _, off = _color_table(data, off, iflags)
+                if off >= len(data):
+                    break
+                off += 1  # LZW min code size
+                _, off = _sub_blocks(data, off)
+                total += 1
+            else:
+                break
+        except GifError:
+            break
+    anim.total_frames = total
     return anim
 
 

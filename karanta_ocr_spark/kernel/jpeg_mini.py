@@ -208,11 +208,24 @@ def _planes_to_rgb(
     return bytes(rgb)
 
 
+#: Pixel budget for this pure-Python decoder (16.7M ≈ a 5000x3300
+#: scan). A forged 65535x65535 SOF would otherwise allocate
+#: multi-GB coefficient/plane/RGB buffers per row (the progressive
+#: path's per-component coefficient array alone would be ~17 GB) —
+#: a typed error keeps the row a visible failure instead of an
+#: executor OOM. Production swaps in libjpeg behind the same seam.
+_MAX_PIXELS = 1 << 24
+
+
 def _parse_sof_body(body: bytes) -> tuple[int, int, list[dict]]:
     prec = body[0]
     if prec != 8:
         raise JpegError("non-8-bit precision")
     height, width = struct.unpack(">HH", body[1:5])
+    if width * height > _MAX_PIXELS:
+        raise JpegError(f"{width}x{height} exceeds decoder pixel budget")
+    if not width or not height:
+        raise JpegError("zero dimension")
     nc = body[5]
     comps = []
     for c in range(nc):
@@ -311,10 +324,24 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
 
     rd = _BitReader(data, scan_pos)
     mcu_count = 0
+    # Entropy budget: a block costs at least 2 bits (1-bit DC code +
+    # 1-bit EOB), so the available entropy bytes bound how many blocks
+    # a VALID stream can encode. Forged SOF dimensions (one byte flip
+    # makes 16x8 claim 16x9480 or 18704x8) otherwise grind thousands
+    # of empty MCUs through the pure-Python IDCT after the data ends.
+    # (The reader's `padded` flag alone cannot gate this: _fill
+    # pre-fetches up to 4 bytes, so padding legitimately begins while
+    # real buffered bits remain for the final MCUs.)
+    blocks_per_mcu = sum(c["h"] * c["v"] for c in comps)
+    block_budget = (len(data) - scan_pos) * 8 // 2 + 64
+    blocks_done = 0
     for my in range(mcuy):
-        if rd.padded:
-            break  # entropy data ended on a prior row: truncated image
+        if blocks_done > block_budget:
+            break  # more blocks than the entropy data could encode
         for mx in range(mcux):
+            blocks_done += blocks_per_mcu
+            if blocks_done > block_budget:
+                break  # forged WIDTH: one row can exceed the budget
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 rd.sync_restart()
                 for c in order:

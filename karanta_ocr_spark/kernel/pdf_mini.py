@@ -306,14 +306,41 @@ def _png_unpredict(buf: bytes, row: int) -> bytes | None:
     return bytes(out)
 
 
+def _stream_spans(data: bytes) -> list[tuple[int, int]]:
+    """(start, end) byte ranges of ``stream``…``endstream`` payloads —
+    used to ignore structure keywords that merely occur INSIDE stream
+    data (an embedded PDF attachment contains its own 'trailer'
+    bytes, which are content, not this document's structure)."""
+    spans = []
+    for sm in re.finditer(rb"(?<!end)stream\r?\n", data):
+        em = data.find(b"endstream", sm.end())
+        if em != -1:
+            spans.append((sm.end(), em))
+    return spans
+
+
 def _is_encrypted(data: bytes) -> bool:
     """True when a trailer declares ``/Encrypt`` — classic ``trailer``
     dicts and PDF 1.5+ xref-stream trailers (``/Type /XRef`` object
     dicts) both checked. Cheap byte prefilter first: the overwhelming
-    majority of documents never contain ``/Encrypt`` at all."""
+    majority of documents never contain ``/Encrypt`` at all. Trailer
+    tokens that sit inside a ``stream``…``endstream`` payload (e.g.
+    an uncompressed embedded-PDF attachment) are CONTENT and must not
+    classify the outer document."""
     if b"/Encrypt" not in data:
         return False
+    import bisect
+
+    spans = _stream_spans(data)
+    starts = [s for s, _ in spans]
+
+    def inside_stream(pos: int) -> bool:
+        i = bisect.bisect_right(starts, pos) - 1
+        return i >= 0 and pos < spans[i][1]
+
     for m in re.finditer(rb"trailer", data):
+        if inside_stream(m.start()):
+            continue
         lex = _Lexer(data, m.end())
         try:
             d = lex.value()
@@ -322,6 +349,8 @@ def _is_encrypted(data: bytes) -> bool:
         if isinstance(d, dict) and "/Encrypt" in d:
             return True
     for m in _OBJ_RE.finditer(data):
+        if inside_stream(m.start(3)):
+            continue
         body = m.group(3)
         if b"/XRef" not in body or b"/Encrypt" not in body:
             continue
@@ -448,15 +477,22 @@ class PdfDocument:
         if not found or not offsets:
             return False
         for num, o in offsets.items():
-            if num in self.objects or not (0 <= o < len(data)):
+            if num in self.objects:
                 continue
+            if not (0 <= o < len(data)):
+                return False  # stale table: take the sequential scan
             om = _OBJ_RE.search(data, o)
             # Tolerate a few bytes of slack (whitespace before the
-            # header); a far-away match means the offset pointed into
-            # garbage and would load the WRONG object — skip it and
-            # let the root-pages validation decide on fallback.
+            # header). A far-away or wrong-numbered match means the
+            # offset is STALE (regenerated/appended file) — and a
+            # stale table must abandon the whole fast path, not skip
+            # the entry: a skipped /Contents object would make
+            # extraction return silently EMPTY page text while the
+            # /Root→/Pages validation still passes (the sequential
+            # scan recovers every 'N 0 obj' in the file, which is the
+            # recall baseline this fast path must never undercut).
             if om is None or om.start() - o > 8 or int(om.group(1)) != num:
-                continue
+                return False
             n2, val, stream = self._parse_obj_match(om)
             self.objects[n2] = (val, stream)
         return len(self.objects) > 0

@@ -127,6 +127,12 @@ def parse_warc(data: bytes, max_records: int = 100_000) -> list[WarcRecord]:
             if records:
                 break
             raise WarcError("record without Content-Length")
+        if clen < 0:
+            # A negative length would move the cursor BACKWARD and let
+            # a crafted file re-parse the same bytes max_records times.
+            if records:
+                break
+            raise WarcError("negative Content-Length")
         start = sep + 4
         payload = data[start : start + clen]  # clamped if truncated
         rec_type = hdrs.get("warc-type", "unknown")

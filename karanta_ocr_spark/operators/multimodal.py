@@ -786,14 +786,17 @@ def sample_video_frames(
                     except Exception:  # GifError or hostile-header artifacts
                         emit(mid, 0, None, None, None, None, None)
                         continue
-                    n = len(anim.frames)
-                    if n == 0:
+                    n_dec = len(anim.frames)
+                    if n_dec == 0:
                         emit(mid, 0, None, None, None, None, None)
                         continue
                     us = anim.frames[0][0] * 10_000  # centisec → µs
-                    for idx in range(0, n, every_n)[:max_frames]:
-                        emit(mid, n, us, idx, anim.width, anim.height,
-                             anim.frames[idx][1])
+                    # n_frames reports the CONTAINER's frame count
+                    # (total_frames ≥ decoded) — consistent with the
+                    # AVI path; sampling stops at the decode cap.
+                    for idx in range(0, n_dec, every_n)[:max_frames]:
+                        emit(mid, anim.total_frames, us, idx,
+                             anim.width, anim.height, anim.frames[idx][1])
                     continue
                 try:
                     vid = parse_avi(blob)

@@ -102,11 +102,15 @@ def proportional_allocation(
     )
     if not totals:
         return spark.createDataFrame([], out_schema)
+    totals = [(g, w or 0) for g, w in totals]  # all-NULL group → weight 0
     gw = sum(w for _, w in totals)
     eff = max(total_budget - min_per_group * len(totals), 0)
     rows = []
     for g, w in totals:
-        raw = (w / gw) * eff
+        # Zero grand total (all-empty corpus slice): apportion evenly
+        # instead of dividing by zero — the budget identity
+        # sum(allocation) == total_budget still holds.
+        raw = (w / gw) * eff if gw > 0 else eff / len(totals)
         fl = math.floor(raw)
         rows.append((g, w, fl, raw - fl))
     leftover = eff - sum(fl for _, _, fl, _ in rows)

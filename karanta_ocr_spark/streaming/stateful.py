@@ -160,6 +160,12 @@ def running_domain_health_event_time(
         else:
             docs_n, failed_n, streak, last_ms = 0, 0, 0, 0
         wm_ms = state.getCurrentWatermarkMs()
+        # CONCATENATE the Arrow chunks before the one batch-wide sort:
+        # a hot domain's rows can span several chunks with interleaved
+        # timestamps, and sorting each chunk independently would fold
+        # the streak in chunk order, not (event time, url) order —
+        # breaking the determinism guarantee below.
+        kept = []
         for pdf in pdfs:
             if len(pdf) and wm_ms > 0:
                 ev_ms = (
@@ -167,17 +173,22 @@ def running_domain_health_event_time(
                     // 1_000_000
                 )
                 pdf = pdf[ev_ms >= wm_ms]  # late beyond watermark: drop
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values([ts_col, url_col])
-            oks = pdf[ok_col].tolist()
+            if len(pdf):
+                kept.append(pdf)
+        if not kept and not state.exists:
+            # Every row was late and there is no prior state: emitting
+            # would CREATE state for a group that contributed nothing.
+            return
+        if kept:
+            batch = pd.concat(kept).sort_values([ts_col, url_col])
+            oks = batch[ok_col].tolist()
             docs_n += len(oks)
             failed_n += sum(0 if b else 1 for b in oks)
             for b in oks:
                 streak = 0 if b else streak + 1
             # pandas .value is ns-since-epoch (UTC) for both naive and
             # tz-aware timestamps — no local-zone round trip.
-            last_ms = max(last_ms, int(pdf[ts_col].max().value // 1_000_000))
+            last_ms = max(last_ms, int(batch[ts_col].max().value // 1_000_000))
         state.update((docs_n, failed_n, streak, last_ms))
         state.setTimeoutTimestamp(
             max(last_ms + idle_ttl_ms, state.getCurrentWatermarkMs() + 1)

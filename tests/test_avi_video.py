@@ -195,3 +195,14 @@ def test_gif_sampler_skips_tail_frames():
     frames = [bytes([k]) * (W * H) for k in range(6)]
     gif = encode_gif_gray(W, H, frames)
     assert len(decode_gif(gif, max_frames=3).frames) == 3
+
+
+def test_gif_total_frames_reports_container_count():
+    from karanta_ocr_spark.kernel.gif_mini import decode_gif, encode_gif_gray
+
+    frames = [bytes([k]) * (W * H) for k in range(6)]
+    anim = decode_gif(encode_gif_gray(W, H, frames), max_frames=3)
+    assert len(anim.frames) == 3
+    assert anim.total_frames == 6  # container truth survives the cap
+    full = decode_gif(encode_gif_gray(W, H, frames))
+    assert full.total_frames == len(full.frames) == 6

@@ -1132,3 +1132,39 @@ def test_refine_pq_codebook_reduces_quantization_error(spark):
     b = sorted(map(tuple, pq_topk(df.repartition(6), probes, k=5, m=m,
                                   n_codes=n_codes, kmeans_iters=2).collect()))
     assert a == b
+
+
+def test_proportional_allocation_zero_weights(spark):
+    from karanta_ocr_spark.operators.sampling import proportional_allocation
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), 0) for i in range(9)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = proportional_allocation(df, "source", "n_chars", total_budget=10)
+    rows = out.collect()
+    assert sum(r["allocation"] for r in rows) == 10  # identity holds
+    assert all(r["total_weight"] == 0 for r in rows)
+
+
+def test_jpeg_forged_dimensions_fail_typed():
+    import struct as _s
+
+    from karanta_ocr_spark.kernel.jpeg_mini import (
+        JpegError,
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    for enc in (encode_jpeg_gray, encode_jpeg_gray_progressive):
+        jpg = bytearray(enc(16, 8, bytes(16 * 8)))
+        sof = jpg.find(b"\xff\xc0")
+        if sof < 0:
+            sof = jpg.find(b"\xff\xc2")
+        # forge 65535x65535: would be multi-GB buffers in pure Python
+        jpg[sof + 5 : sof + 9] = _s.pack(">HH", 65535, 65535)
+        import pytest as _pytest
+
+        with _pytest.raises(JpegError, match="pixel budget"):
+            decode_jpeg(bytes(jpg))

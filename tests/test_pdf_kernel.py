@@ -504,3 +504,44 @@ def test_xref_incremental_update_newest_wins():
     assert doc.loaded_via_xref
     texts = [t.text for r in parse_pdf(bytes(pdf)) for t in r.text_elements]
     assert texts == ["New text"]
+
+
+def test_stale_xref_entry_falls_back_to_full_scan():
+    """A regenerated/appended file whose xref has ONE stale offset
+    must abandon the fast path entirely — skipping just that entry
+    could silently lose a /Contents object (empty page text) while
+    the /Root->/Pages validation still passes."""
+    import re as _re
+
+    from karanta_ocr_spark.fixtures.pdf_gen import PageSpec, TextRun, build_pdf
+    from karanta_ocr_spark.kernel.pdf_mini import PdfDocument, parse_pdf
+
+    pdf = build_pdf([PageSpec(runs=[TextRun("Stale xref text", 72, 700)])])
+    entries = list(_re.finditer(rb"(\d{10}) (\d{5}) n", pdf))
+    assert entries, "fixture emits a classic xref table"
+    # Point the LAST in-use entry 40 bytes past its object header.
+    m = entries[-1]
+    stale = b"%010d" % (int(m.group(1)) + 40)
+    broken = pdf[: m.start(1)] + stale + pdf[m.end(1):]
+    doc = PdfDocument(broken)
+    assert not doc.loaded_via_xref  # fell back to the sequential scan
+    texts = [t.text for r in parse_pdf(broken) for t in r.text_elements]
+    assert texts == ["Stale xref text"]
+
+
+def test_embedded_trailer_bytes_do_not_classify_encrypted():
+    """'trailer << /Encrypt ... >>' INSIDE a stream payload (an
+    embedded PDF attachment) is content, not this document's
+    structure — the outer document must parse normally."""
+    from karanta_ocr_spark.fixtures.pdf_gen import PageSpec, TextRun, build_pdf
+    from karanta_ocr_spark.kernel.pdf_mini import PdfDocument, parse_pdf
+
+    pdf = build_pdf([PageSpec(runs=[TextRun("Outer doc text", 72, 700)])])
+    attachment = (b"90 0 obj << /Type /EmbeddedFile /Length 46 >>\nstream\n"
+                  b"trailer << /Encrypt 5 0 R /Root 1 0 R >> x\nendstream endobj\n")
+    # Splice before the xref so offsets shift -> parser takes the scan.
+    cut = pdf.rindex(b"xref")
+    spliced = pdf[:cut] + attachment + pdf[cut:]
+    doc = PdfDocument(spliced)  # must NOT raise PdfEncryptedError
+    texts = [t.text for r in parse_pdf(spliced) for t in r.text_elements]
+    assert texts == ["Outer doc text"]

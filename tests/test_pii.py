@@ -121,3 +121,20 @@ def test_whitespace_class_matches_java_s_for_vertical_tab(spark):
 
     df = spark.createDataFrame([("a\x0bb c",)], "t string")
     assert df.select(token_count(F.col("t")).alias("n")).first()["n"] == 3
+
+
+def test_phone_right_boundary_rejects_long_runs(spark):
+    from karanta_ocr_spark.functions.pii import scrub_pii
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "ref 555-123-45678 is a serial"),       # 11 digits: no mask
+        (2, "call 555-123-4567 now"),               # interior: masked
+        (3, "ends with 555-123-4567"),              # string end: masked
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["s"] for r in
+           df.select("doc_id", scrub_pii(F.col("text")).alias("s")).collect()}
+    assert out[1] == "ref 555-123-45678 is a serial"
+    assert out[2] == "call |||PHONE||| now"
+    assert out[3] == "ends with |||PHONE|||"

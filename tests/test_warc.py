@@ -119,3 +119,12 @@ def test_write_wet_roundtrip(spark, tmp_path):
             assert r.rec_type == "conversion"
             got[r.url] = r.body.decode("utf-8")
     assert got == {u: (t or "") for u, t in rows}
+
+
+def test_negative_content_length_rejected():
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -40\r\n\r\n")
+    with pytest.raises(WarcError, match="negative"):
+        parse_warc(rec)
+    # after a good record, a negative-length tail just stops the walk
+    good = build_warc(PAGES[:1], per_record_gzip=False)
+    assert len(parse_warc(good + rec)) == 1
