@@ -258,6 +258,25 @@ def _q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length percentiles — the distribution
+    profile a corpus report leads with. Spark's EXACT ``percentile``
+    aggregate and DuckDB's ``quantile_cont`` share the same linear-
+    interpolation definition, so the oracle matches to float
+    precision (rounded 4dp). At 100 TB production would switch to
+    ``percentile_approx`` (single-pass sketch, same call shape); the
+    exact form is the spec the sketch is judged against."""
+    d = _docs(spark, sf_dir)
+    pct = F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.9D, 0.99D))")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.element_at(pct, 1), 4).alias("p25"),
+        F.round(F.element_at(pct, 2), 4).alias("p50"),
+        F.round(F.element_at(pct, 3), 4).alias("p90"),
+        F.round(F.element_at(pct, 4), 4).alias("p99"),
+    )
+
+
 def _q_workspace_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1136,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_assembly": _q_source_assembly,
         "lang_stats": _q_lang_stats,
         "workspace_stats": _q_workspace_stats,
+        "length_percentiles": _q_length_percentiles,
         "resume_anti_join": _q_resume_anti_join,
         "systematic_sampling": _q_systematic_sampling,
         "top_sources": _q_top_sources,
@@ -1453,6 +1473,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "length_percentiles": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(quantile_cont(n_chars, 0.25), 4) AS p25,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 4) AS p99
             FROM documents GROUP BY lang
         """,
         "workspace_stats": """

@@ -78,7 +78,10 @@ def parse_warc_blobs(
                     emit(
                         r.url,
                         r.date,
-                        r.body if r.rec_type == "response" else None,
+                        # response: HTTP body; conversion (WET): the
+                        # extracted text payload. Other types carry no
+                        # payload column (counted via rec_type).
+                        r.body if r.rec_type in ("response", "conversion") else None,
                         r.http_status,
                         r.content_type,
                         path,
@@ -129,6 +132,20 @@ def write_wet(
 
     df.select(url_col, text_col).foreachPartition(write_part)
     return acc.value
+
+
+def wet_records_to_documents(records: DataFrame) -> DataFrame:
+    """Parsed WET (``conversion``) records → a documents-shaped table
+    ``(url, warc_ts, text)`` — reading back the sidecar this engine
+    (or Common Crawl) wrote, e.g. to resume a downstream pipeline
+    from extracted text without re-running extraction."""
+    return records.filter(F.col("rec_type") == "conversion").select(
+        "url",
+        F.to_timestamp(
+            F.trim(F.regexp_replace(F.col("warc_date"), "[TZ]", " "))
+        ).alias("warc_ts"),
+        F.decode(F.col("html"), "UTF-8").alias("text"),
+    )
 
 
 def warc_records_to_web_pages(records: DataFrame) -> DataFrame:

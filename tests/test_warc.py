@@ -128,3 +128,23 @@ def test_negative_content_length_rejected():
     # after a good record, a negative-length tail just stops the walk
     good = build_warc(PAGES[:1], per_record_gzip=False)
     assert len(parse_warc(good + rec)) == 1
+
+
+def test_wet_read_back_as_documents(spark, tmp_path):
+    from karanta_ocr_spark.sources.warc import (
+        read_warc_files,
+        wet_records_to_documents,
+        write_wet,
+    )
+
+    rows = [
+        ("https://a.example/1", "first extracted text"),
+        ("https://a.example/2", "unicode text ለ"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = str(tmp_path / "wet2")
+    write_wet(df, out)
+    docs = wet_records_to_documents(read_warc_files(spark, out + "/*.warc.wet.gz"))
+    got = {(r["url"], r["text"]) for r in docs.collect()}
+    assert got == set(rows)
+    assert docs.schema["warc_ts"].dataType.typeName() == "timestamp"
