@@ -186,6 +186,10 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "video_frame_sample", "audio_features", "blocklist_filter",
         "duplicate_span_removal", "warc_extract", "meta_robots",
         "ann_pq_topk",
+        # r4 additions: IVF+PQ composition, multi-probe LSH,
+        # merge-aware BPE counting, transparent PDF decryption.
+        "ann_ivfpq_topk", "ann_lsh_multiprobe_topk", "bpe_token_stats",
+        "encrypted_pdf_extract",
     ]
     qs = entrymod.queries()
     # One untimed pass of every query at sf0.001: the first run of

@@ -69,10 +69,26 @@ def _content_stream(page: PageSpec) -> bytes:
     return b"\n".join(parts)
 
 
-def build_pdf(pages: list[PageSpec], compress: bool = False) -> bytes:
+def build_pdf(
+    pages: list[PageSpec],
+    compress: bool = False,
+    encrypt: str | None = None,
+    user_pwd: bytes = b"",
+    owner_pwd: bytes = b"owner",
+) -> bytes:
     """Serialize pages into PDF bytes (object numbers assigned
     deterministically; xref table included for form, though the
-    parser scans sequentially)."""
+    parser scans sequentially).
+
+    ``encrypt`` adds a standard-security-handler layer over every
+    stream (``kernel/pdf_crypt.py`` — the same module the parser
+    decrypts with, so round-trip tests also pin the two directions
+    against each other): ``'rc4-40'`` (V1/R2), ``'rc4'``
+    (V2/R3/128-bit) or ``'aes'`` (V4/R4/AESV2). The default empty
+    *user_pwd* with a non-empty *owner_pwd* models the common crawled
+    owner-locked document that opens freely. Everything stays
+    deterministic: the file /ID is the MD5 of the plaintext bodies
+    and AES IVs derive from (object number, /ID)."""
     objects: list[bytes] = []  # bodies, 1-indexed object numbers
 
     def add(body: bytes) -> int:
@@ -131,6 +147,64 @@ def build_pdf(pages: list[PageSpec], compress: bool = False) -> bytes:
         + str(len(page_obj_nums)).encode() + b" >>"
     )
 
+    trailer_extra = b""
+    if encrypt is not None:
+        import hashlib
+        import re as _re
+
+        from karanta_ocr_spark.kernel.pdf_crypt import (
+            aes_cbc_encrypt,
+            compute_key,
+            compute_o,
+            compute_u,
+            object_key,
+            rc4,
+        )
+
+        v, r, bits = {"rc4-40": (1, 2, 40), "rc4": (2, 3, 128),
+                      "aes": (4, 4, 128)}[encrypt]
+        p = -44  # typical print/modify restrictions
+        fid = hashlib.md5(b"".join(objects)).digest()
+        o_entry = compute_o(owner_pwd, user_pwd, r, bits)
+        key = compute_key(user_pwd, o_entry, p, fid, r, bits)
+        u_entry = compute_u(key, fid, r)
+        aes = encrypt == "aes"
+        for idx, body in enumerate(objects):
+            num = idx + 1
+            sm = _re.search(rb"stream\n(.*?)\nendstream", body, _re.S)
+            if sm is None:
+                continue
+            k = object_key(key, num, 0, aes)
+            if aes:
+                iv = hashlib.md5(b"iv:%d:" % num + fid).digest()[:16]
+                ct = aes_cbc_encrypt(k, iv, sm.group(1))
+            else:
+                ct = rc4(k, sm.group(1))
+            body = body[: sm.start(1)] + ct + body[sm.end(1):]
+            body = _re.sub(
+                rb"/Length \d+", b"/Length " + str(len(ct)).encode(), body,
+                count=1,
+            )
+            objects[idx] = body
+        enc = b"<< /Filter /Standard /V " + str(v).encode()
+        enc += b" /R " + str(r).encode()
+        if v != 1:
+            enc += b" /Length " + str(bits).encode()
+        if aes:
+            enc += (
+                b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
+                b" /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+            )
+        enc += (
+            b" /O <" + o_entry.hex().encode() + b"> /U <"
+            + u_entry.hex().encode() + b"> /P " + str(p).encode() + b" >>"
+        )
+        enc_num = add(enc)
+        trailer_extra = (
+            b" /Encrypt " + str(enc_num).encode() + b" 0 R /ID [<"
+            + fid.hex().encode() + b"> <" + fid.hex().encode() + b">]"
+        )
+
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for num, body in enumerate(objects, start=1):
@@ -143,6 +217,7 @@ def build_pdf(pages: list[PageSpec], compress: bool = False) -> bytes:
         out += ("%010d 00000 n \n" % off).encode()
     out += (
         b"trailer\n<< /Size " + str(len(objects) + 1).encode()
-        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_pos).encode() + b"\n%%EOF\n"
+        + b" /Root 1 0 R" + trailer_extra + b" >>\nstartxref\n"
+        + str(xref_pos).encode() + b"\n%%EOF\n"
     )
     return bytes(out)

@@ -35,10 +35,16 @@ IPV4_RE = rf"(?:^|([^\d.])){_IPV4_OCT}(?:\.{_IPV4_OCT}){{3}}(?:$|([^\d.]))"
 #: any-8+-digit-run pattern masked all of those.
 #: Both edges carry the consumed-boundary guard (like IPV4_RE): the
 #: left one stops the NANP alternative matching INSIDE longer digit
-#: runs (1234-567-8901 → ``1|||PHONE|||``), the right one stops it
-#: half-eating runs that EXTEND past ten digits (555-123-45678 →
-#: ``|||PHONE|||8``). Same shared-boundary limitation as IPV4_RE for
-#: two phones separated by a single character.
+#: runs (1234-567-8901 → ``1|||PHONE|||``), the right one stops the
+#: NANP alternative half-eating runs that EXTEND past ten digits
+#: (555-123-45678 → ``|||PHONE|||8``). Known residual (same in both
+#: engines, so oracle-safe): the INTERNATIONAL alternative's greedy
+#: ``(?:[ .-]?\\d{2,4}){2,4}`` can still backtrack to end at an
+#: internal separator of a longer digit run ('+12 345 678 901234567'
+#: → '|||PHONE||| 901234567') — fully fixing that needs a lookahead,
+#: which RE2 lacks. Because each match consumes its boundary chars,
+#: adjacent phones separated by one char need the second scrub pass
+#: in :func:`scrub_pii`.
 PHONE_RE = (
     r"(?:^|([^\d]))"
     r"(?:\+\d{1,3}(?:[ .-]?\d{2,4}){2,4}"
@@ -60,9 +66,20 @@ def scrub_pii(col: Column) -> Column:
     matters: emails can contain digit runs, IPs would otherwise be
     eaten by the phone pattern). The IP and phone replacements
     re-insert their captured boundary characters ($1/$2; unmatched at
-    string edges → empty)."""
+    string edges → empty).
+
+    The phone pattern runs TWICE: each match consumes its single
+    boundary character, so in 'call 555-123-4567,555-987-6543' the
+    first pass eats the comma and leaves the second number unmasked —
+    the standard fix for consumed-boundary guards in lookaround-free
+    (RE2-safe) patterns is a second pass, which catches any number
+    whose left boundary was consumed by a previous match. Two passes
+    reach a fixed point: a pass only rewrites digit runs into
+    non-digit tokens, so pass 2 can only fire where pass 1 consumed a
+    boundary, and pass 3 would find nothing new."""
     out = F.regexp_replace(col, EMAIL_RE, EMAIL_TOKEN)
     out = F.regexp_replace(out, IPV4_RE, "$1" + IP_TOKEN + "$2")
+    out = F.regexp_replace(out, PHONE_RE, "$1" + PHONE_TOKEN + "$2")
     out = F.regexp_replace(out, PHONE_RE, "$1" + PHONE_TOKEN + "$2")
     return out
 

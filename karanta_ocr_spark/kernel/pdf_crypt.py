@@ -1,0 +1,350 @@
+"""PDF standard security handler (pure stdlib) — RC4-40/128 and
+AES-128-CBC, both directions.
+
+The reference reads encrypted PDFs through pypdf
+(``karanta/pipeline.py:480-505`` via ``PdfReader``), which
+transparently decrypts the common EMPTY-USER-PASSWORD case — a
+meaningful slice of real crawled PDFs ("owner password" documents
+that restrict printing but open freely). This module reimplements
+that handler from the public specification (PDF 32000-1:2008 §7.6.2-4
+Algorithms 2-5; RC4 per the well-known stream cipher; AES-128 per
+FIPS-197) so ``kernel/pdf_mini.py`` can do the same, and so
+``fixtures/pdf_gen.py`` can BUILD encrypted fixture twins (the
+encrypt direction) that round-trip byte-identically against their
+plaintext goldens.
+
+Supported: /Filter /Standard, R 2/3 (RC4 40/128-bit, V 1/2) and R 4
+with /CFM /AESV2 or /V2. Anything else — and any non-empty user
+password — stays a typed ``pdf: encrypted`` row upstream.
+
+AES tables are generated programmatically from the GF(2⁸) structure
+at import (no copied constant blobs); the implementation is the
+textbook FIPS-197 cipher, adequate for fixture-grade throughput — at
+production scale the same seam would call ``cryptography``'s AES
+behind an import-try.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+#: §7.6.3.3 padding string (Algorithm 2 step a).
+PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+# ------------------------------------------------------------------ RC4
+def rc4(key: bytes, data: bytes) -> bytes:
+    """The plain RC4 stream cipher (symmetric: encrypt == decrypt)."""
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[k] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+# -------------------------------------------------------------- AES-128
+def _gmul(a: int, b: int) -> int:
+    """GF(2⁸) multiply, AES reduction polynomial x⁸+x⁴+x³+x+1."""
+    p = 0
+    for _ in range(8):
+        if b & 1:
+            p ^= a
+        hi = a & 0x80
+        a = (a << 1) & 0xFF
+        if hi:
+            a ^= 0x1B
+        b >>= 1
+    return p
+
+
+def _make_tables():
+    # Multiplicative inverses via exp/log over generator 3.
+    exp, log = [0] * 255, [0] * 256
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x = _gmul(x, 3)
+    inv = [0] * 256
+    for b in range(1, 256):
+        inv[b] = exp[(255 - log[b]) % 255]
+    sbox, inv_sbox = [0] * 256, [0] * 256
+    for b in range(256):
+        s, q = inv[b], inv[b]
+        for _ in range(4):
+            q = ((q << 1) | (q >> 7)) & 0xFF
+            s ^= q
+        s ^= 0x63
+        sbox[b] = s
+        inv_sbox[s] = b
+    return sbox, inv_sbox
+
+
+_SBOX, _INV_SBOX = _make_tables()
+
+
+def _expand_key(key: bytes) -> list[list[int]]:
+    """AES-128 key schedule: 11 round keys of 16 bytes."""
+    w = [list(key[i : i + 4]) for i in range(0, 16, 4)]
+    rcon = 1
+    for i in range(4, 44):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = t[1:] + t[:1]
+            t = [_SBOX[b] for b in t]
+            t[0] ^= rcon
+            rcon = _gmul(rcon, 2)
+        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+    return [sum(w[4 * r : 4 * r + 4], []) for r in range(11)]
+
+
+def _shift_rows(s: list[int], inverse: bool) -> list[int]:
+    # State is column-major: s[4*c + r] is row r, column c.
+    out = [0] * 16
+    for r in range(4):
+        for c in range(4):
+            src = (c + r) % 4 if not inverse else (c - r) % 4
+            out[4 * c + r] = s[4 * src + r]
+    return out
+
+
+def _mix_columns(s: list[int], inverse: bool) -> list[int]:
+    m = (14, 11, 13, 9) if inverse else (2, 3, 1, 1)
+    out = [0] * 16
+    for c in range(4):
+        col = s[4 * c : 4 * c + 4]
+        for r in range(4):
+            out[4 * c + r] = (
+                _gmul(col[0], m[(0 - r) % 4])
+                ^ _gmul(col[1], m[(1 - r) % 4])
+                ^ _gmul(col[2], m[(2 - r) % 4])
+                ^ _gmul(col[3], m[(3 - r) % 4])
+            )
+    return out
+
+
+def _aes_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+    s = [b ^ k for b, k in zip(block, rk[0])]
+    for rnd in range(1, 10):
+        s = [_SBOX[b] for b in s]
+        s = _shift_rows(s, False)
+        s = _mix_columns(s, False)
+        s = [b ^ k for b, k in zip(s, rk[rnd])]
+    s = [_SBOX[b] for b in s]
+    s = _shift_rows(s, False)
+    return bytes(b ^ k for b, k in zip(s, rk[10]))
+
+
+def _aes_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+    s = [b ^ k for b, k in zip(block, rk[10])]
+    s = _shift_rows(s, True)
+    s = [_INV_SBOX[b] for b in s]
+    for rnd in range(9, 0, -1):
+        s = [b ^ k for b, k in zip(s, rk[rnd])]
+        s = _mix_columns(s, True)
+        s = _shift_rows(s, True)
+        s = [_INV_SBOX[b] for b in s]
+    return bytes(b ^ k for b, k in zip(s, rk[0]))
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """PKCS#7-padded CBC; returns iv ‖ ciphertext (the PDF layout)."""
+    rk = _expand_key(key)
+    pad = 16 - (len(data) % 16)
+    data = data + bytes([pad]) * pad
+    out, prev = bytearray(iv), iv
+    for i in range(0, len(data), 16):
+        block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = _aes_encrypt_block(rk, block)
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """Inverse of :func:`aes_cbc_encrypt`; strips PKCS#7 padding
+    (tolerantly: an invalid final-byte pad leaves data unstripped
+    rather than raising — crawl-grade robustness)."""
+    if len(data) < 32 or len(data) % 16:
+        raise ValueError("AES-CBC data too short or unaligned")
+    rk = _expand_key(key)
+    iv, ct = data[:16], data[16:]
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(ct), 16):
+        block = ct[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_aes_decrypt_block(rk, block), prev))
+        prev = block
+    pad = out[-1]
+    if 1 <= pad <= 16 and all(b == pad for b in out[-pad:]):
+        del out[-pad:]
+    return bytes(out)
+
+
+# ------------------------------------------- standard security handler
+def _pad_pwd(pwd: bytes) -> bytes:
+    return (pwd + PAD)[:32]
+
+
+def compute_key(
+    user_pwd: bytes,
+    o_entry: bytes,
+    p: int,
+    file_id: bytes,
+    r: int,
+    length_bits: int,
+    encrypt_metadata: bool = True,
+) -> bytes:
+    """Algorithm 2: the file encryption key."""
+    h = hashlib.md5(_pad_pwd(user_pwd))
+    h.update(o_entry[:32])
+    h.update(struct.pack("<i", p if p < 2**31 else p - 2**32))
+    h.update(file_id)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
+    key = h.digest()
+    n = length_bits // 8 if r >= 3 else 5
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+def compute_o(owner_pwd: bytes, user_pwd: bytes, r: int, length_bits: int) -> bytes:
+    """Algorithm 3: the /O (owner) entry."""
+    key = hashlib.md5(_pad_pwd(owner_pwd)).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key).digest()
+    n = length_bits // 8 if r >= 3 else 5
+    rc4_key = key[:n]
+    out = rc4(rc4_key, _pad_pwd(user_pwd))
+    if r >= 3:
+        for i in range(1, 20):
+            out = rc4(bytes(b ^ i for b in rc4_key), out)
+    return out
+
+
+def compute_u(key: bytes, file_id: bytes, r: int) -> bytes:
+    """Algorithm 4 (R=2) / 5 (R≥3): the /U (user) entry."""
+    if r == 2:
+        return rc4(key, PAD)
+    digest = hashlib.md5(PAD + file_id).digest()
+    out = rc4(key, digest)
+    for i in range(1, 20):
+        out = rc4(bytes(b ^ i for b in key), out)
+    return out + b"\x00" * 16  # 16 bytes of arbitrary padding
+
+
+def verify_user_password(
+    user_pwd: bytes,
+    o_entry: bytes,
+    u_entry: bytes,
+    p: int,
+    file_id: bytes,
+    r: int,
+    length_bits: int,
+    encrypt_metadata: bool = True,
+) -> bytes | None:
+    """Algorithm 6: returns the file key if *user_pwd* opens the
+    document, else None. For R≥3 only the first 16 bytes of /U are
+    significant (the rest is arbitrary padding)."""
+    key = compute_key(
+        user_pwd, o_entry, p, file_id, r, length_bits, encrypt_metadata
+    )
+    expect = compute_u(key, file_id, r)
+    got = u_entry
+    if r >= 3:
+        expect, got = expect[:16], got[:16]
+    return key if expect == got[: len(expect)] else None
+
+
+def object_key(file_key: bytes, num: int, gen: int, aes: bool) -> bytes:
+    """Per-object key (§7.6.2 Algorithm 1): MD5(key ‖ objnum₃ ‖ gen₂
+    [‖ 'sAlT' for AES]) truncated to min(len+5, 16)."""
+    h = hashlib.md5(
+        file_key
+        + (num & 0xFFFFFF).to_bytes(3, "little")
+        + (gen & 0xFFFF).to_bytes(2, "little")
+        + (b"sAlT" if aes else b"")
+    )
+    return h.digest()[: min(len(file_key) + 5, 16)]
+
+
+class StdSecurityHandler:
+    """Decryptor for one document, built from its /Encrypt dict and
+    first /ID string. Raises ValueError for unsupported variants or a
+    wrong (non-empty-user) password — callers map that to the typed
+    ``pdf: encrypted`` row."""
+
+    def __init__(self, enc: dict, file_id: bytes, user_pwd: bytes = b""):
+        if enc.get("/Filter") != "/Standard":
+            raise ValueError(f"unsupported security handler {enc.get('/Filter')}")
+        self.v = int(enc.get("/V", 0))
+        self.r = int(enc.get("/R", 2))
+        length = int(enc.get("/Length", 40))
+        o_entry = enc.get("/O")
+        u_entry = enc.get("/U")
+        p = int(enc.get("/P", -1))
+        if not isinstance(o_entry, (bytes, bytearray)) or not isinstance(
+            u_entry, (bytes, bytearray)
+        ):
+            raise ValueError("missing /O or /U")
+        self.aes = False
+        if self.v in (1, 2):
+            pass  # RC4, key length from /Length (40 for V1)
+        elif self.v == 4:
+            cf = enc.get("/CF", {})
+            stmf = enc.get("/StmF", "/Identity")
+            cfm = None
+            if isinstance(cf, dict) and isinstance(stmf, str):
+                entry = cf.get(stmf)
+                if isinstance(entry, dict):
+                    cfm = entry.get("/CFM")
+                    cflen = entry.get("/Length")
+                    if isinstance(cflen, int):
+                        # /CF lengths appear as bytes OR bits in the wild.
+                        length = cflen * 8 if cflen <= 40 else cflen
+            if cfm == "/AESV2":
+                self.aes = True
+            elif cfm != "/V2":
+                raise ValueError(f"unsupported /CFM {cfm}")
+        else:
+            raise ValueError(f"unsupported /V {self.v}")
+        encrypt_metadata = enc.get("/EncryptMetadata", True) is not False
+        key = verify_user_password(
+            user_pwd, bytes(o_entry), bytes(u_entry), p, file_id,
+            self.r, length, encrypt_metadata,
+        )
+        if key is None:
+            raise ValueError("user password required")
+        self.key = key
+
+    def decrypt(self, data: bytes, num: int, gen: int) -> bytes:
+        k = object_key(self.key, num, gen, self.aes)
+        if self.aes:
+            return aes_cbc_decrypt(k, data)
+        return rc4(k, data)
+
+    def encrypt(self, data: bytes, num: int, gen: int, iv: bytes = b"") -> bytes:
+        """Fixture-builder direction (RC4 is symmetric; AES needs an
+        iv — deterministic in tests for reproducible fixtures)."""
+        k = object_key(self.key, num, gen, self.aes)
+        if self.aes:
+            return aes_cbc_encrypt(k, iv or bytes(16), data)
+        return rc4(k, data)

@@ -319,16 +319,23 @@ def _stream_spans(data: bytes) -> list[tuple[int, int]]:
     return spans
 
 
-def _is_encrypted(data: bytes) -> bool:
-    """True when a trailer declares ``/Encrypt`` — classic ``trailer``
-    dicts and PDF 1.5+ xref-stream trailers (``/Type /XRef`` object
-    dicts) both checked. Cheap byte prefilter first: the overwhelming
+def _find_encryption(data: bytes) -> tuple[dict, bytes] | None:
+    """Locate the document's encryption parameters: ``(/Encrypt dict,
+    first /ID string)`` from a trailer that declares ``/Encrypt`` —
+    classic ``trailer`` dicts and PDF 1.5+ xref-stream trailers
+    (``/Type /XRef`` object dicts) both checked; the LAST matching
+    trailer wins (incremental updates are appended, so the newest
+    state is last). Cheap byte prefilter first: the overwhelming
     majority of documents never contain ``/Encrypt`` at all. Trailer
     tokens that sit inside a ``stream``…``endstream`` payload (e.g.
     an uncompressed embedded-PDF attachment) are CONTENT and must not
-    classify the outer document."""
+    classify the outer document.
+
+    The /Encrypt dict itself is never encrypted (spec §7.6.1), so an
+    indirect ``N G R`` value can be resolved with a plain object scan
+    before any key exists."""
     if b"/Encrypt" not in data:
-        return False
+        return None
     import bisect
 
     spans = _stream_spans(data)
@@ -338,6 +345,7 @@ def _is_encrypted(data: bytes) -> bool:
         i = bisect.bisect_right(starts, pos) - 1
         return i >= 0 and pos < spans[i][1]
 
+    found: dict | None = None
     for m in re.finditer(rb"trailer", data):
         if inside_stream(m.start()):
             continue
@@ -347,7 +355,7 @@ def _is_encrypted(data: bytes) -> bool:
         except Exception:
             continue
         if isinstance(d, dict) and "/Encrypt" in d:
-            return True
+            found = d
     for m in _OBJ_RE.finditer(data):
         if inside_stream(m.start(3)):
             continue
@@ -359,17 +367,48 @@ def _is_encrypted(data: bytes) -> bool:
         except Exception:
             continue
         if isinstance(d, dict) and d.get("/Type") == "/XRef" and "/Encrypt" in d:
-            return True
-    return False
+            found = d
+    if found is None:
+        return None
+    enc = found["/Encrypt"]
+    if isinstance(enc, Ref):
+        enc = _scan_for_object(data, enc.num)
+    if not isinstance(enc, dict):
+        # Declared encrypted but the dict is unreachable: report the
+        # classification with empty parameters (handler will reject).
+        enc = {}
+    fid = b""
+    ident = found.get("/ID")
+    if isinstance(ident, list) and ident and isinstance(ident[0], (bytes, bytearray)):
+        fid = bytes(ident[0])
+    return enc, fid
+
+
+def _scan_for_object(data: bytes, num: int):
+    """Parse the body of object *num* with no decryption — only valid
+    for objects the spec leaves unencrypted (the /Encrypt dict)."""
+    for m in _OBJ_RE.finditer(data):
+        if int(m.group(1)) == num:
+            try:
+                return _Lexer(m.group(3)).value()
+            except Exception:
+                return None
+    return None
+
+
+def _is_encrypted(data: bytes) -> bool:
+    return _find_encryption(data) is not None
 
 
 class PdfEncryptedError(ValueError):
-    """The document declares ``/Encrypt`` in a trailer: strings and
-    content streams are RC4/AES-encrypted, so a plaintext parse would
-    emit garbage. Surfaced as a TYPED error so the pipeline can mark
-    the row ``ok=false, error='encrypted'`` instead of quarantining a
-    confusing parse failure (the reference gets this classification
-    free from pypdf's ``is_encrypted``)."""
+    """The document declares ``/Encrypt`` AND cannot be transparently
+    decrypted — a real (non-empty) user password, or a handler beyond
+    RC4-40/128 / AES-128 (``kernel/pdf_crypt.py``). Empty-user-password
+    docs no longer raise: they decrypt in place, matching pypdf's
+    behavior in the reference (``karanta/pipeline.py:480-505``).
+    Surfaced as a TYPED error so the pipeline can mark the row
+    ``ok=false, error='encrypted'`` instead of quarantining a
+    confusing parse failure."""
 
 
 class PdfDocument:
@@ -392,8 +431,20 @@ class PdfDocument:
     def __init__(self, data: bytes, use_xref: bool = True):
         if not data.startswith(b"%PDF"):
             raise ValueError("not a PDF (missing %PDF magic)")
-        if _is_encrypted(data):
-            raise PdfEncryptedError("encrypted PDF (/Encrypt in trailer)")
+        # Empty-user-password documents (owner-locked but freely
+        # openable — the common crawled case, which the reference
+        # reads transparently through pypdf) decrypt in place; a real
+        # password or an unsupported handler stays the typed row.
+        self._crypt = None
+        enc_info = _find_encryption(data)
+        if enc_info is not None:
+            from karanta_ocr_spark.kernel.pdf_crypt import StdSecurityHandler
+
+            enc_dict, fid = enc_info
+            try:
+                self._crypt = StdSecurityHandler(enc_dict, fid)
+            except ValueError as exc:
+                raise PdfEncryptedError(f"encrypted PDF ({exc})") from None
         self.objects: dict[int, tuple[dict | object, bytes | None]] = {}
         self.loaded_via_xref = False
         if use_xref:
@@ -422,6 +473,7 @@ class PdfDocument:
 
     def _parse_obj_match(self, m) -> tuple[int, object, bytes | None]:
         num = int(m.group(1))
+        gen = int(m.group(2))
         body = m.group(3)
         lex = _Lexer(body)
         val = lex.value()
@@ -432,8 +484,35 @@ class PdfDocument:
             if isinstance(val, dict):
                 filt = self._resolve_later(val.get("/Filter"))
                 length = val.get("/Length")
+                # Order matters for encrypted docs: /Length counts the
+                # FILE bytes (ciphertext), so slice first, then
+                # decrypt, then decompress (payload = encrypt(deflate(
+                # content))). Xref streams are never encrypted
+                # (§7.5.8.2); strings inside ObjStm payloads are
+                # covered by the container's encryption, so the
+                # embedded objects parsed later need no second pass.
                 if isinstance(length, int):
-                    stream = stream[:length] if length <= len(stream) else stream
+                    # Prefer the declared /Length over the regex
+                    # capture when it is consistent with a following
+                    # ``endstream``: binary payloads (ciphertext,
+                    # compressed data) that happen to END with a 0x0D
+                    # byte lose it to the regex's trailing ``\r?\n``
+                    # otherwise — a 1-in-256-per-stream truncation
+                    # that breaks AES block alignment. The regex
+                    # capture stays the fallback for the (common in
+                    # the wild) wrong-/Length files.
+                    end = sm.start(1) + length
+                    if end <= len(body) and body[end : end + 11].lstrip(
+                        b"\r\n"
+                    ).startswith(b"endstream"):
+                        stream = body[sm.start(1) : end]
+                    elif length <= len(stream):
+                        stream = stream[:length]
+                if self._crypt is not None and val.get("/Type") != "/XRef":
+                    try:
+                        stream = self._crypt.decrypt(stream, num, gen)
+                    except Exception:
+                        pass  # leave ciphertext; downstream isolates
                 if filt == "/FlateDecode" or (
                     isinstance(filt, list) and "/FlateDecode" in filt
                 ):

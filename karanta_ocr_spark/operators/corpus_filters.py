@@ -219,16 +219,27 @@ def meta_robots_flags(
     and would be a column by the time rows reach this operator.
     Per-row Catalyst ``rlike`` over the decoded html — zero shuffle,
     RE2-safe patterns (no lookarounds/backrefs) so an independent SQL
-    engine evaluates them identically."""
+    engine evaluates them identically.
+
+    The content value accepts BOTH attribute forms: quoted
+    (``content="noindex, nofollow"`` — value may contain spaces) and
+    the legal unquoted form (``content=noindex`` — value runs to the
+    next whitespace/``>``). Missing the unquoted form would report an
+    opted-out page as indexable, the unsafe direction for a policy
+    filter."""
     s = F.decode(F.col(html_col), "UTF-8")
+
+    # Value matcher up to the policy token: a quoted value (spaces
+    # allowed inside the quotes) or an unquoted value (no whitespace).
+    _VAL = r"(?:[\"'][^\"'>]*|[^\"'> \t]*)"
 
     def flag(token: str) -> Column:
         name_first = (
             r"(?i)<meta[^>]*name[ \t]*=[ \t]*[\"']?robots[^>]*"
-            r"content[ \t]*=[ \t]*[\"'][^\"'>]*" + token
+            r"content[ \t]*=[ \t]*" + _VAL + token
         )
         content_first = (
-            r"(?i)<meta[^>]*content[ \t]*=[ \t]*[\"'][^\"'>]*" + token
+            r"(?i)<meta[^>]*content[ \t]*=[ \t]*" + _VAL + token
             + r"[^>]*name[ \t]*=[ \t]*[\"']?robots"
         )
         return s.rlike(name_first) | s.rlike(content_first)

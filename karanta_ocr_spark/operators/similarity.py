@@ -216,16 +216,41 @@ def lsh_bucketed_topk(
     dim: int = 64,
     seed: int = 42,
     plane_hash: str = "murmur3",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate per-probe top-k: compare only within the probe's
     LSH bucket. The bucket column is computed identically on both
-    sides (same seed), so this is one equi-join + windowed top-k."""
+    sides (same seed), so this is one equi-join + windowed top-k.
+
+    ``multiprobe=True`` additionally searches the ``num_planes``
+    Hamming-distance-1 neighbor buckets (flip one sign bit — the
+    classic multi-probe LSH of Lv et al., VLDB 2007): a near neighbor
+    that lands just on the other side of ONE hyperplane is recovered
+    without doubling the plane count. Cost shape at scale: the PROBE
+    side fans out ×(num_planes+1) before the equi-join — the corpus
+    side (the big one) is untouched, and each corpus vector still
+    joins at most once per probe because the probe's expanded bucket
+    list is distinct (XOR with distinct single bits), so no candidate
+    dedup step is needed."""
     c = with_hyperplane_bucket(
         corpus, vec_col, "_bucket", num_planes, dim, seed, plane_hash
     )
     p = with_hyperplane_bucket(
         probes, vec_col, "_bucket", num_planes, dim, seed, plane_hash
     ).select(probe_id, F.col(vec_col).alias("_probe_vec"), "_bucket")
+    if multiprobe:
+        expanded = F.array(
+            F.col("_bucket"),
+            *[
+                F.col("_bucket").bitwiseXOR(F.lit(1 << h))
+                for h in range(num_planes)
+            ],
+        )
+        p = p.select(
+            probe_id,
+            "_probe_vec",
+            F.explode(expanded).alias("_bucket"),
+        )
     joined = c.join(p, on="_bucket").select(
         probe_id,
         id_col,
@@ -610,6 +635,227 @@ def pq_topk(
     w = Window.partitionBy(probe_id).orderBy("approx_dist", F.col(id_col))
     return (
         joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id: str = "probe_id",
+    seed: int = 42,
+    codebook_rank: str = "xxhash64",
+    kmeans_iters: int = 0,
+    rerank: int = 0,
+) -> DataFrame:
+    """IVF-PQ (IVFADC, Jégou et al. 2011 §IV) — the composition of
+    :func:`ivf_topk` routing and :func:`pq_topk` compression that is
+    the actual 10^12-vector architecture: a coarse codebook routes
+    each vector to an inverted list, the RESIDUAL ``v − centroid`` is
+    product-quantized to m code bytes, and a probe searches only its
+    list via asymmetric distance computation on its own residual. At
+    scale the corpus is stored as (cell, m bytes) per vector — ~100×
+    smaller than raw float32 — and search touches one list instead of
+    the full scan.
+
+    Plan shape: TWO tiny collects (coarse + PQ codebook samples, both
+    bounded by n_centroids/n_codes rows); ONE fused ``mapInPandas``
+    pass over the corpus doing assign→residual→encode (a single Arrow
+    crossing — the codes column would be written once and reused in
+    production); the probe side is a tiny assign+distance-table map;
+    then one equi-join on the cell id and a per-probe top-k window.
+    Zero corpus shuffle before the window.
+
+    Determinism/oracle: same discipline as :func:`pq_topk` — coarse
+    assignment by normalized-dot argmax (first-index ties), PQ encode
+    by argmin over squared-L2 distances ROUNDED to 6 dp (first-index
+    ties), ADC sum of pre-rounded table entries. The PQ codebook is
+    the residual set of an md5/xxhash-rank sample ranked with
+    ``seed+1`` (coarse uses ``seed``), so the DuckDB oracle replays
+    coarse codebook → assignment → residuals → PQ codebook → encode →
+    distance tables → ADC → top-k end-to-end
+    (``oracle_sql()['ann_ivfpq_topk']``).
+
+    ``kmeans_iters`` Lloyd-refines the PQ codebook in residual space
+    (one fused assign+subtract pass feeds :func:`refine_pq_codebook`);
+    ``rerank=R`` switches on IVFADC+R (paper §V): the top R·k ADC
+    candidates per probe are re-ranked by EXACT cosine via one hash
+    join that reads R·k·|probes| vectors — not the corpus — restoring
+    plain-IVF recall; output then matches
+    :func:`cosine_topk_per_probe` (``cos_sim`` instead of
+    ``approx_dist``). The oracle pins ``kmeans_iters=0, rerank=0``;
+    both upgrades are pinned by recall pytest."""
+    import numpy as np
+
+    def _rank_key(s: int):
+        if codebook_rank == "xxhash64":
+            return F.xxhash64(F.lit(s), F.col(vec_col).cast("string"))
+        if codebook_rank == "md5_id":
+            return F.md5(
+                F.concat_ws(":", F.lit(str(s)), F.col(id_col).cast("string"))
+            )
+        raise ValueError(f"unknown codebook_rank: {codebook_rank!r}")
+
+    coarse_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(_rank_key(seed), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = np.asarray([list(r[vec_col]) for r in coarse_rows], dtype="float64")
+    dim = cents.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    c_norm = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    def assign(X: "np.ndarray") -> "np.ndarray":
+        v_norm = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return np.argmax(v_norm @ c_norm.T, axis=1)
+
+    # PQ codebook: residuals of a second hash-rank sample (seed+1).
+    pq_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(_rank_key(seed + 1), F.col(id_col))
+        .limit(n_codes)
+        .collect()
+    )
+    pq_raw = np.asarray([list(r[vec_col]) for r in pq_rows], dtype="float64")
+    cb = pq_raw - cents[assign(pq_raw)]  # residual codebook, n_codes × dim
+
+    if kmeans_iters:
+        # Lloyd-refine the PQ codebook IN RESIDUAL SPACE (the space
+        # it quantizes): materialize the residual column with one
+        # fused assign+subtract pass, then reuse the per-subspace
+        # refiner. Oracle pins kmeans_iters=0 (like ivf_topk/pq_topk);
+        # refined recall is pinned by pytest against brute force.
+        def residualize(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf):
+                    X = np.array(
+                        [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+                    )
+                    res = (X - cents[assign(X)]).tolist()
+                else:
+                    res = []
+                yield pd.DataFrame({"_res": res})
+
+        residuals = corpus.select(vec_col).mapInPandas(
+            residualize, "_res array<double>"
+        )
+        cb = refine_pq_codebook(residuals, cb, m, kmeans_iters, vec_col="_res")
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, cells, codes = [], [], []
+            if len(pdf):
+                X = np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+                cell = assign(X)
+                R = X - cents[cell]
+                for i in range(len(pdf)):
+                    row = []
+                    for s in range(m):
+                        d = np.round(
+                            ((R[i, s * sub : (s + 1) * sub]
+                              - cb[:, s * sub : (s + 1) * sub]) ** 2).sum(axis=1),
+                            6,
+                        )
+                        row.append(int(np.argmin(d)))  # first-index tie-break
+                    codes.append(row)
+                ids = pdf[id_col].tolist()
+                cells = cell.astype("int32").tolist()
+            yield pd.DataFrame({id_col: ids, "_cell": cells, "_codes": codes})
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    encoded = corpus.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} {id_type}, _cell int, _codes array<int>"
+    )
+
+    def probe_tables(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pids, cells, tabs = [], [], []
+            if len(pdf):
+                X = np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+                cell = assign(X)
+                R = X - cents[cell]
+                for i in range(len(pdf)):
+                    tabs.append(
+                        [
+                            np.round(
+                                ((R[i, s * sub : (s + 1) * sub]
+                                  - cb[:, s * sub : (s + 1) * sub]) ** 2).sum(axis=1),
+                                6,
+                            ).tolist()
+                            for s in range(m)
+                        ]
+                    )
+                pids = pdf[probe_id].tolist()
+                cells = cell.astype("int32").tolist()
+            yield pd.DataFrame({probe_id: pids, "_cell": cells, "_dtab": tabs})
+
+    pid_type = probes.schema[probe_id].dataType.simpleString()
+    ptab = probes.select(probe_id, vec_col).mapInPandas(
+        probe_tables, f"{probe_id} {pid_type}, _cell int, _dtab array<array<double>>"
+    )
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0).cast("double"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("_dtab"), s + 1),
+            F.element_at(F.col("_codes"), s + 1) + 1,
+        ),
+    )
+    joined = encoded.join(F.broadcast(ptab), on="_cell").select(
+        probe_id, id_col, F.round(adc, 6).alias("approx_dist")
+    )
+    w = Window.partitionBy(probe_id).orderBy("approx_dist", F.col(id_col))
+    if not rerank:
+        return (
+            joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .drop("rank")
+        )
+    # IVFADC+R (§V of the paper): keep the top rerank·k ADC
+    # candidates per probe, fetch their TRUE vectors (one hash join —
+    # at scale this reads rerank·k·|probes| rows, not the corpus) and
+    # re-rank exactly by cosine. Output matches cosine_topk_per_probe
+    # (probe_id, id, cos_sim) so recall equals exact in-cell ranking
+    # whenever the true neighbors survive the ADC cut.
+    cand = (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(rerank) * k)
+        .select(probe_id, id_col)
+    )
+    pvec = probes.select(probe_id, F.col(vec_col).alias("_probe_vec"))
+    exact = (
+        cand.join(corpus.select(id_col, vec_col), on=id_col)
+        .join(F.broadcast(pvec), on=probe_id)
+        .select(
+            probe_id,
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_probe_vec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w2 = Window.partitionBy(probe_id).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .drop("rank")
     )

@@ -390,8 +390,14 @@ def run_extraction(
         return spark.read.parquet(output_path)
 
     if metrics_path:
+        # No-output metrics variant (REPL/inspection): emit lineage —
+        # the two writes are the caller's explicit ask — but do NOT
+        # materialize docs too (an eager persist+count here cost one
+        # whole extra job, r3 VERDICT nit #1). lineage_src stays
+        # persisted instead: docs is a filter+select over it, so the
+        # caller's own first action reuses the cache rather than
+        # re-running extraction; the cache is bounded by the input and
+        # is dropped by Spark's LRU or an explicit unpersist. The
+        # write path above keeps its emit-then-unpersist shape.
         _emit_metrics()
-        docs = docs.persist()
-        docs.count()
-        lineage_src.unpersist()
     return docs

@@ -109,8 +109,18 @@ def write_wet(
     per partition, written partition-local with no driver collection
     — the same sink shape as ``write_markdown``). Together with
     :func:`read_warc_files` this closes the Common Crawl loop:
-    WARC in → extraction → WET out."""
-    acc = df.sparkSession.sparkContext.accumulator(0)
+    WARC in → extraction → WET out.
+
+    The returned record count is EXACT under task retries and
+    speculative duplicates: each partition embeds its record count in
+    its segment file name (``seg-00007-n123.warc.wet.gz``), a retry
+    ``os.replace``s the same partition's file (after removing any
+    prior-count name for that partition), and the driver sums the
+    counts from a directory listing AFTER the action — unlike a Spark
+    accumulator inside ``foreachPartition``, which double-adds on
+    retry."""
+    import os
+    import re
 
     def write_part(rows) -> None:
         import os
@@ -127,11 +137,27 @@ def write_wet(
         tmp = os.path.join(out_dir, f".seg-{pid:05d}.tmp")
         with open(tmp, "wb") as f:
             f.write(build_wet(pages))
-        os.replace(tmp, os.path.join(out_dir, f"seg-{pid:05d}.warc.wet.gz"))
-        acc.add(len(pages))
+        # A retry after a partial upstream change could carry a
+        # different count for the same partition: drop stale names
+        # first so exactly one seg file per partition survives.
+        import glob as _glob
+
+        for stale in _glob.glob(
+            os.path.join(out_dir, f"seg-{pid:05d}-n*.warc.wet.gz")
+        ):
+            os.remove(stale)
+        os.replace(
+            tmp,
+            os.path.join(out_dir, f"seg-{pid:05d}-n{len(pages)}.warc.wet.gz"),
+        )
 
     df.select(url_col, text_col).foreachPartition(write_part)
-    return acc.value
+    total = 0
+    for name in os.listdir(out_dir):
+        m = re.fullmatch(r"seg-\d{5}-n(\d+)\.warc\.wet\.gz", name)
+        if m:
+            total += int(m.group(1))
+    return total
 
 
 def wet_records_to_documents(records: DataFrame) -> DataFrame:

@@ -172,6 +172,10 @@ def test_meta_robots_flags(spark):
         (3, b'<html><head><meta name="ROBOTS" content="INDEX, FOLLOW"></head></html>'),
         (4, b"<html><head><meta charset='utf-8'></head><body>noindex as text</body></html>"),
         (5, b'<html><meta name="description" content="noindex is a word"></html>'),
+        # Legal unquoted content value (ADVICE r3: quoted-only regex
+        # reported this opted-out page as indexable):
+        (6, b"<html><head><meta name=robots content=noindex></head></html>"),
+        (7, b"<html><head><meta name=robots content=noindex,nofollow></head></html>"),
     ]
     out = {
         r["doc_id"]: r
@@ -184,3 +188,5 @@ def test_meta_robots_flags(spark):
     assert not out[3]["noindex"] and out[3]["indexable"]
     assert not out[4]["noindex"]  # body text is not a meta tag
     assert not out[5]["noindex"]  # description meta, not robots
+    assert out[6]["noindex"] and not out[6]["indexable"]  # unquoted value
+    assert out[7]["noindex"] and out[7]["nofollow"]

@@ -138,3 +138,18 @@ def test_phone_right_boundary_rejects_long_runs(spark):
     assert out[1] == "ref 555-123-45678 is a serial"
     assert out[2] == "call |||PHONE||| now"
     assert out[3] == "ends with |||PHONE|||"
+
+
+def test_scrub_adjacent_phone_list_both_masked(spark):
+    # Each phone match consumes its single-char boundary, so the
+    # second number in '4567,555-...' lost its left guard in a single
+    # pass; scrub_pii's second phone pass catches it (ADVICE r3).
+    assert (
+        _scrub_one(spark, "call 555-123-4567,555-987-6543 now")
+        == f"call {PHONE_TOKEN},{PHONE_TOKEN} now"
+    )
+    # Three in a row: pass 1 takes #1 and #3, pass 2 takes #2.
+    assert (
+        _scrub_one(spark, "555-123-4567,555-987-6543,555-111-2222")
+        == f"{PHONE_TOKEN},{PHONE_TOKEN},{PHONE_TOKEN}"
+    )

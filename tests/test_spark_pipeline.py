@@ -219,3 +219,35 @@ def test_wrapped_markup_text_round_trips(spark):
     out = run_extraction(spark, web, num_partitions=2).collect()
     assert len(out) == 1
     assert out[0]["text"] == "Doc 7\n" + tricky
+
+
+def test_metrics_without_output_runs_no_extra_job(spark, tmp_path, monkeypatch):
+    # r3 VERDICT nit #1: the no-output metrics variant must trigger
+    # only the lineage/failure writes — no eager docs materialization
+    # (the old code ran docs.persist(); docs.count() before returning).
+    # Job-count assertions are AQE-fragile, so pin the regression
+    # directly: any .count()/.persist() on a DataFrame inside the call
+    # trips; the caller's own action afterwards must still work.
+    import pyspark.sql.dataframe as dfmod
+
+    web = synthetic_web_pages(spark, n_docs=32, seed=7).repartition(2)
+    met = str(tmp_path / "metrics_noout")
+
+    def boom(self, *a, **kw):
+        raise AssertionError("eager materialization in no-output metrics path")
+
+    monkeypatch.setattr(dfmod.DataFrame, "count", boom)
+    orig_persist = dfmod.DataFrame.persist
+    persisted = []
+    monkeypatch.setattr(
+        dfmod.DataFrame, "persist",
+        lambda self, *a, **kw: (persisted.append(self), orig_persist(self, *a, **kw))[1],
+    )
+    docs = run_extraction(spark, web, metrics_path=met, num_partitions=2)
+    monkeypatch.undo()
+    # only the lineage SOURCE may persist (the cache the caller's
+    # action reuses) — docs itself must come back unpersisted & lazy
+    assert docs.storageLevel.useMemory is False
+    assert docs.count() > 0  # caller's action still works
+    for df in persisted:
+        df.unpersist()
