@@ -1168,6 +1168,140 @@ def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX URL index over in-plan WARC segments (r4): docs group into
+    50 uncompressed multi-record segment files (ordered by doc_id),
+    and ``warc_cdx_index`` walks each file's record spans. Because
+    ``build_warc``'s layout is deterministic, the DuckDB oracle
+    predicts every byte offset/length ARITHMETICALLY (record length =
+    222 + len(url) + len(digits(N)) + N, N = HTTP envelope of the
+    ``<html>``-wrapped UTF-8 text, offset = running sum within the
+    segment) — so a hash match proves the span walker against an
+    independent byte-layout computation, not against itself."""
+    from karanta_ocr_spark.sources.warc import warc_cdx_index
+
+    d = _docs(spark, sf_dir).select("doc_id", "text").withColumn(
+        "g", (F.col("doc_id") % 50).cast("int")
+    )
+
+    def build(pdf):
+        import pandas as pd
+
+        from karanta_ocr_spark.kernel.warc_mini import build_warc
+
+        pdf = pdf.sort_values("doc_id")
+        pages = [
+            (
+                f"https://docs.example.org/doc/{i}",
+                "2025-01-01T00:00:00Z",
+                ("<html>" + (t or "") + "</html>").encode("utf-8"),
+            )
+            for i, t in zip(pdf["doc_id"].tolist(), pdf["text"].tolist())
+        ]
+        g = int(pdf["g"].iloc[0])
+        return pd.DataFrame(
+            {
+                "path": [f"synthetic://cdx/seg-{g:05d}.warc"],
+                "content": [build_warc(pages, per_record_gzip=False)],
+            }
+        )
+
+    blobs = d.groupBy("g").applyInPandas(build, "path string, content binary")
+    return warc_cdx_index(blobs)
+
+
+def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt gate (r4) over arithmetically-predictable policy:
+    hosts 0-4 publish a wildcard group (Disallow /private, Allow
+    /private/ok — the longest-match override —, Disallow /*.pdf$ — a
+    wildcard+anchor rule), host 5 publishes an agent-specific
+    full-block for 'karanta' (group selection must prefer it over the
+    ``*`` group), host 6 has no robots.txt (404 → allowed). Paths
+    cycle through public/private/private-ok/pdf/root by doc_id%5, so
+    the DuckDB oracle predicts every verdict with CASE arithmetic
+    while the Spark side runs the real RFC 9309 interpreter."""
+    from karanta_ocr_spark.operators.corpus_filters import robots_txt_gate
+
+    d = _docs(spark, sf_dir)
+    pages = d.select(
+        "doc_id",
+        F.expr(
+            "concat('https://site', CAST(doc_id % 7 AS STRING), '.example', "
+            "CASE CAST(doc_id % 5 AS INT) "
+            "WHEN 0 THEN concat('/public/page', doc_id) "
+            "WHEN 1 THEN concat('/private/page', doc_id) "
+            "WHEN 2 THEN concat('/private/ok/page', doc_id) "
+            "WHEN 3 THEN concat('/files/doc', doc_id, '.pdf') "
+            "ELSE '' END)"
+        ).alias("url"),
+    )
+    wild = (
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+        "Disallow: /*.pdf$\n"
+    )
+    agent_block = (
+        "User-agent: karanta\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /private\n"
+    )
+    robots = spark.createDataFrame(
+        [(f"site{h}.example", agent_block if h == 5 else wild)
+         for h in range(6)],
+        "host string, robots_txt string",
+    )
+    return robots_txt_gate(pages, robots, agent="karanta")
+
+
+def _q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup vs a stored index (r4): even doc_ids form
+    the signed index, odd doc_ids are the new crawl increment, and
+    every doc_id ≡ 1 (mod 10) new doc carries a verbatim COPY of its
+    even neighbor's text — so the query must flag exactly those (plus
+    any genuine near-dups) through signatures → band join → agreement
+    verify, all md5-replayable by the oracle."""
+    from karanta_ocr_spark.operators.dedup import (
+        minhash_dedup_against_index,
+        minhash_index,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    even = d.filter(F.col("doc_id") % 2 == 0)
+    odd = d.filter(F.col("doc_id") % 2 == 1)
+    prev = even.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("_copy")
+    )
+    new = odd.join(prev, on="doc_id", how="left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 10 == 1) & F.col("_copy").isNotNull(),
+            F.col("_copy"),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return minhash_dedup_against_index(new, minhash_index(even))
+
+
+def _q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-family connected components (r4): every doc gains a
+    mirror-footer paragraph keyed by doc_id%40 and a syndicated block
+    keyed by doc_id%35, so families chain TRANSITIVELY through both
+    partitions and (since gcd(40,35)=5) resolve to the five
+    congruence-mod-5 components — a real multi-hop propagation, not
+    one join. The oracle replays paragraph split → min-doc anchor
+    edges → reachability (recursive CTE) independently of the Spark
+    label-propagation fixpoint."""
+    from karanta_ocr_spark.operators.graph import duplicate_clusters
+
+    d = _docs(spark, sf_dir)
+    syn = d.select(
+        "doc_id",
+        F.expr(
+            "concat(trim(text), '\n(c) mirror footer ', "
+            "CAST(doc_id % 40 AS STRING), '\nsyndicated block ', "
+            "CAST(doc_id % 35 AS STRING))"
+        ).alias("text"),
+    )
+    return duplicate_clusters(syn)
+
+
 def _q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """float64 dot products (cast before the fold) so the score agrees
     with the DuckDB oracle to ~1e-15 — far inside the round-to-6dp
@@ -1293,6 +1427,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe_topk": _q_ann_lsh_multiprobe_topk,
         "bpe_token_stats": _q_bpe_token_stats,
         "encrypted_pdf_extract": _q_encrypted_pdf_extract,
+        "duplicate_clusters": _q_duplicate_clusters,
+        "minhash_incremental": _q_minhash_incremental,
+        "robots_gate": _q_robots_gate,
+        "warc_cdx": _q_warc_cdx,
         "approx_length_percentiles": _q_approx_length_percentiles,
         # -- driver-green in r3, least-stable first --
         "pii_scrub": _q_pii_scrub,
@@ -1491,6 +1629,68 @@ def _bpe_oracle_sql() -> str:
                round(CAST(coalesce(a.bpe_tokens, 0) AS DOUBLE)
                      / greatest(coalesce(a.n_pretokens, 0), 1), 6) AS subword_ratio
         FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+def _incremental_minhash_oracle_sql() -> str:
+    """DuckDB twin of ``minhash_index`` + ``minhash_dedup_against_index``
+    (num_perm=32, bands=8, threshold=0.8, md5 primitives) over the
+    even-index / odd-increment split of ``_q_minhash_incremental``:
+    signatures and band buckets replayed for BOTH sides, band
+    equi-join, elementwise signature agreement ≥ 0.8, distinct
+    matched index docs per new doc."""
+    from karanta_ocr_spark.operators.dedup import _MINHASH_PRIME, _perm_coeffs
+
+    sig_terms = ",\n                ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MINHASH_PRIME}))"
+        for a, b in _perm_coeffs(32, seed=42)
+    )
+    # One signature pipeline applied to a union of both (tagged) sides.
+    return f"""
+        WITH base AS (SELECT doc_id, text FROM documents),
+        newdocs AS (SELECT o.doc_id,
+                           CASE WHEN o.doc_id % 10 = 1 AND p.text IS NOT NULL
+                                THEN p.text ELSE o.text END AS text
+                    FROM base o LEFT JOIN base p
+                      ON p.doc_id = o.doc_id - 1
+                    WHERE o.doc_id % 2 = 1),
+        uni AS (SELECT doc_id, text, FALSE AS is_index FROM newdocs
+                 UNION ALL
+                 SELECT doc_id, text, TRUE FROM base WHERE doc_id % 2 = 0),
+        shx AS (SELECT doc_id, is_index,
+                       CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                                               i -> array_to_string(toks[i:i+2], ' ')))
+                       END AS sh
+                FROM (SELECT doc_id, is_index,
+                             regexp_split_to_array(lower(trim(text)), '[ \\t-\\r]+') AS toks
+                      FROM uni)),
+        hh AS (SELECT doc_id, is_index,
+                      list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT
+                                               & 2147483647) AS hs
+               FROM shx),
+        sig AS (SELECT doc_id, is_index, [
+                {sig_terms}
+                ] AS mh FROM hh),
+        ex AS (SELECT doc_id, is_index, mh, bb.b AS band,
+                      ('0x' || substr(md5(CAST(bb.b AS VARCHAR) || ':' ||
+                          array_to_string(list_transform(mh[bb.b*4+1 : bb.b*4+4],
+                                                         x -> CAST(x AS VARCHAR)), ',')),
+                          1, 15))::BIGINT AS bucket
+               FROM sig, (SELECT unnest(range(0, 8)) AS b) bb),
+        cand AS (SELECT DISTINCT n.doc_id, x.doc_id AS index_id
+                 FROM ex n JOIN ex x
+                   ON n.band = x.band AND n.bucket = x.bucket
+                      AND NOT n.is_index AND x.is_index
+                 WHERE list_aggregate(list_transform(range(1, 33),
+                           i -> CASE WHEN n.mh[i] = x.mh[i] THEN 1 ELSE 0 END),
+                           'sum') / 32.0 >= 0.8),
+        cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_index_matches
+                FROM cand GROUP BY doc_id)
+        SELECT nd.doc_id,
+               coalesce(cnt.n_index_matches, 0) AS n_index_matches,
+               coalesce(cnt.n_index_matches, 0) > 0 AS is_dup
+        FROM newdocs nd LEFT JOIN cnt USING (doc_id)
     """
 
 
@@ -2414,6 +2614,79 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY cos_sim DESC, vec_id) AS rk
                   FROM s)
             SELECT probe_id, vec_id, cos_sim FROM r WHERE rk <= 5
+        """,
+        "minhash_incremental": _incremental_minhash_oracle_sql(),
+        "warc_cdx": """
+            WITH b AS (
+                SELECT doc_id,
+                       doc_id % 50 AS g,
+                       'https://docs.example.org/doc/' || doc_id AS url,
+                       13 + strlen(coalesce(text, '')) AS m
+                FROM documents),
+            n AS (SELECT *, 77 + length(CAST(m AS VARCHAR)) + m AS nn FROM b),
+            l AS (SELECT *,
+                         CAST(222 + length(url) + length(CAST(nn AS VARCHAR))
+                              + nn AS BIGINT) AS rec_len
+                  FROM n),
+            o AS (SELECT *,
+                         CAST(coalesce(sum(rec_len) OVER (
+                             PARTITION BY g ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS BIGINT) AS off
+                  FROM l)
+            SELECT 'org,example,docs)/doc/' || doc_id AS urlkey,
+                   '20250101000000' AS cdx_ts,
+                   url,
+                   'synthetic://cdx/seg-' || lpad(CAST(g AS VARCHAR), 5, '0')
+                       || '.warc' AS warc_path,
+                   off AS offset,
+                   rec_len AS length,
+                   CAST(200 AS INT) AS http_status,
+                   'response' AS rec_type
+            FROM o
+        """,
+        "robots_gate": """
+            SELECT doc_id,
+                   'site' || (doc_id % 7) || '.example' AS host,
+                   CASE CAST(doc_id % 5 AS INT)
+                        WHEN 0 THEN '/public/page' || doc_id
+                        WHEN 1 THEN '/private/page' || doc_id
+                        WHEN 2 THEN '/private/ok/page' || doc_id
+                        WHEN 3 THEN '/files/doc' || doc_id || '.pdf'
+                        ELSE '/' END AS path,
+                   CASE WHEN doc_id % 7 = 6 THEN TRUE
+                        WHEN doc_id % 7 = 5 THEN FALSE
+                        WHEN doc_id % 5 IN (1, 3) THEN FALSE
+                        ELSE TRUE END AS allowed
+            FROM documents
+        """,
+        "duplicate_clusters": """
+            WITH RECURSIVE
+            syn AS (SELECT doc_id,
+                           trim(text) || chr(10) || '(c) mirror footer '
+                           || (doc_id % 40) || chr(10) || 'syndicated block '
+                           || (doc_id % 35) AS text
+                    FROM documents),
+            p0 AS (SELECT doc_id,
+                          unnest(list_filter(list_transform(
+                              string_split(text, chr(10)), x -> trim(x)),
+                              x -> x <> '')) AS para
+                   FROM syn),
+            p AS (SELECT DISTINCT doc_id, para FROM p0),
+            a AS (SELECT para, min(doc_id) AS anchor FROM p GROUP BY para),
+            e AS (SELECT DISTINCT p.doc_id AS s, a.anchor AS t
+                  FROM p JOIN a USING (para) WHERE p.doc_id <> a.anchor),
+            sym AS (SELECT s, t FROM e UNION SELECT t, s FROM e),
+            reach(id, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT sym.s, reach.lab FROM reach JOIN sym ON sym.t = reach.id),
+            comp AS (SELECT id AS doc_id, min(lab) AS component
+                     FROM reach GROUP BY id),
+            sz AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+                   FROM comp GROUP BY component)
+            SELECT comp.doc_id, comp.component, sz.cluster_size
+            FROM comp JOIN sz USING (component)
         """,
         "ann_ivfpq_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1,0 +1,114 @@
+"""robots.txt interpreter (RFC 9309, pure stdlib).
+
+The third leg of the crawl-policy trio next to the UT1-style domain
+blocklist and the robots-META flags (``operators/corpus_filters.py``):
+a compliant training-data pipeline drops pages whose host's
+robots.txt disallowed them for its crawler. The reference consumes
+already-crawled inputs and so inherits the crawler's policy; at
+corpus scale the check is re-run as a filter because blanket-allow
+crawls and policy changes both happen.
+
+Semantics implemented per RFC 9309 (and the Google REP reference
+implementation's public documentation):
+
+* groups: consecutive ``User-agent`` lines share the following
+  ``Allow``/``Disallow`` rules;
+* group selection: the group whose user-agent token is the LONGEST
+  case-insensitive prefix of the product token wins; ``*`` is the
+  fallback; all groups matching equally specifically merge;
+* rule matching: ``*`` matches any octet sequence, ``$`` anchors the
+  pattern end; the matching rule with the LONGEST pattern wins;
+  an allow/disallow tie at equal length resolves to ALLOW;
+* empty ``Disallow:`` = allow-all; no matching group = allowed;
+* unknown directives and comments (``#``) are ignored.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class RuleGroup:
+    agents: list[str] = field(default_factory=list)
+    #: (allow?, raw pattern) in file order
+    rules: list[tuple[bool, str]] = field(default_factory=list)
+
+
+def parse_robots(text: str) -> list[RuleGroup]:
+    groups: list[RuleGroup] = []
+    cur: RuleGroup | None = None
+    in_agent_run = False  # consecutive User-agent lines open ONE group
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_agent_run:
+                cur = RuleGroup()
+                groups.append(cur)
+                in_agent_run = True
+            cur.agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_agent_run = False
+            if cur is None:
+                continue  # rules before any User-agent line: ignored
+            cur.rules.append((key == "allow", val))
+        else:
+            # crawl-delay / sitemap / unknown: close the agent run but
+            # keep the group open for later allow/disallow lines.
+            in_agent_run = False
+    return groups
+
+
+def _pattern_re(pattern: str) -> re.Pattern:
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if c == "*" else re.escape(c) for c in body)
+    return re.compile("^" + rx + ("$" if anchored else ""))
+
+
+def _select_rules(groups: list[RuleGroup], agent: str) -> list[tuple[bool, str]]:
+    agent = agent.lower()
+    best_len = -1
+    rules: list[tuple[bool, str]] = []
+    for g in groups:
+        specificity = -1
+        for a in g.agents:
+            if a == "*":
+                specificity = max(specificity, 0)
+            elif agent.startswith(a):
+                specificity = max(specificity, len(a))
+        if specificity < 0:
+            continue
+        if specificity > best_len:
+            best_len = specificity
+            rules = list(g.rules)
+        elif specificity == best_len:
+            rules.extend(g.rules)  # equally specific groups merge
+    return rules
+
+
+def is_allowed(robots_text: str | None, agent: str, path: str) -> bool:
+    """Verdict for *path* (must start with ``/``) under *robots_text*.
+    None/empty robots.txt (404 in practice) allows everything."""
+    if not robots_text:
+        return True
+    if not path.startswith("/"):
+        path = "/" + path
+    rules = _select_rules(parse_robots(robots_text), agent)
+    best: tuple[int, bool] | None = None  # (pattern length, allow?)
+    for allow, pattern in rules:
+        if pattern == "":
+            # "Disallow:" (empty) historically means allow-all; it can
+            # never out-rank a real match (length 0).
+            continue
+        if _pattern_re(pattern).match(path):
+            key = len(pattern)
+            if best is None or key > best[0] or (key == best[0] and allow):
+                best = (key, allow)
+    return True if best is None else best[1]

@@ -214,3 +214,84 @@ def build_warc(
         else:
             out += rec
     return bytes(out)
+
+
+def warc_record_spans(data: bytes, max_records: int = 100_000) -> list[tuple[int, int]]:
+    """Byte spans ``(offset, length)`` of each top-level record unit
+    in the ORIGINAL file bytes — the primitive behind a CDX-style URL
+    index (the Common Crawl index stores exactly these spans so a
+    reader can range-request one record instead of scanning a 1 GB
+    segment).
+
+    Per-record-gzip files: one span per gzip member (the CC layout —
+    a member holds one record, and the span is what a ranged GET +
+    gunzip needs). Plain files: one span per record, ending where the
+    next record begins (so spans tile the file after any leading
+    CRLFs). Whole-file-gzip input is indexable only as one unit and
+    returns a single file-wide span."""
+    spans: list[tuple[int, int]] = []
+    if data[:2] == b"\x1f\x8b":
+        import zlib
+
+        pos = 0
+        buf = data
+        while buf[:2] == b"\x1f\x8b" and len(spans) < max_records:
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            try:
+                d.decompress(buf, _MAX_DECOMPRESSED)
+            except zlib.error:
+                break
+            if not d.eof:
+                # truncated final member (or whole-file gzip, which has
+                # exactly one giant member): span covers the rest
+                spans.append((pos, len(data) - pos))
+                return spans
+            consumed = len(buf) - len(d.unused_data)
+            spans.append((pos, consumed))
+            pos += consumed
+            buf = d.unused_data
+        return spans
+    i, n = 0, len(data)
+    while i < n and len(spans) < max_records:
+        while i < n and data[i : i + 2] == b"\r\n":
+            i += 2
+        if i >= n or not data.startswith(b"WARC/", i):
+            break
+        sep = data.find(b"\r\n\r\n", i)
+        if sep < 0:
+            break
+        hdrs = _parse_headers(data[i:sep])
+        try:
+            clen = int(hdrs.get("content-length", ""))
+        except ValueError:
+            break
+        if clen < 0:
+            break
+        end = sep + 4 + clen
+        # include the record's trailing CRLF block up to the next
+        # record (or EOF) so spans tile the file
+        j = end
+        while j < n and data[j : j + 2] == b"\r\n":
+            j += 2
+        spans.append((i, j - i))
+        i = j
+    return spans
+
+
+def surt_urlkey(url: str) -> str:
+    """SURT-style CDX url key: reversed lowercase host labels joined
+    by commas, then ``)`` and the path+query (``org,example,docs)/a``)
+    — the Common Crawl index key shape. Non-URL strings come back
+    lowercased unchanged."""
+    import re as _re
+
+    m = _re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)([^#]*)", url)
+    if not m:
+        return url.lower()
+    host = m.group(1).lower()
+    if "@" in host:
+        host = host.rsplit("@", 1)[1]
+    if ":" in host:
+        host = host.rsplit(":", 1)[0]
+    path = m.group(2) or "/"
+    return ",".join(reversed(host.split("."))) + ")" + path

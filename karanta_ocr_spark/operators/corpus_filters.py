@@ -25,6 +25,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from karanta_ocr_spark.functions.text_analysis import WS, WS_SQL
@@ -350,4 +351,78 @@ def c4_quality_signals(
         lorem.alias("has_lorem_ipsum"),
         brace.alias("has_curly_brace"),
         ((wc >= 5) & ~lorem & ~brace & (n > 0)).alias("c4_keep"),
+    )
+
+
+def robots_txt_gate(
+    df: DataFrame,
+    robots: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    robots_host_col: str = "host",
+    robots_text_col: str = "robots_txt",
+) -> DataFrame:
+    """robots.txt compliance gate (RFC 9309) — the third crawl-policy
+    leg next to :func:`blocklist_filter` and
+    :func:`meta_robots_flags`: join each page to its host's
+    robots.txt and evaluate *agent*'s verdict for the page's path via
+    ``kernel.robots_mini`` (group selection by longest agent prefix,
+    ``*``/``$`` wildcard rules, longest-pattern-wins, allow on ties).
+
+    Returns ``(id_col, host, path, allowed)``. Hosts with no robots
+    row are allowed (a 404 robots.txt permits crawling).
+
+    Scale shape: host/path extraction is Catalyst; the robots table
+    is one small row per host (broadcast-able — there are ~10^8 hosts
+    on the web vs 10^12 pages, and only crawled hosts appear); the
+    wildcard longest-match evaluation is genuinely inexpressible in
+    Catalyst, so it runs as ONE Arrow-batched pandas UDF with a
+    per-worker parse cache keyed by the robots text (hosts repeat
+    heavily per partition — pre-repartitioning by host makes the
+    cache hit rate ~1)."""
+    from pyspark.sql.functions import pandas_udf
+
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    raw_path = F.regexp_extract(
+        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+
+    def verdicts(texts: pd.Series, paths: pd.Series) -> pd.Series:
+        from functools import lru_cache
+
+        from karanta_ocr_spark.kernel.robots_mini import (
+            _select_rules,
+            is_allowed,
+            parse_robots,
+        )
+
+        @lru_cache(maxsize=4096)
+        def rules_for(text: str):
+            return _select_rules(parse_robots(text), agent)
+
+        out = []
+        for text, p in zip(texts.tolist(), paths.tolist()):
+            if text is None or text == "":
+                out.append(True)
+                continue
+            rules_for(text)  # warm the parse cache (shared with below)
+            out.append(is_allowed(text, agent, p))
+        return pd.Series(out, dtype="bool")
+
+    verdict_udf = pandas_udf(verdicts, "boolean")
+    pages = df.select(
+        F.col(id_col), host.alias("host"), path.alias("path")
+    )
+    rb = robots.select(
+        F.lower(F.col(robots_host_col)).alias("host"),
+        F.col(robots_text_col).alias("_robots"),
+    )
+    return (
+        pages.join(F.broadcast(rb), on="host", how="left")
+        .withColumn("allowed", verdict_udf(F.col("_robots"), F.col("path")))
+        .select(id_col, "host", "path", "allowed")
     )

@@ -515,6 +515,102 @@ def minhash_lsh_dedup(
     return df.join(victims, on=id_col, how="left_anti")
 
 
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    shingle_unit: str = "word",
+    seed: int = 42,
+) -> DataFrame:
+    """The persisted-index half of INCREMENTAL near-dup: signatures +
+    exploded band buckets ``(id, minhash, band, bucket)`` for the
+    existing corpus. In production this table is written ONCE (e.g.
+    partitioned/bucketed by ``(band, bucket)``) and each crawl
+    increment probes it — the 100 TB corpus is never re-signatured,
+    which is the entire point: per-increment cost is proportional to
+    the INCREMENT, not the corpus."""
+    sigs = minhash_signatures(
+        df.select(id_col, text_col), text_col, num_perm, shingle_k,
+        seed=seed, shingle_unit=shingle_unit, base_hash="md5",
+        emit_bands=bands,
+    )
+    return sigs.select(
+        F.col(id_col).alias("index_id"),
+        F.col("minhash").alias("index_mh"),
+        F.posexplode("_bands").alias("band", "bucket"),
+    )
+
+
+def minhash_dedup_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    shingle_unit: str = "word",
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental near-dup: flag each NEW document that
+    near-duplicates the EXISTING corpus (per :func:`minhash_index`,
+    same seed/params — signatures are only comparable within one
+    parameterization).
+
+    Returns one row per *new_df* row: ``(id_col, n_index_matches,
+    is_dup)`` — ``n_index_matches`` = distinct index docs whose
+    estimated Jaccard (signature agreement) ≥ *threshold*;
+    ``is_dup`` = any match. Callers drop ``is_dup`` rows and append
+    the survivors' signatures to the index, closing the loop.
+
+    Scale shape: the new batch signatures in one fused Arrow pass,
+    explodes to (band, bucket) and equi-joins the index — with the
+    index bucketed on (band, bucket) only the increment shuffles.
+    Band-collision candidates are verified on the full signature;
+    the same-pair-from-multiple-bands duplication is collapsed AFTER
+    the cheap verify (distinct on matched ids), never before (a
+    pre-verify distinct would shuffle signature arrays)."""
+    nsig = minhash_signatures(
+        new_df.select(id_col, text_col), text_col, num_perm, shingle_k,
+        seed=seed, shingle_unit=shingle_unit, base_hash="md5",
+        emit_bands=bands,
+    )
+    probes = nsig.select(
+        F.col(id_col), F.col("minhash"),
+        F.posexplode("_bands").alias("band", "bucket"),
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("minhash", "index_mh", lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    matches = (
+        probes.join(index, on=["band", "bucket"])
+        .withColumn("_agree", agree)
+        .filter(F.col("_agree") / F.lit(num_perm) >= threshold)
+        .select(id_col, "index_id")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_index_matches"))
+    )
+    return (
+        new_df.select(id_col)
+        .join(matches, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_index_matches", F.lit(0).cast("long")).alias(
+                "n_index_matches"
+            ),
+            (F.coalesce("n_index_matches", F.lit(0)) > 0).alias("is_dup"),
+        )
+    )
+
+
 # ------------------------------------------------------------- simhash
 def simhash64(text_col: str, base_hash: str = "xxhash64") -> Column:
     """64-bit SimHash over whitespace tokens, fully JVM:

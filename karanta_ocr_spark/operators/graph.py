@@ -1,0 +1,144 @@
+"""Distributed connected components + duplicate-cluster forensics.
+
+Near-dup pipelines (the reference's downstream consumers; Gopher,
+SlimPajama, RefinedWeb all publish this step) don't just DROP
+duplicates — they need the CLUSTERS: which documents form one
+duplicated family (mirror sites, syndicated articles, template
+farms), how big each family is, and one canonical representative.
+Pairwise candidate edges (shared paragraphs, MinHash buckets, SimHash
+slices) only give local links; the family is the CONNECTED COMPONENT
+of the duplicate graph, which needs transitive closure — an iterative
+algorithm no single join expresses.
+
+:func:`connected_components` — min-label propagation: every node
+starts labeled with its own id; each round, every node takes the min
+label in its neighborhood; fixpoint = components labeled by their
+min-id member. One shuffle per round (join + groupBy on node id),
+``localCheckpoint`` per round to truncate lineage, convergence
+detected by the monotone global label sum (labels only ever
+decrease, so an unchanged sum IS the fixpoint — one scalar action
+per round, no row-wise diff join). Rounds needed = graph diameter;
+duplicate graphs built from STAR edges (member → group anchor, the
+shape our dedup operators emit) have tiny diameters, so in practice
+a handful of rounds. This is the simple O(diameter) baseline of the
+large-star/small-star family (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC 2014) — the two-phase star variant
+becomes worthwhile only on adversarial long-path graphs, which
+deduplicate candidate graphs are not.
+
+:func:`duplicate_clusters` — the concrete forensics operator: docs
+sharing any (trimmed, non-empty) line/paragraph are linked through
+that paragraph's min-doc anchor (star edges — NEVER the quadratic
+within-group pair set), components are resolved by propagation, and
+each doc comes back as ``(id, component, cluster_size)``. Grouping
+uses ``struct(xxhash64(para), length(para))`` so corpus text stays
+out of the shuffle key (same rationale as
+``corpus_filters.dedup_paragraphs``).
+
+The DuckDB oracle (``oracle_sql()['duplicate_clusters']``) replays
+paragraph split → anchor edges → transitive closure with a recursive
+CTE, so the Spark fixpoint is verified against an independent
+reachability computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from karanta_ocr_spark.operators.corpus_filters import lines_expr
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected graph given by *edges*.
+
+    Returns ``(id, component)`` for every node appearing in any edge;
+    ``component`` is the minimum node id of the component. Node ids
+    must be orderable (use longs at scale).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    for _ in range(int(max_iters)):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("b"), F.col("component").alias("_nc")
+                ),
+                on="b",
+            )
+            .groupBy("a")
+            .agg(F.min("_nc").alias("_nbr"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()  # truncate the iterative lineage
+        )
+        cur_sum = labels.agg(F.sum("component")).first()[0]
+        # Labels are monotone non-increasing, so sum-unchanged IS the
+        # fixpoint (cheaper than a row-wise changed-count join).
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate-family clusters over shared paragraphs.
+
+    Returns one row per input row: ``(id_col, component,
+    cluster_size)`` — ``component`` = min doc id of the family,
+    ``cluster_size`` = number of docs in it (1 for docs sharing no
+    paragraph with anyone).
+    """
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(lines_expr(F.col(text_col))).alias("para"),
+    ).select(
+        "_id", F.struct(F.xxhash64("para"), F.length("para")).alias("_pk")
+    ).distinct()
+    anchors = paras.groupBy("_pk").agg(F.min("_id").alias("_anchor"))
+    edges = (
+        paras.join(anchors, on="_pk")
+        .filter(F.col("_id") != F.col("_anchor"))
+        .select(F.col("_id").alias("src"), F.col("_anchor").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(edges, max_iters=max_iters)
+    out = (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("id", id_col), on=id_col, how="left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )
+    sizes = out.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return out.join(sizes, on="component").select(
+        id_col, "component", "cluster_size"
+    )

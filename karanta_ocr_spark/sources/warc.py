@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -191,3 +192,68 @@ def warc_records_to_web_pages(records: DataFrame) -> DataFrame:
             F.lit(None).cast("string").alias("lang"),
         )
     )
+
+
+#: CDX-style URL-index schema (the Common Crawl index shape: enough
+#: to range-request and inflate ONE record out of a 1 GB segment).
+WARC_CDX_SCHEMA = StructType(
+    [
+        StructField("urlkey", StringType()),
+        StructField("cdx_ts", StringType()),  # 14-digit CDX timestamp
+        StructField("url", StringType()),
+        StructField("warc_path", StringType()),
+        StructField("offset", LongType()),
+        StructField("length", LongType()),
+        StructField("http_status", IntegerType()),
+        StructField("rec_type", StringType()),
+    ]
+)
+
+
+def warc_cdx_index(
+    df: DataFrame, blob_col: str = "content", path_col: str = "path"
+) -> DataFrame:
+    """(path, blob) segment files → a CDX-style URL index: one row
+    per record with its SURT url key, 14-digit timestamp, and the
+    ``(offset, length)`` byte span inside the segment (gzip-member
+    spans for per-record-gzip files — what a ranged GET needs). This
+    is the lookup table the resume/anti-join and targeted re-fetch
+    paths consult at corpus scale; parallelism is per segment file,
+    like :func:`parse_warc_blobs`."""
+
+    def run(batches: Iterator) -> Iterator:
+        import re
+
+        import pandas as pd
+
+        from karanta_ocr_spark.kernel.warc_mini import (
+            parse_warc,
+            surt_urlkey,
+            warc_record_spans,
+        )
+
+        for pdf in batches:
+            rows = {f.name: [] for f in WARC_CDX_SCHEMA.fields}
+            for path, blob in zip(pdf[path_col].tolist(), pdf[blob_col].tolist()):
+                blob = bytes(blob) if blob is not None else b""
+                for off, ln in warc_record_spans(blob):
+                    try:
+                        recs = parse_warc(blob[off : off + ln])
+                    except Exception:
+                        continue
+                    for r in recs:
+                        rows["urlkey"].append(
+                            surt_urlkey(r.url) if r.url else None
+                        )
+                        rows["cdx_ts"].append(
+                            re.sub(r"[^0-9]", "", r.date)[:14] if r.date else None
+                        )
+                        rows["url"].append(r.url)
+                        rows["warc_path"].append(path)
+                        rows["offset"].append(off)
+                        rows["length"].append(ln)
+                        rows["http_status"].append(r.http_status)
+                        rows["rec_type"].append(r.rec_type)
+            yield pd.DataFrame(rows)
+
+    return df.select(path_col, blob_col).mapInPandas(run, schema=WARC_CDX_SCHEMA)

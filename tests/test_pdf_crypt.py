@@ -135,3 +135,19 @@ def test_encrypted_objstm_like_lengths_align():
     for m in re.finditer(rb"/Length (\d+) >>\nstream\n", enc):
         n = int(m.group(1))
         assert n % 16 == 0 and n >= 32
+
+
+def test_numpy_and_scalar_aes_decrypt_agree():
+    # The vectorized lockstep decrypt must be bit-identical to the
+    # scalar FIPS-197 path on every block.
+    import numpy as np
+
+    from karanta_ocr_spark.kernel.pdf_crypt import _aes_decrypt_blocks_np
+
+    key = bytes(range(16))
+    rk = _expand_key(key)
+    raw = bytes((i * 31 + 7) & 0xFF for i in range(16 * 33))
+    blocks = np.frombuffer(raw, dtype="uint8").reshape(-1, 16)
+    vec = _aes_decrypt_blocks_np(key, blocks)
+    for i in range(len(blocks)):
+        assert bytes(vec[i]) == _aes_decrypt_block(rk, bytes(blocks[i])), i

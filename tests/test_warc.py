@@ -148,3 +148,52 @@ def test_wet_read_back_as_documents(spark, tmp_path):
     got = {(r["url"], r["text"]) for r in docs.collect()}
     assert got == set(rows)
     assert docs.schema["warc_ts"].dataType.typeName() == "timestamp"
+
+
+def test_warc_record_spans_tile_and_parse_standalone():
+    from karanta_ocr_spark.kernel.warc_mini import warc_record_spans
+
+    pages = [
+        (f"https://d.example/{i}", "2025-01-01T00:00:00Z", b"<p>x</p>" * i)
+        for i in range(1, 5)
+    ]
+    for gz in (True, False):
+        blob = build_warc(pages, per_record_gzip=gz)
+        spans = warc_record_spans(blob)
+        assert len(spans) == 4
+        assert spans[0][0] == 0
+        assert sum(ln for _, ln in spans) == len(blob)  # spans tile
+        for (off, ln), (url, _, html) in zip(spans, pages):
+            recs = parse_warc(blob[off : off + ln])
+            assert len(recs) == 1 and recs[0].url == url and recs[0].body == html
+
+
+def test_surt_urlkey():
+    from karanta_ocr_spark.kernel.warc_mini import surt_urlkey
+
+    assert surt_urlkey("https://docs.example.org/doc/5") == "org,example,docs)/doc/5"
+    assert surt_urlkey("http://EX.com") == "com,ex)/"
+    assert surt_urlkey("https://u:p@host.net:8443/a?q=1#f") == "net,host)/a?q=1"
+    assert surt_urlkey("not a url") == "not a url"
+
+
+def test_warc_cdx_index_roundtrip(spark):
+    from karanta_ocr_spark.sources.warc import warc_cdx_index
+
+    pages = [
+        (f"https://cdx.example/p/{i}", "2025-06-07T08:09:10Z", f"<b>{i}</b>".encode())
+        for i in range(6)
+    ]
+    blob = build_warc(pages, per_record_gzip=True)
+    df = spark.createDataFrame(
+        [("synthetic://seg0", bytearray(blob))], "path string, content binary"
+    )
+    rows = sorted(warc_cdx_index(df).collect(), key=lambda r: r["offset"])
+    assert [r["url"] for r in rows] == [u for u, _, _ in pages]
+    assert rows[0]["urlkey"] == "example,cdx)/p/0"
+    assert all(r["cdx_ts"] == "20250607080910" for r in rows)
+    assert all(r["http_status"] == 200 and r["rec_type"] == "response" for r in rows)
+    # offsets/lengths really address the gzip members: re-slice + parse
+    for r in rows:
+        recs = parse_warc(blob[r["offset"] : r["offset"] + r["length"]])
+        assert len(recs) == 1 and recs[0].url == r["url"]
