@@ -41,6 +41,9 @@ SCALING_REP = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_REP", str(REP * 3)))
 #: production and the measured quantity is the kernel.
 DOC_REP = int(os.environ.get("SPARK_GRAFT_BENCH_DOC_REP", "36"))
 SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
+#: 0 skips the headline-query block (debugging the scaling machinery
+#: without paying the full query suite).
+HEADLINE = os.environ.get("SPARK_GRAFT_BENCH_HEADLINE", "1") == "1"
 
 
 def log(msg: str) -> None:
@@ -372,7 +375,7 @@ def main() -> None:
 
     log(f"== headline queries @ {SF_DIR} on local[{CPUS}] ==")
     spark = make_session(CPUS)
-    queries = run_headline_queries(spark, SF_DIR)
+    queries = run_headline_queries(spark, SF_DIR) if HEADLINE else {}
     log(f"== extraction throughput (rep={REP}) ==")
     extraction = run_extraction_bench(spark, SF_DIR, REP)
     log(f"  extraction: {extraction}")
@@ -480,6 +483,26 @@ def main() -> None:
             r = scaling_subprocess(lo)
             runs[lo].append(r)
             log(f"  pinned[{lo}]: {r}")
+
+        rate = {c: max(x["docs_per_sec"] for x in runs[c]) / c for c in (8, 32)}
+        if rate[32] < 0.85 * rate[8] and time.monotonic() - t_start < hard_budget:
+            # Persistent p32 per-core deficit after extension: run ONE
+            # p16 diagnostic. Measured r4: p8 1,245-1,330/core and p16
+            # 1,348/core agree while p32 drops to ~1,000/core in busy
+            # host windows — the signature of host-side SMT sibling
+            # packing of the 32 vCPUs (guest lscpu reports 1
+            # thread/core, but KVM placement is invisible here; a
+            # 16-physical-core backing yields ~1.5x of p16 at p32,
+            # exactly what those windows show, while idle-host windows
+            # reach the full 2x — r3's 44.2k). A p16 at p8-parity
+            # per-core proves the ENGINE scales linearly and isolates
+            # the deficit to host placement, not the plan.
+            log("== p32 per-core deficit persists: one p16 placement "
+                "diagnostic ==")
+            r16 = scaling_subprocess(16)
+            r16["per_core"] = round(r16["docs_per_sec"] / 16, 1)
+            scaling["p16_diagnostic"] = r16
+            log(f"  pinned[16]: {r16}")
 
         for cores in (8, 32):
             best = max(runs[cores], key=lambda x: x["docs_per_sec"])
