@@ -1168,6 +1168,30 @@ def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_length_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed least-squares (r4): predict trimmed length from
+    (token count, distinct-token count) via one exact-integer
+    sufficient-statistics pass + an UNPIVOTED straight-line solve —
+    so the DuckDB oracle replays the Gram/moment sums (int-exact),
+    the elimination multiply-for-multiply, and the rounded
+    predictions bit-for-bit. The operator shape (d² scalars per
+    aggregation, driver solves d×d) is the 10^12-row linear-probe
+    pattern."""
+    from karanta_ocr_spark.functions.text_analysis import WS_SQL
+    from karanta_ocr_spark.operators.regress import fit_linear
+
+    d = _docs(spark, sf_dir)
+    toks = f"split(trim(text), '{WS_SQL}+')"
+    feats = d.select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("long").alias("x1"),
+        F.expr(f"size(array_distinct({toks}))").cast("long").alias("x2"),
+        F.length(F.trim(F.col("text"))).cast("long").alias("y"),
+    )
+    w, pred = fit_linear(feats, ["x1", "x2"], "y", pivot=False)
+    return pred.select("doc_id", "x1", "x2", "y", "prediction")
+
+
 def _q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX URL index over in-plan WARC segments (r4): docs group into
     50 uncompressed multi-record segment files (ordered by doc_id),
@@ -1431,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": _q_minhash_incremental,
         "robots_gate": _q_robots_gate,
         "warc_cdx": _q_warc_cdx,
+        "length_regression": _q_length_regression,
         "approx_length_percentiles": _q_approx_length_percentiles,
         # -- driver-green in r3, least-stable first --
         "pii_scrub": _q_pii_scrub,
@@ -2616,6 +2641,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT probe_id, vec_id, cos_sim FROM r WHERE rk <= 5
         """,
         "minhash_incremental": _incremental_minhash_oracle_sql(),
+        "length_regression": """
+            WITH f AS (SELECT doc_id,
+                              CAST(len(regexp_split_to_array(trim(text), '[ \\t-\\r]+')) AS BIGINT) AS x1,
+                              CAST(len(list_distinct(regexp_split_to_array(trim(text), '[ \\t-\\r]+'))) AS BIGINT) AS x2,
+                              CAST(length(trim(text)) AS BIGINT) AS y
+                       FROM documents),
+            s AS (SELECT CAST(count(*) AS DOUBLE) AS a00,
+                         CAST(sum(x1) AS DOUBLE) AS a01,
+                         CAST(sum(x2) AS DOUBLE) AS a02,
+                         CAST(sum(x1*x1) AS DOUBLE) AS a11,
+                         CAST(sum(x1*x2) AS DOUBLE) AS a12,
+                         CAST(sum(x2*x2) AS DOUBLE) AS a22,
+                         CAST(sum(y) AS DOUBLE) AS b0,
+                         CAST(sum(x1*y) AS DOUBLE) AS b1,
+                         CAST(sum(x2*y) AS DOUBLE) AS b2
+                  FROM f),
+            e1 AS (SELECT *, a01/a00 AS f10, a02/a00 AS f20 FROM s),
+            e2 AS (SELECT *,
+                          a11 - f10*a01 AS a11p, a12 - f10*a02 AS a12p,
+                          b1 - f10*b0 AS b1p,
+                          a12 - f20*a01 AS a21p, a22 - f20*a02 AS a22p,
+                          b2 - f20*b0 AS b2p
+                   FROM e1),
+            e3 AS (SELECT *, a21p/a11p AS f21 FROM e2),
+            e4 AS (SELECT *, a22p - f21*a12p AS a22pp, b2p - f21*b1p AS b2pp
+                   FROM e3),
+            w1c AS (SELECT *, b2pp/a22pp AS w2 FROM e4),
+            w2c AS (SELECT *, (b1p - a12p*w2)/a11p AS w1 FROM w1c),
+            wf AS (SELECT *, (b0 - (a01*w1 + a02*w2))/a00 AS w0 FROM w2c)
+            SELECT f.doc_id, f.x1, f.x2, f.y,
+                   round((wf.w0 + CAST(f.x1 AS DOUBLE)*wf.w1)
+                         + CAST(f.x2 AS DOUBLE)*wf.w2, 6) AS prediction
+            FROM f CROSS JOIN wf
+        """,
         "warc_cdx": """
             WITH b AS (
                 SELECT doc_id,
