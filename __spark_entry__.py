@@ -1168,6 +1168,25 @@ def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-split packing plan (r4): global token
+    offsets in doc_id order via the two-level scan (bucketed partial
+    sums + driver prefix + broadcast join — no single-partition
+    window), then seq id / position / span arithmetic at L=512. The
+    DuckDB oracle recomputes the SAME offsets with a flat window
+    cumsum — int-exact, so the scale-safe formulation is verified
+    against the naive one."""
+    from karanta_ocr_spark.functions.text_analysis import token_count
+    from karanta_ocr_spark.operators.packing import pack_sequences
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(
+        d, "n_tokens", max_tokens=512, bucket_size=1000
+    ).select("doc_id", "n_tokens", "global_start", "seq_id", "seq_pos", "n_seqs")
+
+
 def _q_length_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed least-squares (r4): predict trimmed length from
     (token count, distinct-token count) via one exact-integer
@@ -1456,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": _q_robots_gate,
         "warc_cdx": _q_warc_cdx,
         "length_regression": _q_length_regression,
+        "sequence_packing": _q_sequence_packing,
         "approx_length_percentiles": _q_approx_length_percentiles,
         # -- driver-green in r3, least-stable first --
         "pii_scrub": _q_pii_scrub,
@@ -2641,6 +2661,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT probe_id, vec_id, cos_sim FROM r WHERE rk <= 5
         """,
         "minhash_incremental": _incremental_minhash_oracle_sql(),
+        "sequence_packing": """
+            WITH f AS (SELECT doc_id,
+                              CAST(len(regexp_split_to_array(trim(text), '[ \\t-\\r]+')) AS BIGINT) AS n_tokens
+                       FROM documents),
+            o AS (SELECT doc_id, n_tokens,
+                         CAST(coalesce(sum(n_tokens) OVER (
+                             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                                                      AND 1 PRECEDING), 0)
+                              AS BIGINT) AS global_start
+                  FROM f)
+            SELECT doc_id, n_tokens, global_start,
+                   CAST(global_start // 512 AS BIGINT) AS seq_id,
+                   CAST(global_start % 512 AS BIGINT) AS seq_pos,
+                   CAST(CASE WHEN n_tokens <= 0 THEN 0
+                             ELSE (global_start + n_tokens - 1) // 512
+                                  - global_start // 512 + 1 END AS BIGINT)
+                       AS n_seqs
+            FROM o
+        """,
         "length_regression": """
             WITH f AS (SELECT doc_id,
                               CAST(len(regexp_split_to_array(trim(text), '[ \\t-\\r]+')) AS BIGINT) AS x1,

@@ -195,7 +195,8 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
         # vs a stored index, robots.txt compliance gate.
         "ann_ivfpq_topk", "ann_lsh_multiprobe_topk", "bpe_token_stats",
         "encrypted_pdf_extract", "duplicate_clusters",
-        "minhash_incremental", "robots_gate",
+        "minhash_incremental", "robots_gate", "warc_cdx",
+        "length_regression", "sequence_packing",
     ]
     qs = entrymod.queries()
     # One untimed pass of every query at sf0.001: the first run of

@@ -85,12 +85,31 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("_nc").alias("_nbr"))
         )
+        stepped = labels.join(
+            nbr_min, labels["id"] == nbr_min["a"], "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
+            ).alias("component"),
+        )
+        # Pointer jumping: additionally adopt the CURRENT label of the
+        # node this label points at (component values are node ids).
+        # Each round then composes two hops, so convergence needs
+        # O(log diameter) rounds instead of O(diameter) — on a Spark
+        # loop where every round pays fixed stage/checkpoint costs,
+        # halving the round count beats the one extra self-join.
+        # Correctness: labels still only decrease and stay lower-
+        # bounded by the component min, so the fixpoint is unchanged.
+        jump = stepped.select(
+            F.col("id").alias("component"), F.col("component").alias("_jc")
+        )
         labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            stepped.join(jump, on="component", how="left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
+                    F.col("component"), F.coalesce(F.col("_jc"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint()  # truncate the iterative lineage

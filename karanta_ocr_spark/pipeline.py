@@ -383,11 +383,16 @@ def run_extraction(
         )
 
     if output_path:
-        docs.write.mode("append").parquet(output_path)
+        # Through the table-IO seam: Iceberg snapshot-commit append on
+        # an equipped cluster, parquet job-commit append here — both
+        # all-or-nothing, which is what the resume anti-join requires.
+        from karanta_ocr_spark.sources.table_io import read_table, write_table
+
+        write_table(docs, output_path, mode="append")
         if metrics_path:
             _emit_metrics()
             lineage_src.unpersist()
-        return spark.read.parquet(output_path)
+        return read_table(spark, output_path)
 
     if metrics_path:
         # No-output metrics variant (REPL/inspection): emit lineage —

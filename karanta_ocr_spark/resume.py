@@ -28,11 +28,15 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
 
 def committed_urls(spark: SparkSession, output_path: str) -> DataFrame | None:
     """urls present in the committed output snapshot, or None if no
-    output exists yet (first run)."""
+    output exists yet (first run). Goes through the table-IO seam, so
+    on an Iceberg-equipped cluster the snapshot read sees exactly the
+    last committed Iceberg snapshot."""
+    from karanta_ocr_spark.sources.table_io import read_table
+
     try:
         if not _path_exists(spark, output_path):
             return None
-        return spark.read.parquet(output_path).select("url")
+        return read_table(spark, output_path).select("url")
     except Exception:
         return None  # unreadable/empty path → treat as fresh run
 

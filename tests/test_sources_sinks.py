@@ -86,3 +86,20 @@ def test_markdown_sink(spark, tmp_path):
     assert len(files) == n == docs.count()
     sample = open(os.path.join(out, files[0]), encoding="utf-8").read()
     assert len(sample) > 0
+
+
+def test_table_io_seam_falls_back_to_parquet(spark, tmp_path):
+    # No Iceberg runtime in this sandbox: the seam must detect that
+    # once, fall back to parquet, and keep append/read semantics.
+    from karanta_ocr_spark.sources import table_io
+
+    assert table_io.has_iceberg(spark) is False
+    assert table_io.table_format(spark) == "parquet"
+    p = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    table_io.write_table(df, p)
+    table_io.write_table(df.filter("id = 1"), p)  # append
+    got = table_io.read_table(spark, p)
+    assert got.count() == 3
+    # probe result is cached (no repeated JVM lookups)
+    assert table_io._HAS_ICEBERG is False
