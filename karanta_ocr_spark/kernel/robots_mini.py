@@ -93,14 +93,12 @@ def _select_rules(groups: list[RuleGroup], agent: str) -> list[tuple[bool, str]]
     return rules
 
 
-def is_allowed(robots_text: str | None, agent: str, path: str) -> bool:
-    """Verdict for *path* (must start with ``/``) under *robots_text*.
-    None/empty robots.txt (404 in practice) allows everything."""
-    if not robots_text:
-        return True
+def allowed_by_rules(rules: list[tuple[bool, str]], path: str) -> bool:
+    """Verdict for *path* under an already-selected rule list (see
+    :func:`_select_rules`) — the per-row hot path when rules are
+    cached per (robots text, agent)."""
     if not path.startswith("/"):
         path = "/" + path
-    rules = _select_rules(parse_robots(robots_text), agent)
     best: tuple[int, bool] | None = None  # (pattern length, allow?)
     for allow, pattern in rules:
         if pattern == "":
@@ -112,3 +110,13 @@ def is_allowed(robots_text: str | None, agent: str, path: str) -> bool:
             if best is None or key > best[0] or (key == best[0] and allow):
                 best = (key, allow)
     return True if best is None else best[1]
+
+
+def is_allowed(robots_text: str | None, agent: str, path: str) -> bool:
+    """Verdict for *path* (must start with ``/``) under *robots_text*.
+    None/empty robots.txt (404 in practice) allows everything."""
+    if not robots_text:
+        return True
+    return allowed_by_rules(
+        _select_rules(parse_robots(robots_text), agent), path
+    )

@@ -396,7 +396,7 @@ def robots_txt_gate(
 
         from karanta_ocr_spark.kernel.robots_mini import (
             _select_rules,
-            is_allowed,
+            allowed_by_rules,
             parse_robots,
         )
 
@@ -409,8 +409,7 @@ def robots_txt_gate(
             if text is None or text == "":
                 out.append(True)
                 continue
-            rules_for(text)  # warm the parse cache (shared with below)
-            out.append(is_allowed(text, agent, p))
+            out.append(allowed_by_rules(rules_for(text), p))
         return pd.Series(out, dtype="bool")
 
     verdict_udf = pandas_udf(verdicts, "boolean")

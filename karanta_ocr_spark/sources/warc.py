@@ -154,10 +154,11 @@ def write_wet(
 
     df.select(url_col, text_col).foreachPartition(write_part)
     total = 0
-    for name in os.listdir(out_dir):
-        m = re.fullmatch(r"seg-\d{5}-n(\d+)\.warc\.wet\.gz", name)
-        if m:
-            total += int(m.group(1))
+    if os.path.isdir(out_dir):  # every partition empty → no dir, 0 records
+        for name in os.listdir(out_dir):
+            m = re.fullmatch(r"seg-\d{5}-n(\d+)\.warc\.wet\.gz", name)
+            if m:
+                total += int(m.group(1))
     return total
 
 

@@ -228,3 +228,66 @@ def test_container_decoders_never_hang_on_magic_prefixed_garbage(payload):
             dec(prefix + payload)
         except Exception:
             pass
+
+
+@settings(max_examples=100, deadline=2000)
+@given(
+    st.binary(min_size=0, max_size=200),
+    st.binary(min_size=16, max_size=16),
+    st.binary(min_size=16, max_size=16),
+)
+def test_aes_cbc_roundtrip_property(payload, key, iv):
+    from karanta_ocr_spark.kernel.pdf_crypt import (
+        aes_cbc_decrypt,
+        aes_cbc_encrypt,
+    )
+
+    enc = aes_cbc_encrypt(key, iv, payload)
+    assert len(enc) % 16 == 0 and len(enc) >= 32
+    assert aes_cbc_decrypt(key, enc) == payload
+
+
+@settings(max_examples=100, deadline=2000)
+@given(st.binary(min_size=1, max_size=32), st.binary(min_size=0, max_size=200))
+def test_rc4_symmetric_property(key, payload):
+    from karanta_ocr_spark.kernel.pdf_crypt import rc4
+
+    assert rc4(key, rc4(key, payload)) == payload
+
+
+@settings(max_examples=60, deadline=5000)
+@given(st.data())
+def test_bpe_batch_equals_one_at_a_time_on_random_merge_lists(data):
+    # WELL-FORMED random merge lists (every component is a base char
+    # or the product of an earlier merge — the invariant trained lists
+    # satisfy by construction): batch merging and the oracle's
+    # one-at-a-time leftmost merging must always agree.
+    from karanta_ocr_spark.functions.bpe import BpeEncoder
+    from tests.test_bpe import one_at_a_time_count
+
+    alphabet = ["a", "b", "c"]
+    symbols = list(alphabet)
+    merges, seen = [], set()
+    for _ in range(data.draw(st.integers(0, 12))):
+        a = data.draw(st.sampled_from(symbols))
+        b = data.draw(st.sampled_from(symbols))
+        if (a, b) in seen or len(a + b) > 8:
+            continue
+        seen.add((a, b))
+        merges.append((a, b))
+        symbols.append(a + b)
+    enc = BpeEncoder(merges)
+    for _ in range(5):
+        w = "".join(
+            data.draw(st.sampled_from(alphabet))
+            for _ in range(data.draw(st.integers(1, 12)))
+        )
+        assert enc.count(w) == one_at_a_time_count(w, merges), (w, merges)
+
+
+@settings(max_examples=120, deadline=2000)
+@given(st.text(max_size=300), st.text(min_size=1, max_size=30))
+def test_robots_parser_never_crashes_and_verdict_is_bool(txt, path):
+    from karanta_ocr_spark.kernel.robots_mini import is_allowed
+
+    assert is_allowed(txt, "bot", path) in (True, False)

@@ -197,3 +197,11 @@ def test_warc_cdx_index_roundtrip(spark):
     for r in rows:
         recs = parse_warc(blob[r["offset"] : r["offset"] + r["length"]])
         assert len(recs) == 1 and recs[0].url == r["url"]
+
+
+def test_write_wet_empty_input_returns_zero(spark, tmp_path):
+    from karanta_ocr_spark.sources.warc import write_wet
+
+    df = spark.createDataFrame([], "url string, text string")
+    out = str(tmp_path / "wet_empty")
+    assert write_wet(df, out) == 0  # no dir is ever created
