@@ -891,6 +891,47 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_script_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode-script composition profile (the north
+    star's African-script focus: Ge'ez, N'Ko, Vai, Latin-with-
+    diacritics, Arabic/Ajami): codepoint counts per script block,
+    digits/whitespace/other, the dominant script and its fraction of
+    letter mass. Pure Catalyst length-difference counts (one
+    whole-stage-codegen projection, zero shuffle — at 100 TB this is
+    a map-only scan); the DuckDB oracle replays the identical
+    length/regexp_replace identities. Mixed-script and high-"other"
+    rows are the corpus-hygiene signals (mojibake, normalization
+    drift, script spoofing)."""
+    from karanta_ocr_spark.functions.text_analysis import (
+        SCRIPT_COUNT_CLASSES,
+        char_class_count,
+        dominant_script,
+    )
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    counts = [(n, char_class_count(t, c)) for n, c in SCRIPT_COUNT_CLASSES]
+    n_digit = char_class_count(t, "[0-9]")
+    n_space = char_class_count(t, WS)
+    letters = None
+    for _, c in counts:
+        letters = c if letters is None else letters + c
+    sel = [F.col("doc_id"), F.length(t).cast("long").alias("n_chars")]
+    sel += [c.cast("long").alias(f"n_{n}") for n, c in counts]
+    sel += [
+        n_digit.cast("long").alias("n_digit"),
+        n_space.cast("long").alias("n_space"),
+        (F.length(t) - letters - n_digit - n_space).cast("long").alias("n_other"),
+        dominant_script(counts).alias("dominant_script"),
+        F.round(
+            F.greatest(*[c for _, c in counts])
+            / F.nullif(letters.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("dominant_frac"),
+    ]
+    return d.select(*sel)
+
+
 def _q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.9 model-scoring operator (the reference's
     process-singleton image classifier as a ``predict_batch_udf``):
@@ -1477,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_regression": _q_length_regression,
         "sequence_packing": _q_sequence_packing,
         "approx_length_percentiles": _q_approx_length_percentiles,
+        "script_stats": _q_script_stats,
         # -- driver-green in r3, least-stable first --
         "pii_scrub": _q_pii_scrub,
         "meta_robots": _q_meta_robots,
@@ -1850,6 +1892,47 @@ def _minhash_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "bpe_token_stats": _bpe_oracle_sql(),
+        "script_stats": """
+            WITH c AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       length(text) - length(regexp_replace(text,
+                           '[A-Za-zÀ-ÖØ-öø-ʯḀ-ỿ]', '', 'g')) AS n_latin,
+                       length(text) - length(regexp_replace(text,
+                           '[ሀ-፿]', '', 'g')) AS n_ethiopic,
+                       length(text) - length(regexp_replace(text,
+                           '[߀-߿]', '', 'g')) AS n_nko,
+                       length(text) - length(regexp_replace(text,
+                           '[ꔀ-꘿]', '', 'g')) AS n_vai,
+                       length(text) - length(regexp_replace(text,
+                           '[؀-ۿ]', '', 'g')) AS n_arabic,
+                       length(text) - length(regexp_replace(text,
+                           '[0-9]', '', 'g')) AS n_digit,
+                       length(text) - length(regexp_replace(text,
+                           '[ \t-\r]', '', 'g')) AS n_space
+                FROM documents
+            ),
+            g AS (
+                SELECT *,
+                       n_latin + n_ethiopic + n_nko + n_vai + n_arabic
+                           AS letters,
+                       greatest(n_latin, n_ethiopic, n_nko, n_vai,
+                                n_arabic) AS best
+                FROM c
+            )
+            SELECT doc_id, n_chars, n_latin, n_ethiopic, n_nko, n_vai,
+                   n_arabic, n_digit, n_space,
+                   n_chars - letters - n_digit - n_space AS n_other,
+                   CASE WHEN best = 0 THEN 'none'
+                        WHEN n_latin = best THEN 'latin'
+                        WHEN n_ethiopic = best THEN 'ethiopic'
+                        WHEN n_nko = best THEN 'nko'
+                        WHEN n_vai = best THEN 'vai'
+                        ELSE 'arabic' END AS dominant_script,
+                   round(best / nullif(CAST(letters AS DOUBLE), 0), 6)
+                       AS dominant_frac
+            FROM g
+        """,
         "encrypted_pdf_extract": """
             WITH b AS (
                 SELECT doc_id,

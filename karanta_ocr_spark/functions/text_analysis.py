@@ -154,3 +154,38 @@ def lang_id_heuristic(col: Column) -> Column:
     for code, pat in reversed(_SCRIPT_RANGES):
         expr = F.when(col.rlike(pat), F.lit(code)).otherwise(expr)
     return expr
+
+
+# Per-block character-count classes for script composition profiling
+# (public Unicode block boundaries; all BMP, so Spark's and DuckDB's
+# codepoint `length` agree). "latin" spans ASCII letters, Latin-1
+# letters (÷ and × excluded), Latin Extended-A/B + IPA, and Latin
+# Extended Additional — the block carrying Yoruba/Igbo dot-below and
+# tone-marked vowels. Combining marks (U+0300–036F) intentionally
+# count as "other": post-extraction text is NFC, so a high combining-
+# mark count is a normalization-drift signal, not script signal.
+SCRIPT_COUNT_CLASSES = [
+    ("latin", "[A-Za-zÀ-ÖØ-öø-ʯḀ-ỿ]"),
+    ("ethiopic", "[ሀ-፿]"),   # Ge'ez syllabary + supplement
+    ("nko", "[߀-߿]"),        # N'Ko
+    ("vai", "[ꔀ-꘿]"),        # Vai syllabary
+    ("arabic", "[؀-ۿ]"),     # Arabic + supplement (Ajami)
+]
+
+
+def char_class_count(col: Column, char_class: str) -> Column:
+    """Codepoints of *col* inside regex *char_class* — via the
+    length-difference identity (`regexp_replace` strips the class),
+    which DuckDB reproduces verbatim with the ``g`` flag."""
+    return F.length(col) - F.length(F.regexp_replace(col, char_class, ""))
+
+
+def dominant_script(counts: list[tuple[str, Column]]) -> Column:
+    """Name of the largest count (ties: first list entry wins), or
+    ``'none'`` when every count is zero — same shape as the
+    `lang_id_heuristic` tie-break so the DuckDB CASE chain matches."""
+    best = F.greatest(*[c for _, c in counts])
+    expr = F.lit("none")
+    for name, c in reversed(counts):
+        expr = F.when((best > 0) & (c == best), F.lit(name)).otherwise(expr)
+    return expr

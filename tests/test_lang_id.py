@@ -50,3 +50,57 @@ def test_french_not_shadowed_by_yoruba(spark):
     got = {r["i"]: r["g"] for r in
            df.select("i", lang_id_heuristic(F.col("text")).alias("g")).collect()}
     assert got == {0: "fra", 1: "yor", 2: "igb", 3: "und"}
+
+
+def test_script_stats_counts_known_strings(spark):
+    from karanta_ocr_spark.functions.text_analysis import (
+        SCRIPT_COUNT_CLASSES,
+        char_class_count,
+        dominant_script,
+    )
+
+    rows = [
+        # (id, text, expected dominant, expected per-script counts)
+        (0, "ሰላም ለዓለም", "ethiopic", {"ethiopic": 7, "latin": 0}),
+        (1, "ߒߞߏ ߞߊ߲", "nko", {"nko": 6, "latin": 0}),  # combining ߲ is in-block
+        (2, "ꔀꔁꕉ abcd", "latin", {"vai": 3, "latin": 4}),
+        (7, "ꔀꔁꕉꕊ abc", "vai", {"vai": 4, "latin": 3}),
+        # 3-3 tie: first SCRIPT_COUNT_CLASSES entry (latin) wins
+        (8, "ꔀꔁꕉ abc", "latin", {"vai": 3, "latin": 3}),
+        (3, "báwo ni, ẹ kú àárọ̀", "latin", {"latin": 13, "ethiopic": 0}),
+        (4, "مرحبا 123", "arabic", {"arabic": 5, "latin": 0}),
+        (5, "12 345", "none", {"latin": 0, "arabic": 0}),
+        (6, "", "none", {"latin": 0}),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _, _ in rows], "id long, text string"
+    )
+    counts = [
+        (n, char_class_count(F.col("text"), c)) for n, c in SCRIPT_COUNT_CLASSES
+    ]
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            *[c.alias(n) for n, c in counts],
+            dominant_script(counts).alias("dom"),
+        ).collect()
+    }
+    for i, text, dom, expect in rows:
+        assert out[i]["dom"] == dom, (i, text, out[i])
+        for script, n in expect.items():
+            assert out[i][script] == n, (i, script, out[i])
+
+
+def test_script_stats_partition_counts_sum_to_total(spark):
+    # Full-profile invariant on the fixture corpus: every codepoint is
+    # classified exactly once (scripts + digit + space + other == len).
+    import __spark_entry__ as e
+
+    df = e.queries()["script_stats"](spark, "/root/testdata/sf0.001")
+    bad = df.filter(
+        F.col("n_latin") + F.col("n_ethiopic") + F.col("n_nko")
+        + F.col("n_vai") + F.col("n_arabic") + F.col("n_digit")
+        + F.col("n_space") + F.col("n_other") != F.col("n_chars")
+    ).count()
+    assert bad == 0
