@@ -141,10 +141,15 @@ def _q_encrypted_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(batches):
         import pandas as pd
 
-        from karanta_ocr_spark.fixtures.pdf_gen import PageSpec, TextRun, build_pdf
+        from karanta_ocr_spark.fixtures.pdf_gen import (
+            PageSpec,
+            TextRun,
+            build_pdfs,
+        )
 
         for pdf in batches:
             out = {f.name: [] for f in WEB_PAGES_SCHEMA.fields}
+            specs = []
             for did, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
                 t = (text or "").strip()
                 s1, s2 = t[:40], t[40:80]
@@ -155,14 +160,16 @@ def _q_encrypted_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    TextRun(s2, 72, 680)]),
                 ]
                 cipher = "rc4" if did % 2 == 0 else "aes"
+                specs.append((pages, cipher))
                 out["url"].append(f"https://pdfs.example.org/enc/{cipher}/{did}")
                 out["warc_ts"].append(None)
-                out["html"].append(
-                    build_pdf(pages, compress=True, encrypt=cipher)
-                )
                 out["text"].append(None)
                 out["lang"].append(None)
-            yield pd.DataFrame(out)
+            # One vectorized rc4_many/aes_cbc_encrypt_many pass over
+            # EVERY stream of the whole Arrow batch (the per-message
+            # scalar ciphers dominated this query's wall time).
+            out["html"] = build_pdfs(specs, compress=True)
+            yield pd.DataFrame(out)[[f.name for f in WEB_PAGES_SCHEMA.fields]]
 
     web = (
         _docs(spark, sf_dir)

@@ -151,3 +151,48 @@ def test_numpy_and_scalar_aes_decrypt_agree():
     vec = _aes_decrypt_blocks_np(key, blocks)
     for i in range(len(blocks)):
         assert bytes(vec[i]) == _aes_decrypt_block(rk, bytes(blocks[i])), i
+
+
+def test_many_cipher_parity_with_scalar():
+    import random
+
+    from karanta_ocr_spark.kernel.pdf_crypt import (
+        aes_cbc_encrypt,
+        aes_cbc_encrypt_many,
+        rc4,
+        rc4_many,
+    )
+
+    rng = random.Random(11)
+    datas = [
+        bytes(rng.randrange(256) for _ in range(rng.randrange(0, 300)))
+        for _ in range(23)
+    ]
+    rkeys = [
+        bytes(rng.randrange(256) for _ in range(rng.choice([5, 10, 16])))
+        for _ in range(23)
+    ]
+    assert rc4_many(rkeys, datas) == [rc4(k, d) for k, d in zip(rkeys, datas)]
+    akeys = [bytes(rng.randrange(256) for _ in range(16)) for _ in range(23)]
+    ivs = [bytes(rng.randrange(256) for _ in range(16)) for _ in range(23)]
+    assert aes_cbc_encrypt_many(akeys, ivs, datas) == [
+        aes_cbc_encrypt(k, iv, d) for k, iv, d in zip(akeys, ivs, datas)
+    ]
+
+
+def test_build_pdfs_batch_equals_per_doc():
+    from karanta_ocr_spark.fixtures.pdf_gen import (
+        PageSpec,
+        TextRun,
+        build_pdf,
+        build_pdfs,
+    )
+
+    specs = [
+        ([PageSpec(runs=[TextRun(f"doc {i} päge", 72, 700 - i)])],
+         ["rc4", "aes", None, "rc4-40"][i % 4])
+        for i in range(17)
+    ]
+    batch = build_pdfs(specs, compress=True)
+    single = [build_pdf(p, compress=True, encrypt=e) for p, e in specs]
+    assert batch == single
