@@ -939,6 +939,60 @@ def _q_script_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(*sel)
 
 
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled training-mixture sampling (mC4/XLM-R alpha
+    rebalancing): skewed pseudo-sources derived from doc_id (group
+    ``s<k>`` holds 2k+1 of every 100 docs, so small sources exist and
+    the quota CAP path is exercised), alpha=0.5 quotas by
+    largest-remainder apportionment, per-source selection by seeded
+    md5 rank. The DuckDB oracle replays sizes → pow(n, 0.5) shares →
+    floor+remainder grants → least(quota, n) → per-source
+    row_number-by-md5 selection row-for-row."""
+    from karanta_ocr_spark.sources.mix import temperature_mix
+
+    d = _docs(spark, sf_dir).withColumn(
+        "mix_src",
+        F.concat(
+            F.lit("s"),
+            F.floor(F.sqrt(F.col("doc_id") % 100)).cast("long").cast("string"),
+        ),
+    )
+    return temperature_mix(
+        d, "mix_src", "doc_id", alpha=0.5, budget=250, rank="md5"
+    ).select("doc_id", "mix_src", "quota")
+
+
+def _q_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host (domain-level) reputation profile — the site-level
+    filter a web pipeline applies before judging individual pages.
+    URLs are built in-plan (5 hosts by ``doc_id % 5``); host ``h0``
+    is a template farm (every page the same text → dup_frac 0.8+),
+    host ``h1`` serves near-empty stubs (30-char prefix →
+    mean_chars < 50), hosts ``h2``-``h4`` keep the real corpus text —
+    so both unreputable verdict paths fire. The DuckDB oracle replays
+    host extraction, md5-fingerprint distinct counts, mean length,
+    and mean stopword ratio aggregate-for-aggregate."""
+    from karanta_ocr_spark.operators.corpus_filters import host_reputation
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("the same template page of this farm"),
+        )
+        .when(F.col("doc_id") % 5 == 1, F.substring("text", 1, 30))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return host_reputation(d)
+
+
 def _q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.9 model-scoring operator (the reference's
     process-singleton image classifier as a ``predict_batch_udf``):
@@ -1526,6 +1580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": _q_sequence_packing,
         "approx_length_percentiles": _q_approx_length_percentiles,
         "script_stats": _q_script_stats,
+        "temperature_mix": _q_temperature_mix,
+        "host_reputation": _q_host_reputation,
         # -- driver-green in r3, least-stable first --
         "pii_scrub": _q_pii_scrub,
         "meta_robots": _q_meta_robots,
@@ -1899,6 +1955,74 @@ def _minhash_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "bpe_token_stats": _bpe_oracle_sql(),
+        "temperature_mix": """
+            WITH d AS (
+                SELECT doc_id,
+                       's' || CAST(CAST(floor(sqrt(doc_id % 100)) AS BIGINT)
+                                   AS VARCHAR) AS mix_src
+                FROM documents
+            ),
+            t AS (SELECT mix_src, count(*) AS n FROM d GROUP BY mix_src),
+            g AS (SELECT sum(pow(n, 0.5)) AS tw FROM t),
+            r AS (SELECT mix_src, n, (pow(n, 0.5) / tw) * 250 AS raw
+                  FROM t, g),
+            fl AS (SELECT mix_src, n, floor(raw) AS fa,
+                          raw - floor(raw) AS rem
+                   FROM r),
+            lt AS (SELECT *, 250 - sum(fa) OVER () AS leftover,
+                          row_number() OVER (ORDER BY rem DESC, mix_src)
+                              AS rk
+                   FROM fl),
+            q AS (SELECT mix_src,
+                         CAST(least(fa + CASE WHEN rk <= leftover
+                                              THEN 1 ELSE 0 END, n)
+                              AS BIGINT) AS quota
+                  FROM lt),
+            sel AS (SELECT d.doc_id, d.mix_src, q.quota,
+                           row_number() OVER (
+                               PARTITION BY d.mix_src
+                               ORDER BY md5('42:' ||
+                                            CAST(d.doc_id AS VARCHAR)),
+                                        d.doc_id) AS rn
+                    FROM d JOIN q USING (mix_src))
+            SELECT doc_id, mix_src, quota FROM sel WHERE rn <= quota
+        """,
+        "host_reputation": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       'https://h' || CAST(doc_id % 5 AS VARCHAR) ||
+                           '.example.org/p/' || CAST(doc_id AS VARCHAR)
+                           AS url,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN 'the same template page of this farm'
+                            WHEN doc_id % 5 = 1 THEN substr(text, 1, 30)
+                            ELSE text END AS t
+                FROM documents),
+            h AS (
+                SELECT lower(regexp_extract(
+                           url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1))
+                           AS host,
+                       md5(t) AS fp,
+                       length(t) AS len,
+                       CAST(len(list_filter(
+                                regexp_split_to_array(trim(t), '[ \\t-\\r]+'),
+                                x -> lower(x) IN {_STOP_SQL})) AS DOUBLE)
+                           / len(regexp_split_to_array(trim(t), '[ \\t-\\r]+'))
+                           AS stop
+                FROM d)
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+                   round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*),
+                         6) AS dup_frac,
+                   round(avg(len), 6) AS mean_chars,
+                   round(avg(stop), 6) AS mean_stop,
+                   (count(*) >= 3
+                    AND round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE)
+                              / count(*), 6) <= 0.5
+                    AND avg(len) >= 50.0) AS reputable
+            FROM h GROUP BY host
+        """,
         "script_stats": """
             WITH c AS (
                 SELECT doc_id,

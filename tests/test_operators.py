@@ -335,6 +335,80 @@ def test_mix_datasets(spark):
     }
 
 
+def test_temperature_quotas_alpha_and_caps():
+    from karanta_ocr_spark.sources.mix import temperature_quotas
+
+    sizes = [("big", 900), ("mid", 90), ("tiny", 10)]
+    # alpha=1 is plain proportional apportionment.
+    q1 = dict(temperature_quotas(sizes, 1.0, 100))
+    assert q1 == {"big": 90, "mid": 9, "tiny": 1}
+    # alpha=0 is uniform (every source weight 1).
+    q0 = dict(temperature_quotas(sizes, 0.0, 9))
+    assert q0 == {"big": 3, "mid": 3, "tiny": 3}
+    # alpha=0.5 sits between: tiny is upsampled relative to its share.
+    qh = dict(temperature_quotas(sizes, 0.5, 100))
+    assert sum(qh.values()) == 100
+    assert qh["tiny"] / 10 > q1["tiny"] / 10  # higher sampling rate
+    assert qh["big"] < q1["big"]
+    # Cap: a quota never exceeds the source size; the budget identity
+    # then degrades (documented) instead of inventing rows.
+    qc = dict(temperature_quotas([("a", 2), ("b", 100)], 0.0, 50))
+    assert qc["a"] == 2 and qc["b"] == 25
+
+
+def test_temperature_mix_selection(spark):
+    from karanta_ocr_spark.sources.mix import temperature_mix
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(60)]  # 20 per source
+    d = spark.createDataFrame(rows, "doc_id long, src string")
+    out = temperature_mix(d, "src", "doc_id", alpha=0.5, budget=30)
+    got = out.collect()
+    assert len(got) == 30
+    counts = {}
+    for r in got:
+        counts[r["src"]] = counts.get(r["src"], 0) + 1
+        assert r["quota"] == 10  # equal sizes → equal quotas
+    assert counts == {"s0": 10, "s1": 10, "s2": 10}
+    # Partition-layout invariant (seeded-hash selection, no sample()).
+    out2 = temperature_mix(
+        d.repartition(7), "src", "doc_id", alpha=0.5, budget=30
+    )
+    assert sorted(r["doc_id"] for r in out2.collect()) == sorted(
+        r["doc_id"] for r in got
+    )
+    # Mass-weighted sizing: weight_col drives shares, caps stay in rows.
+    dm = d.withColumn("mass", (F.col("doc_id") % 3 + 1) * 100)
+    outm = temperature_mix(
+        dm, "src", "doc_id", alpha=1.0, budget=30, weight_col="mass"
+    )
+    cm = {r["src"]: r["quota"] for r in outm.collect()}
+    assert cm["s2"] > cm["s0"]  # heavier source gets the larger quota
+
+
+def test_host_reputation(spark):
+    from karanta_ocr_spark.operators.corpus_filters import host_reputation
+
+    rows = []
+    for i in range(12):
+        rows.append((i, "https://farm.example.org/p/%d" % i, "same template text here"))
+    for i in range(12, 24):
+        rows.append((i, "https://Good.example.org/p/%d" % i, "the quick brown fox of page %d ran to the den and it was good" % i))
+    rows.append((24, "https://tiny.example.org/x", "only page"))
+    d = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = {r["host"]: r for r in host_reputation(d).collect()}
+    farm = out["farm.example.org"]
+    assert farm["n_docs"] == 12 and farm["n_unique"] == 1
+    assert farm["dup_frac"] > 0.9 and not farm["reputable"]
+    good = out["good.example.org"]  # authority lowercased
+    assert good["n_unique"] == 12 and good["dup_frac"] == 0.0
+    assert good["reputable"] and good["mean_stop"] > 0.2
+    assert not out["tiny.example.org"]["reputable"]  # below min_docs
+    # approx mode keeps the schema and the clear-cut verdicts.
+    outa = {r["host"]: r for r in host_reputation(d, mode="approx").collect()}
+    assert not outa["farm.example.org"]["reputable"]
+    assert outa["good.example.org"]["reputable"]
+
+
 # ----------------------------------------------------------- multimodal
 def _png(w, h):
     return b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + struct.pack(
