@@ -993,6 +993,102 @@ def _q_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_reputation(d)
 
 
+#: In-plan link-corpus page template (see _link_pages): five link
+#: shapes per page — absolute cite, root-relative next, path-relative
+#: with a dot segment, protocol-relative mirror, an absolute hub link
+#: every page shares — plus a mailto: and a bare-fragment link that
+#: resolution must DROP, and (on doc_id % 11 == 0) a link to a sink
+#: host that never sources links, so PageRank's dangling-mass
+#: redistribution is genuinely exercised.
+_LINK_HTML_TEMPLATE = (
+    "<html><head><title>d%1$s</title></head><body><p>doc %1$s</p>"
+    '<a href="https://h%2$s.example.org/d/%3$s/page.html">cite %3$s</a>'
+    '<a href="/d/%4$s/page.html">next</a>'
+    "<a href='../%5$s/x.html'>up</a>"
+    "<a href=//h%6$s.example.org/p>mirror</a>"
+    '<a href="mailto:x@example.org">mail</a>'
+    '<a href="https://h0.example.org/">home</a>'
+    '<a href="#top">top</a>%7$s</body></html>'
+)
+
+
+def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 7-host link corpus over the documents table: page
+    url https://h{doc_id%%7}.example.org/d/{doc_id}/page.html with the
+    _LINK_HTML_TEMPLATE links (targets are doc_id arithmetic, so the
+    DuckDB oracle rebuilds the EXACT html strings and replays the
+    same RE2-safe extraction + resolution)."""
+    did = F.col("doc_id")
+    s = lambda c: c.cast("long").cast("string")  # noqa: E731
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            s(did % 7),
+            F.lit(".example.org/d/"),
+            s(did),
+            F.lit("/page.html"),
+        ).alias("url"),
+        F.format_string(
+            _LINK_HTML_TEMPLATE,
+            s(did),
+            s((did * 3 + 1) % 7),
+            s((did * 5 + 3) % 1000),
+            s(did + 1),
+            s(did % 10),
+            s((did + 3) % 7),
+            F.when(
+                did % 11 == 0,
+                F.lit('<a href="https://sink.example.org/void">rare</a>'),
+            ).otherwise(F.lit("")),
+        ).alias("html"),
+    )
+
+
+def _q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page link extraction + RFC-3986-lite resolution
+    (operators/webgraph.extract_links): every ``<a href>`` of the
+    in-plan link corpus — double/single-quoted and unquoted hrefs,
+    absolute / protocol-relative / root-relative / dot-segment
+    relative forms all land as absolute link_url; mailto: and bare
+    fragments are dropped. The DuckDB oracle rebuilds the identical
+    html strings and replays the extraction regex AND every
+    resolution rewrite with its own RE2 engine."""
+    from karanta_ocr_spark.operators.webgraph import extract_links
+
+    return extract_links(_link_pages(spark, sf_dir))
+
+
+def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank (3 damped power iterations with
+    dangling-mass redistribution) over the in-plan link corpus:
+    links → (src_host, dst_host, weight) edges (self-loops dropped)
+    → rank. sink.example.org receives links but sources none, so the
+    dangling term is non-zero every round. The oracle unrolls the
+    exact per-iteration formula (share join + dst partial agg +
+    dangling scalar) in SQL."""
+    from karanta_ocr_spark.operators.webgraph import host_link_graph, pagerank
+
+    links = _q_link_extract(spark, sf_dir)
+    g = host_link_graph(links)
+    pr = pagerank(g, iters=3, damping=0.85)
+    return pr.select(
+        F.col("id").alias("host"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _q_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text profile (how the web DESCRIBES a URL —
+    the classic anchor-as-label signal): total in-links, distinct
+    source hosts, dominant anchor by (count, anchor) struct-max. Only
+    targets with ≥2 in-links (the hub and the cite/next collisions).
+    Oracle replays the argmax as a row_number window ordered
+    (cnt DESC, anchor DESC)."""
+    from karanta_ocr_spark.operators.webgraph import anchor_texts
+
+    return anchor_texts(_q_link_extract(spark, sf_dir), min_links=2)
+
+
 def _q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.9 model-scoring operator (the reference's
     process-singleton image classifier as a ``predict_batch_udf``):
@@ -1582,6 +1678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_stats": _q_script_stats,
         "temperature_mix": _q_temperature_mix,
         "host_reputation": _q_host_reputation,
+        "link_extract": _q_link_extract,
+        "host_pagerank": _q_host_pagerank,
+        "anchor_profile": _q_anchor_profile,
         # -- driver-green in r3, least-stable first --
         "pii_scrub": _q_pii_scrub,
         "meta_robots": _q_meta_robots,
@@ -1952,8 +2051,179 @@ def _minhash_oracle_sql() -> str:
     """
 
 
+def _webgraph_oracle_sqls() -> dict[str, str]:
+    """Oracles for the link-graph family. All three share one CTE
+    chain that rebuilds the EXACT in-plan html strings from doc_id
+    arithmetic, replays the A_TAG_RE extraction with DuckDB's RE2,
+    and replays every resolution rewrite (fragment strip, scheme
+    gate, protocol-/root-/path-relative joins, bounded dot-segment
+    normalization) — so a hash match proves extraction AND resolution
+    end-to-end in an independent regex engine."""
+    from karanta_ocr_spark.operators.webgraph import A_TAG_RE
+
+    a = "'" + A_TAG_RE.replace("'", "''") + "'"
+    links_cte = f"""
+            pages AS (
+                SELECT doc_id,
+                       'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+                           '.example.org/d/' || CAST(doc_id AS VARCHAR) ||
+                           '/page.html' AS url,
+                       '<html><head><title>d' || CAST(doc_id AS VARCHAR) ||
+                       '</title></head><body><p>doc ' ||
+                       CAST(doc_id AS VARCHAR) || '</p>' ||
+                       '<a href="https://h' ||
+                       CAST((doc_id * 3 + 1) % 7 AS VARCHAR) ||
+                       '.example.org/d/' ||
+                       CAST((doc_id * 5 + 3) % 1000 AS VARCHAR) ||
+                       '/page.html">cite ' ||
+                       CAST((doc_id * 5 + 3) % 1000 AS VARCHAR) || '</a>' ||
+                       '<a href="/d/' || CAST(doc_id + 1 AS VARCHAR) ||
+                       '/page.html">next</a>' ||
+                       '<a href=''../' || CAST(doc_id % 10 AS VARCHAR) ||
+                       '/x.html''>up</a>' ||
+                       '<a href=//h' || CAST((doc_id + 3) % 7 AS VARCHAR) ||
+                       '.example.org/p>mirror</a>' ||
+                       '<a href="mailto:x@example.org">mail</a>' ||
+                       '<a href="https://h0.example.org/">home</a>' ||
+                       '<a href="#top">top</a>' ||
+                       CASE WHEN doc_id % 11 = 0 THEN
+                           '<a href="https://sink.example.org/void">rare</a>'
+                       ELSE '' END || '</body></html>' AS html
+                FROM documents),
+            tags AS (
+                SELECT url, unnest(regexp_extract_all(html, {a}, 0)) AS t
+                FROM pages),
+            rawl AS (
+                SELECT url,
+                       regexp_extract(t, {a}, 1) ||
+                           regexp_extract(t, {a}, 2) ||
+                           regexp_extract(t, {a}, 3) AS href,
+                       trim(regexp_extract(t, {a}, 4)) AS anchor
+                FROM tags),
+            res0 AS (
+                SELECT url, anchor,
+                       regexp_replace(trim(href), '#.*$', '') AS h,
+                       regexp_extract(url,
+                           '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1) AS scheme,
+                       regexp_extract(url,
+                           '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]+)', 1) AS origin
+                FROM rawl),
+            res1 AS (
+                SELECT url, anchor, h, scheme, origin,
+                       origin || CASE
+                           WHEN regexp_extract(substr(url, length(origin) + 1),
+                                               '^(.*/)', 1) = ''
+                           THEN '/'
+                           ELSE regexp_extract(substr(url, length(origin) + 1),
+                                               '^(.*/)', 1) END AS basedir
+                FROM res0),
+            res2 AS (
+                SELECT url, anchor,
+                       CASE WHEN h = '' THEN NULL
+                            WHEN regexp_matches(h,
+                                '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN
+                                CASE WHEN regexp_matches(h, '^https?://')
+                                     THEN h ELSE NULL END
+                            WHEN h LIKE '//%' THEN scheme || ':' || h
+                            WHEN h LIKE '/%' THEN origin || h
+                            ELSE basedir || h END AS r
+                FROM res1),
+            links AS (
+                SELECT url,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(regexp_replace(r,
+                           '(://[^/]+[^:]*?)/[^/.][^/]*/\\.\\./', '\\1/', 'g'),
+                           '(://[^/]+[^:]*?)/[^/.][^/]*/\\.\\./', '\\1/', 'g'),
+                           '(://[^/]+[^:]*?)/[^/.][^/]*/\\.\\./', '\\1/', 'g'),
+                           '(://[^/]+[^:]*?)/[^/.][^/]*/\\.\\./', '\\1/', 'g'),
+                           '(://[^/]+[^:]*?)/\\./', '\\1/', 'g') AS link_url,
+                       anchor
+                FROM res2 WHERE r IS NOT NULL)"""
+    host = "lower(regexp_extract({c}, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1))"
+    pr_iters = []
+    prev = "r0"
+    for k in (1, 2, 3):
+        pr_iters.append(f"""
+            d{k} AS (
+                SELECT coalesce(sum(rank), 0) AS dm FROM {prev}
+                WHERE id NOT IN (SELECT id FROM deg)),
+            c{k} AS (
+                SELECT s.dst AS id, sum(r.rank * s.share) AS recv
+                FROM {prev} r JOIN shares s ON r.id = s.id
+                GROUP BY s.dst),
+            r{k} AS (
+                SELECT n.id,
+                       (1 - 0.85) / cnt.nc
+                           + 0.85 * (coalesce(c.recv, 0)
+                                     + d{k}.dm / cnt.nc) AS rank
+                FROM nodes n CROSS JOIN cnt CROSS JOIN d{k}
+                LEFT JOIN c{k} c ON n.id = c.id)""")
+        prev = f"r{k}"
+    pagerank_sql = f"""
+        WITH {links_cte},
+            e AS (
+                SELECT {host.format(c='url')} AS src,
+                       {host.format(c='link_url')} AS dst
+                FROM links),
+            edges AS (
+                SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+                FROM e WHERE dst <> '' AND src <> dst
+                GROUP BY src, dst),
+            nodes AS (
+                SELECT src AS id FROM edges
+                UNION SELECT dst FROM edges),
+            cnt AS (SELECT CAST(count(*) AS DOUBLE) AS nc FROM nodes),
+            deg AS (SELECT src AS id, sum(w) AS outw
+                    FROM edges GROUP BY src),
+            shares AS (
+                SELECT e.src AS id, e.dst, e.w / d.outw AS share
+                FROM edges e JOIN deg d ON e.src = d.id),
+            r0 AS (SELECT id, 1.0 / nc AS rank FROM nodes, cnt),
+            {','.join(pr_iters)}
+        SELECT id AS host, round(rank, 6) AS rank FROM r3
+    """
+    return {
+        "link_extract": f"""
+            WITH {links_cte}
+            SELECT url, link_url, anchor FROM links
+        """,
+        "host_pagerank": pagerank_sql,
+        "anchor_profile": f"""
+            WITH {links_cte},
+            base AS (
+                SELECT link_url,
+                       CASE WHEN trim(anchor) = '' THEN '(none)'
+                            ELSE trim(anchor) END AS anchor,
+                       {host.format(c='url')} AS src_host
+                FROM links),
+            stats AS (
+                SELECT link_url,
+                       CAST(count(*) AS BIGINT) AS n_links,
+                       CAST(count(DISTINCT src_host) AS BIGINT)
+                           AS n_src_hosts
+                FROM base GROUP BY link_url),
+            pa AS (
+                SELECT link_url, anchor, count(*) AS cnt
+                FROM base GROUP BY link_url, anchor),
+            top AS (
+                SELECT link_url, anchor AS top_anchor,
+                       CAST(cnt AS BIGINT) AS top_anchor_count
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY link_url
+                          ORDER BY cnt DESC, anchor DESC) AS rn
+                      FROM pa)
+                WHERE rn = 1)
+            SELECT s.link_url, s.n_links, s.n_src_hosts,
+                   t.top_anchor, t.top_anchor_count
+            FROM stats s JOIN top t ON s.link_url = t.link_url
+            WHERE s.n_links >= 2
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        **_webgraph_oracle_sqls(),
         "bpe_token_stats": _bpe_oracle_sql(),
         "temperature_mix": """
             WITH d AS (
