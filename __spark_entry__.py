@@ -1089,6 +1089,27 @@ def _q_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_texts(_q_link_extract(spark, sf_dir), min_links=2)
 
 
+def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-bounded crawl scheduling
+    (operators/frontier.schedule_frontier): the distinct link targets
+    of the in-plan link corpus form the frontier, prioritized by
+    in-link count (crawl popular pages first); per_host=2 politeness
+    caps each host per round; rounds interleave hosts by wave. The
+    oracle replays frontier build → host window rank → round/wave
+    arithmetic → per-round dense slot window identically."""
+    from karanta_ocr_spark.operators.frontier import schedule_frontier
+
+    frontier = (
+        _q_link_extract(spark, sf_dir)
+        .groupBy("link_url")
+        .agg(F.count(F.lit(1)).alias("priority"))
+        .withColumnRenamed("link_url", "url")
+    )
+    return schedule_frontier(
+        frontier, priority_col="priority", per_host=2
+    ).select("url", "host", "priority", "fetch_round", "wave", "slot")
+
+
 def _q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.9 model-scoring operator (the reference's
     process-singleton image classifier as a ``predict_batch_udf``):
@@ -1681,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": _q_link_extract,
         "host_pagerank": _q_host_pagerank,
         "anchor_profile": _q_anchor_profile,
+        "crawl_schedule": _q_crawl_schedule,
         # -- driver-green in r3, least-stable first --
         "pii_scrub": _q_pii_scrub,
         "meta_robots": _q_meta_robots,
@@ -2186,6 +2208,33 @@ def _webgraph_oracle_sqls() -> dict[str, str]:
         "link_extract": f"""
             WITH {links_cte}
             SELECT url, link_url, anchor FROM links
+        """,
+        "crawl_schedule": f"""
+            WITH {links_cte},
+            f AS (
+                SELECT link_url AS url,
+                       CAST(count(*) AS BIGINT) AS priority,
+                       lower(regexp_extract(link_url,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1)) AS host
+                FROM links GROUP BY link_url),
+            hr AS (
+                SELECT url, host, priority,
+                       row_number() OVER (
+                           PARTITION BY host
+                           ORDER BY priority DESC, url ASC) AS k
+                FROM f),
+            r AS (
+                SELECT url, host, priority,
+                       CAST(ceil(k / 2.0) AS BIGINT) AS fetch_round,
+                       CAST(k - (CAST(ceil(k / 2.0) AS BIGINT) - 1) * 2
+                            AS BIGINT) AS wave
+                FROM hr)
+            SELECT url, host, priority, fetch_round, wave,
+                   CAST(row_number() OVER (
+                       PARTITION BY fetch_round
+                       ORDER BY wave ASC, host ASC, url ASC) AS BIGINT)
+                       AS slot
+            FROM r
         """,
         "host_pagerank": pagerank_sql,
         "anchor_profile": f"""
