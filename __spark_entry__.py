@@ -1110,6 +1110,64 @@ def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("url", "host", "priority", "fetch_round", "wave", "slot")
 
 
+_BM25_TERMS = ["join", "stream", "vector"]
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/search.bm25_topk): one corpus
+    pass computes per-term tfs (Catalyst HOFs), one single-row
+    broadcast aggregate carries N/avgdl/dfs, TakeOrdered keeps the
+    top 25 by (rounded score desc, id). The oracle replays tf/df/
+    idf/score term-for-term — rounding to 6 before the ordering makes
+    the selected set engine-independent."""
+    from karanta_ocr_spark.operators.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=25)
+
+
+def _bm25_oracle_sql(terms: list[str], k: int = 25) -> str:
+    tf_cols = ",\n                       ".join(
+        f"CAST(len(list_filter(toks, x -> lower(x) = '{t}')) AS DOUBLE)"
+        f" AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n                       ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    score = "\n                   + ".join(
+        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) * tf{i}"
+        f" * (1.2 + 1.0) / (tf{i} + 1.2 * (1.0 - 0.75"
+        f" + 0.75 * doclen / avgdl))"
+        for i in range(len(terms))
+    )
+    return f"""
+            WITH toked AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '[ \\t-\\r]+')
+                           AS toks
+                FROM documents),
+            base AS (
+                SELECT doc_id AS id,
+                       CAST(len(toks) AS DOUBLE) AS doclen,
+                       {tf_cols}
+                FROM toked),
+            stats AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       avg(doclen) AS avgdl,
+                       {df_cols}
+                FROM base),
+            scored AS (
+                SELECT id, doclen,
+                       round(0.0
+                   + {score}, 6) AS score
+                FROM base, stats)
+            SELECT id, score, CAST(doclen AS BIGINT) AS doclen
+            FROM scored WHERE score > 0.0
+            ORDER BY score DESC, id ASC LIMIT {k}
+    """
+
+
 def _q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.9 model-scoring operator (the reference's
     process-singleton image classifier as a ``predict_batch_udf``):
@@ -1703,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,
         "anchor_profile": _q_anchor_profile,
         "crawl_schedule": _q_crawl_schedule,
+        "bm25_search": _q_bm25_search,
         # -- driver-green in r3, least-stable first --
         "pii_scrub": _q_pii_scrub,
         "meta_robots": _q_meta_robots,
@@ -2273,6 +2332,7 @@ def _webgraph_oracle_sqls() -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     return {
         **_webgraph_oracle_sqls(),
+        "bm25_search": _bm25_oracle_sql(_BM25_TERMS),
         "bpe_token_stats": _bpe_oracle_sql(),
         "temperature_mix": """
             WITH d AS (
