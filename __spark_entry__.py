@@ -1168,6 +1168,43 @@ def _bm25_oracle_sql(terms: list[str], k: int = 25) -> str:
     """
 
 
+def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity terciles per language
+    (operators/lm_score.perplexity_buckets, exact mode): the
+    corpus-trained bigram-LM perplexities are ranked within each
+    lang and bucketed by integer tercile arithmetic; sub-2-token
+    docs land in 'unscored'. The oracle wraps the full lm_perplexity
+    replay in a CTE and replays the rank/bucket windows."""
+    from karanta_ocr_spark.operators.lm_score import (
+        bigram_lm_perplexity,
+        perplexity_buckets,
+    )
+
+    d = _docs(spark, sf_dir)
+    ppl = bigram_lm_perplexity(d, hash_mode="md5")
+    scored = ppl.join(d.select("doc_id", "lang"), "doc_id")
+    return perplexity_buckets(scored, group_col="lang", mode="exact").select(
+        "doc_id", "lang", "perplexity", "bucket"
+    )
+
+
+def _q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split
+    (operators/sampling.stratified_split, exact mode): within every
+    language, docs rank by md5(seed:id) and the 80/10/10 fractions
+    hold to ±1 row. The oracle replays rank → floor(n·cum) cutoffs
+    (cutoffs summed as DOUBLEs to mirror the float cumsum)."""
+    from karanta_ocr_spark.operators.sampling import stratified_split
+
+    return stratified_split(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        "lang",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        rank="md5",
+        mode="exact",
+    ).select("doc_id", "lang", "split")
+
+
 def _q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.9 model-scoring operator (the reference's
     process-singleton image classifier as a ``predict_batch_udf``):
@@ -1762,6 +1799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_profile": _q_anchor_profile,
         "crawl_schedule": _q_crawl_schedule,
         "bm25_search": _q_bm25_search,
+        "perplexity_buckets": _q_perplexity_buckets,
+        "stratified_split": _q_stratified_split,
         # -- driver-green in r3, least-stable first --
         "pii_scrub": _q_pii_scrub,
         "meta_robots": _q_meta_robots,
@@ -2130,6 +2169,36 @@ def _minhash_oracle_sql() -> str:
         SELECT d.doc_id, d.lang, d.source FROM documents d
         WHERE d.doc_id NOT IN (SELECT id_b FROM vic)
     """
+
+
+#: Bigram-LM perplexity oracle (md5 join-key mode) — shared between
+#: the lm_perplexity entry and the perplexity_buckets wrapper.
+_LM_PPL_SQL = """
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(lower(trim(text)), '[ \\t-\\r]+') AS toks
+                       FROM documents),
+            pb AS (SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
+                   FROM t WHERE len(toks) >= 2),
+            pk AS (SELECT doc_id, i - 1 AS pos, md5(toks[i]) AS ck,
+                          md5(toks[i] || ' ' || toks[i+1]) AS bk
+                   FROM pb),
+            bc AS (SELECT bk, count(*) AS bn FROM pk GROUP BY bk),
+            cc AS (SELECT ck, count(*) AS cn FROM pk GROUP BY ck),
+            v AS (SELECT count(DISTINCT tok) AS vv
+                  FROM (SELECT unnest(toks) AS tok FROM t)),
+            lp AS (SELECT pk.doc_id, pk.pos,
+                          ln(bn + 1.0) - ln(cn + 1.0 * vv) AS logp
+                   FROM pk JOIN bc USING (bk) JOIN cc USING (ck), v),
+            ag AS (SELECT doc_id, count(*) AS n,
+                          list_reduce(list_prepend(0.0, list(logp ORDER BY pos)),
+                                      (x, y) -> x + y) AS s
+                   FROM lp GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(ag.n, 0) AS BIGINT) AS n_bigrams,
+                   round(-ag.s / ag.n, 6) AS cross_entropy,
+                   round(exp(-ag.s / ag.n), 4) AS perplexity
+            FROM documents d LEFT JOIN ag USING (doc_id)
+"""
 
 
 def _webgraph_oracle_sqls() -> dict[str, str]:
@@ -2971,31 +3040,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.n_tokens - coalesce(ag.nk, 0) AS BIGINT) AS n_dropped
             FROM b LEFT JOIN ag USING (doc_id)
         """,
-        "lm_perplexity": """
-            WITH t AS (SELECT doc_id,
-                              regexp_split_to_array(lower(trim(text)), '[ \\t-\\r]+') AS toks
-                       FROM documents),
-            pb AS (SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
-                   FROM t WHERE len(toks) >= 2),
-            pk AS (SELECT doc_id, i - 1 AS pos, md5(toks[i]) AS ck,
-                          md5(toks[i] || ' ' || toks[i+1]) AS bk
-                   FROM pb),
-            bc AS (SELECT bk, count(*) AS bn FROM pk GROUP BY bk),
-            cc AS (SELECT ck, count(*) AS cn FROM pk GROUP BY ck),
-            v AS (SELECT count(DISTINCT tok) AS vv
-                  FROM (SELECT unnest(toks) AS tok FROM t)),
-            lp AS (SELECT pk.doc_id, pk.pos,
-                          ln(bn + 1.0) - ln(cn + 1.0 * vv) AS logp
-                   FROM pk JOIN bc USING (bk) JOIN cc USING (ck), v),
-            ag AS (SELECT doc_id, count(*) AS n,
-                          list_reduce(list_prepend(0.0, list(logp ORDER BY pos)),
-                                      (x, y) -> x + y) AS s
-                   FROM lp GROUP BY doc_id)
-            SELECT d.doc_id,
-                   CAST(coalesce(ag.n, 0) AS BIGINT) AS n_bigrams,
-                   round(-ag.s / ag.n, 6) AS cross_entropy,
-                   round(exp(-ag.s / ag.n), 4) AS perplexity
-            FROM documents d LEFT JOIN ag USING (doc_id)
+        "lm_perplexity": _LM_PPL_SQL,
+        "stratified_split": """
+            WITH r AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS rk,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM documents)
+            SELECT doc_id, lang,
+                   CASE WHEN rk <= floor(n * CAST(0.8 AS DOUBLE))
+                        THEN 'train'
+                        WHEN rk <= floor(n * (CAST(0.8 AS DOUBLE)
+                                              + CAST(0.1 AS DOUBLE)))
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM r
+        """,
+        "perplexity_buckets": f"""
+            WITH ppl AS ({_LM_PPL_SQL}),
+            j AS (SELECT p.doc_id, d.lang, p.perplexity
+                  FROM ppl p JOIN documents d USING (doc_id)),
+            hasv AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY perplexity ASC, doc_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM j WHERE perplexity IS NOT NULL)
+            SELECT doc_id, lang, perplexity,
+                   CASE least(CAST(floor((3.0 * (rn - 1)) / n) AS INT), 2)
+                        WHEN 0 THEN 'head'
+                        WHEN 1 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM hasv
+            UNION ALL
+            SELECT doc_id, lang, perplexity, 'unscored' AS bucket
+            FROM j WHERE perplexity IS NULL
         """,
         "video_frame_sample": """
             WITH n AS (SELECT doc_id AS media_id,

@@ -137,3 +137,68 @@ def bigram_lm_perplexity(
         F.round(h, 6).alias("cross_entropy"),
         F.round(F.exp(h), 4).alias("perplexity"),
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    group_col: str = "lang",
+    ppl_col: str = "perplexity",
+    id_col: str = "doc_id",
+    mode: str = "exact",
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing of LM perplexities.
+
+    CCNet (Wenzek et al., 2020) splits each language's documents into
+    perplexity terciles — ``head`` (lowest perplexity: cleanest),
+    ``middle``, ``tail`` — and trains on head+middle. This operator
+    appends that ``bucket`` column per *group_col*; rows with NULL
+    perplexity (docs under 2 tokens) become ``unscored``.
+
+    *mode* ``'exact'`` — the oracle spec: within each group, rank by
+    (perplexity asc, id asc) and assign tercile
+    ``floor(3·(rank-1)/n)`` (balanced to ±1; pure integer arithmetic,
+    engine-neutral). The rank window partitions by group — fine for
+    per-language groups at test scale, but ONE language's documents
+    form one window partition.
+
+    *mode* ``'approx'`` — the production path at 100 TB: per-group
+    ``percentile_approx`` 1/3 and 2/3 cutoffs (one partial agg, a
+    GK-sketch per group) broadcast back as thresholds — no window,
+    map-side bucket assignment, boundary rows may land one bucket off
+    (sketch error; pytest-bounded). Same exact-spec/scale-path seam
+    as ``profile.length_percentiles``.
+    """
+    if mode not in ("exact", "approx"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    labels = F.array(F.lit("head"), F.lit("middle"), F.lit("tail"))
+    has = scored.filter(F.col(ppl_col).isNotNull())
+    nulls = scored.filter(F.col(ppl_col).isNull()).withColumn(
+        "bucket", F.lit("unscored")
+    )
+    if mode == "exact":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col).orderBy(
+            F.col(ppl_col).asc(), F.col(id_col).asc()
+        )
+        wn = Window.partitionBy(group_col)
+        ranked = has.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_n", F.count(F.lit(1)).over(wn)
+        )
+        idx = F.floor((3.0 * (F.col("_rn") - 1)) / F.col("_n")).cast("int")
+        out = ranked.withColumn(
+            "bucket", F.element_at(labels, F.least(idx, F.lit(2)) + 1)
+        ).drop("_rn", "_n")
+    else:
+        th = has.groupBy(group_col).agg(
+            F.percentile_approx(
+                F.col(ppl_col), F.array(F.lit(1.0 / 3.0), F.lit(2.0 / 3.0))
+            ).alias("_th")
+        )
+        out = has.join(F.broadcast(th), group_col).withColumn(
+            "bucket",
+            F.when(F.col(ppl_col) <= F.col("_th")[0], F.lit("head"))
+            .when(F.col(ppl_col) <= F.col("_th")[1], F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        ).drop("_th")
+    return out.unionByName(nulls)

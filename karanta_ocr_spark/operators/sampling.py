@@ -186,3 +186,83 @@ def sampled_avg(
         .limit(n)
         .agg(F.avg(value_col).alias("avg_" + value_col))
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    order_col: str = "doc_id",
+    seed: int = 42,
+    rank: str = "xxhash64",
+    mode: str = "exact",
+) -> DataFrame:
+    """Deterministic stratified train/val/test assignment.
+
+    Appends a ``split`` column so that within every stratum (language,
+    source, domain — the axis whose mix must be identical across
+    splits) the *fractions* hold. Assignment is by seeded-hash rank,
+    never ``rand()``: re-runs, partition layouts, and added columns
+    cannot move a document between splits — the property that keeps a
+    frozen eval split frozen (decontamination depends on it).
+
+    *mode* ``'exact'`` — the oracle spec: rank rows within the
+    stratum by (hash(seed, id), id); split k covers ranks in
+    ``(floor(n·c_{k-1}), floor(n·c_k)]`` where c_k are cumulative
+    fractions in the dict's insertion order (exact to ±1 row per
+    stratum; pure integer boundaries, engine-neutral; the LAST listed
+    split absorbs any remainder so every row is assigned). One
+    window per stratum.
+
+    *mode* ``'hash'`` — the production path at 100 TB: a pure
+    map-side assignment by hash bucket — ``pmod(hash, 10^6)`` against
+    cumulative-fraction cutoffs. No window, no shuffle, proportions
+    hold in expectation (±binomial noise); per-stratum exactness is
+    given up. Same exact-spec/scale-path seam as
+    ``lm_score.perplexity_buckets``.
+    """
+    if mode not in ("exact", "hash"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    tot = sum(fractions.values())
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {tot}")
+    names = list(fractions)
+    cums: list[float] = []
+    acc = 0.0
+    for n in names:
+        acc += fractions[n]
+        cums.append(acc)
+    key = _seeded_rank_key(seed, order_col, rank)
+    if mode == "exact":
+        w = Window.partitionBy(stratum_col).orderBy(key, F.col(order_col))
+        wn = Window.partitionBy(stratum_col)
+        ranked = df.withColumn("_rk", F.row_number().over(w)).withColumn(
+            "_n", F.count(F.lit(1)).over(wn)
+        )
+        # Build the when-chain from the largest cutoff down so the
+        # smallest cutoff is tested first (ascending when-order).
+        expr = F.lit(names[-1])
+        for n, c in list(zip(names[:-1], cums[:-1]))[::-1]:
+            expr = F.when(
+                F.col("_rk") <= F.floor(F.col("_n") * F.lit(c)), F.lit(n)
+            ).otherwise(expr)
+        return ranked.withColumn("split", expr).drop("_rk", "_n")
+    buckets = 1_000_000
+    if rank == "xxhash64":
+        b = F.pmod(F.xxhash64(F.lit(seed), F.col(order_col)), F.lit(buckets))
+    else:
+        # md5 mode stays engine-neutral even here: the first 6 hex
+        # chars as an integer (conv in Spark, from_hex arithmetic in
+        # SQL) — so the scale path is ALSO oracle-replayable.
+        b = F.pmod(
+            F.conv(F.substring(key, 1, 6), 16, 10).cast("long"),
+            F.lit(buckets),
+        )
+    expr = F.lit(names[-1])
+    for n, c in list(zip(names[:-1], cums[:-1]))[::-1]:
+        expr = F.when(b < F.lit(int(round(c * buckets))), F.lit(n)).otherwise(
+            expr
+        )
+    return df.withColumn("split", expr)

@@ -1356,3 +1356,85 @@ def test_length_percentiles_approx_within_bound(spark):
             assert abs(exact[lang][q] - approx[lang][q]) <= gap + 1e-9, (lang, q)
     with pytest.raises(ValueError, match="mode"):
         length_percentiles(df, mode="bogus")
+
+
+def test_stratified_split_exact(spark):
+    from karanta_ocr_spark.operators.sampling import stratified_split
+
+    rows = [(i, "l%d" % (i % 2)) for i in range(100)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_split(
+        d, "lang", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    counts = {}
+    for r in out:
+        counts[(r["lang"], r["split"])] = counts.get((r["lang"], r["split"]), 0) + 1
+    for lang in ("l0", "l1"):  # 50 docs each → exactly 40/5/5
+        assert counts[(lang, "train")] == 40
+        assert counts[(lang, "val")] == 5
+        assert counts[(lang, "test")] == 5
+    # Determinism across partition layouts AND across added columns.
+    out2 = stratified_split(
+        d.repartition(9), "lang", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    assert {(r["doc_id"], r["split"]) for r in out} == {
+        (r["doc_id"], r["split"]) for r in out2
+    }
+
+
+def test_stratified_split_hash_mode(spark):
+    from karanta_ocr_spark.operators.sampling import stratified_split
+
+    rows = [(i, "x") for i in range(2000)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_split(
+        d, "lang", {"train": 0.8, "val": 0.1, "test": 0.1}, mode="hash"
+    ).collect()
+    counts = {}
+    for r in out:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    # Map-side mode holds proportions in expectation (loose bounds).
+    assert 0.74 * 2000 < counts["train"] < 0.86 * 2000
+    assert counts["train"] + counts["val"] + counts["test"] == 2000
+    # Per-doc assignment is stable: same doc, same split, every run.
+    out2 = {r["doc_id"]: r["split"] for r in stratified_split(
+        d.repartition(7), "lang",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, mode="hash").collect()}
+    for r in out:
+        assert out2[r["doc_id"]] == r["split"]
+
+
+def test_stratified_split_validation(spark):
+    import pytest as _pytest
+
+    from karanta_ocr_spark.operators.sampling import stratified_split
+
+    d = spark.createDataFrame([(1, "x")], "doc_id long, lang string")
+    with _pytest.raises(ValueError):
+        stratified_split(d, "lang", {"train": 0.5, "val": 0.1})
+    with _pytest.raises(ValueError):
+        stratified_split(d, "lang", {})
+    with _pytest.raises(ValueError):
+        stratified_split(d, "lang", {"a": 1.0}, mode="nope")
+
+
+def test_perplexity_buckets(spark):
+    from karanta_ocr_spark.operators.lm_score import perplexity_buckets
+
+    rows = [(i, "l%d" % (i % 2), float(10 + i)) for i in range(30)]
+    rows.append((99, "l0", None))
+    d = spark.createDataFrame(rows, "doc_id long, lang string, perplexity double")
+    out = perplexity_buckets(d, group_col="lang").collect()
+    got = {r["doc_id"]: r["bucket"] for r in out}
+    assert got[99] == "unscored"
+    # 15 scored docs per lang → terciles of 5; lowest ppl = head.
+    for lang_mod, ids in ((0, range(0, 30, 2)), (1, range(1, 30, 2))):
+        ordered = sorted(ids)
+        assert all(got[i] == "head" for i in ordered[:5])
+        assert all(got[i] == "middle" for i in ordered[5:10])
+        assert all(got[i] == "tail" for i in ordered[10:])
+    # Approx mode: clear-cut interior rows agree with exact terciles.
+    ap = {r["doc_id"]: r["bucket"]
+          for r in perplexity_buckets(d, group_col="lang", mode="approx").collect()}
+    assert ap[99] == "unscored"
+    assert ap[0] == "head" and ap[28] == "tail"
