@@ -197,6 +197,14 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "encrypted_pdf_extract", "duplicate_clusters",
         "minhash_incremental", "robots_gate", "warc_cdx",
         "length_regression", "sequence_packing",
+        # r4 wave 2: link graph + curation family — regex link
+        # extraction, iterative PageRank, anchor argmax, politeness
+        # windows, one-pass BM25, LM tercile windows, per-host
+        # reputation agg, temperature-mixture sampling, stratified
+        # split windows.
+        "link_extract", "host_pagerank", "anchor_profile",
+        "crawl_schedule", "bm25_search", "perplexity_buckets",
+        "host_reputation", "temperature_mix", "stratified_split",
     ]
     qs = entrymod.queries()
     # One untimed pass of every query at sf0.001: the first run of
