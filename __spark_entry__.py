@@ -1205,6 +1205,38 @@ def _q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "split")
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot delta (operators/snapshot_diff.snapshot_diff):
+    two in-plan snapshots of the documents corpus — docs with
+    doc_id%10==7 exist only in the current crawl (new), %10==3 only
+    in the previous (gone), %5==0 changed content (fingerprint
+    drift), the rest unchanged — classified by ONE url-keyed
+    full-outer join over (url, md5) rows. Oracle replays the join
+    and the verdict CASE."""
+    from karanta_ocr_spark.operators.snapshot_diff import snapshot_diff
+    from karanta_ocr_spark.sources.web_pages import DOCS_URL_PREFIX
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit(DOCS_URL_PREFIX), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        "text",
+    )
+    prev = d.filter(F.col("doc_id") % 10 != 7).select(
+        "url", F.md5("text").alias("fingerprint")
+    )
+    cur = d.filter(F.col("doc_id") % 10 != 3).select(
+        "url",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.md5(F.concat(F.col("text"), F.lit("v2")))
+        )
+        .otherwise(F.md5("text"))
+        .alias("fingerprint"),
+    )
+    return snapshot_diff(prev, cur)
+
+
 def _q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.9 model-scoring operator (the reference's
     process-singleton image classifier as a ``predict_batch_udf``):
@@ -1801,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "perplexity_buckets": _q_perplexity_buckets,
         "stratified_split": _q_stratified_split,
+        "snapshot_diff": _q_snapshot_diff,
         # -- driver-green in r3, least-stable first --
         "pii_scrub": _q_pii_scrub,
         "meta_robots": _q_meta_robots,
@@ -3041,6 +3074,29 @@ def oracle_sql() -> dict[str, str]:
             FROM b LEFT JOIN ag USING (doc_id)
         """,
         "lm_perplexity": _LM_PPL_SQL,
+        "snapshot_diff": """
+            WITH d AS (
+                SELECT doc_id,
+                       'https://docs.example.org/doc/' ||
+                           CAST(doc_id AS VARCHAR) AS url,
+                       text
+                FROM documents),
+            prev AS (
+                SELECT url, md5(text) AS pf FROM d WHERE doc_id % 10 <> 7),
+            cur AS (
+                SELECT url,
+                       CASE WHEN doc_id % 5 = 0 THEN md5(text || 'v2')
+                            ELSE md5(text) END AS cf
+                FROM d WHERE doc_id % 10 <> 3)
+            SELECT coalesce(prev.url, cur.url) AS url,
+                   CASE WHEN pf IS NULL THEN 'new'
+                        WHEN cf IS NULL THEN 'gone'
+                        WHEN pf = cf THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   pf AS prev_fingerprint,
+                   cf AS cur_fingerprint
+            FROM prev FULL OUTER JOIN cur ON prev.url = cur.url
+        """,
         "stratified_split": """
             WITH r AS (
                 SELECT doc_id, lang,

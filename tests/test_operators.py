@@ -1438,3 +1438,25 @@ def test_perplexity_buckets(spark):
           for r in perplexity_buckets(d, group_col="lang", mode="approx").collect()}
     assert ap[99] == "unscored"
     assert ap[0] == "head" and ap[28] == "tail"
+
+
+def test_snapshot_diff(spark):
+    from karanta_ocr_spark.operators.snapshot_diff import (
+        diff_summary,
+        snapshot_diff,
+    )
+
+    prev = spark.createDataFrame(
+        [("u1", "a"), ("u2", "b"), ("u3", "c")], "url string, fingerprint string"
+    )
+    cur = spark.createDataFrame(
+        [("u2", "b"), ("u3", "C2"), ("u4", "d")], "url string, fingerprint string"
+    )
+    out = {r["url"]: r for r in snapshot_diff(prev, cur).collect()}
+    assert out["u1"]["status"] == "gone" and out["u1"]["cur_fingerprint"] is None
+    assert out["u2"]["status"] == "unchanged"
+    assert out["u3"]["status"] == "changed"
+    assert out["u4"]["status"] == "new" and out["u4"]["prev_fingerprint"] is None
+    summ = {r["status"]: r["n_urls"] for r in diff_summary(
+        snapshot_diff(prev, cur)).collect()}
+    assert summ == {"gone": 1, "unchanged": 1, "changed": 1, "new": 1}
