@@ -872,6 +872,43 @@ def _q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_quality_signals(_docs(spark, sf_dir))
 
 
+def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel (operators/curate.py): ordered
+    gates lang→quality→repetition→exact-dedup, every doc's FIRST
+    failing stage computed in one corpus pass. The synthetic corpus
+    exercises all four stages deterministically: doc_id%11 docs get a
+    2-word text (quality fail), doc_id%7 docs get three identical
+    lines (repetition fail), zh docs fail the allowlist, and the
+    whole corpus is unioned with an id-shifted copy so every
+    surviving text has an exact duplicate (dedup drop). The DuckDB
+    oracle rebuilds the same corpus and replays the staged pipeline
+    stage by stage."""
+    from karanta_ocr_spark.operators.curate import curate_corpus
+
+    d = _docs(spark, sf_dir)
+    rep = (
+        "concat(trim(substring(trim(text), 1, 40)), ' w w w w w', char(10), "
+        "trim(substring(trim(text), 1, 40)), ' w w w w w', char(10), "
+        "trim(substring(trim(text), 1, 40)), ' w w w w w')"
+    )
+    synth = d.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CASE WHEN doc_id % 11 = 0 THEN 'too short' "
+            f"WHEN doc_id % 7 = 0 THEN {rep} "
+            "ELSE trim(text) END"
+        ).alias("text"),
+    )
+    corpus = synth.unionByName(
+        synth.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "lang", "text"
+        )
+    )
+    _, fn = curate_corpus(corpus, ["en", "fr", "es", "de"])
+    return fn
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-ish (GPT-2 pretokenizer shape) token counts
     + chars/token — the budget numbers an LLM-data pipeline reports.
@@ -1812,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (decoded pixel bytes have no SQL twin):
         "media_decode_chain": _q_media_decode_chain,
         # -- new in r4 --
+        "curation_funnel": _q_curation_funnel,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "ann_lsh_multiprobe_topk": _q_ann_lsh_multiprobe_topk,
         "bpe_token_stats": _q_bpe_token_stats,
@@ -2436,6 +2474,52 @@ def oracle_sql() -> dict[str, str]:
         **_webgraph_oracle_sqls(),
         "bm25_search": _bm25_oracle_sql(_BM25_TERMS),
         "bpe_token_stats": _bpe_oracle_sql(),
+        "curation_funnel": r"""
+            WITH base AS (
+                SELECT doc_id, lang,
+                       CASE WHEN doc_id % 11 = 0 THEN 'too short'
+                            WHEN doc_id % 7 = 0 THEN
+                                 trim(substring(trim(text), 1, 40)) || ' w w w w w' || chr(10) ||
+                                 trim(substring(trim(text), 1, 40)) || ' w w w w w' || chr(10) ||
+                                 trim(substring(trim(text), 1, 40)) || ' w w w w w'
+                            ELSE trim(text) END AS text
+                FROM documents),
+            corpus AS (SELECT * FROM base
+                       UNION ALL
+                       SELECT doc_id + 1000000, lang, text FROM base),
+            l AS (SELECT doc_id, lang, text,
+                         list_filter(list_transform(string_split(text, chr(10)),
+                                                    x -> trim(x)), x -> x <> '') AS lines,
+                         regexp_split_to_array(trim(text), '[ \t-\r]+') AS toks
+                  FROM corpus),
+            g AS (SELECT doc_id, text,
+                         lang IN ('en', 'fr', 'es', 'de') AS lang_ok,
+                         (len(toks) >= 5 AND NOT contains(lower(text), 'lorem ipsum')
+                          AND NOT contains(text, '{') AND len(lines) > 0) AS quality_ok,
+                         (CASE WHEN len(lines) > 0
+                               THEN round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                                          / len(lines), 6)
+                               ELSE 0.0 END) <= 0.3 AS rep_ok
+                  FROM l),
+            c AS (SELECT md5(text) AS fp, min(doc_id) AS keep_id
+                  FROM g WHERE lang_ok AND quality_ok AND rep_ok GROUP BY 1),
+            v AS (SELECT CASE WHEN NOT g.lang_ok THEN 'lang_filter'
+                              WHEN NOT g.quality_ok THEN 'quality_filter'
+                              WHEN NOT g.rep_ok THEN 'repetition_filter'
+                              WHEN c.keep_id <> g.doc_id THEN 'exact_dedup'
+                              ELSE 'kept' END AS verdict
+                  FROM g LEFT JOIN c ON md5(g.text) = c.fp),
+            stages AS (SELECT * FROM (VALUES (1, 'lang_filter'), (2, 'quality_filter'),
+                                             (3, 'repetition_filter'), (4, 'exact_dedup'))
+                                     s(stage_idx, stage)),
+            cnt AS (SELECT verdict, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM v)
+            SELECT CAST(s.stage_idx AS INTEGER) AS stage_idx, s.stage,
+                   CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_dropped,
+                   CAST(t.t - sum(coalesce(cnt.n, 0))
+                              OVER (ORDER BY s.stage_idx) AS BIGINT) AS n_survivors
+            FROM stages s LEFT JOIN cnt ON s.stage = cnt.verdict CROSS JOIN tot t
+        """,
         "temperature_mix": """
             WITH d AS (
                 SELECT doc_id,

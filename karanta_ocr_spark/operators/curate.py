@@ -1,0 +1,145 @@
+"""End-to-end corpus curation: ordered gates, one corpus pass, an
+auditable funnel.
+
+Every published training corpus ships a FUNNEL — how many documents
+each curation stage dropped (C4 §2.2, Gopher A.1.1, RefinedWeb
+table 2, FineWeb's "processing steps" chart). The naive
+implementation runs the pipeline stage by stage with a ``count()``
+between stages: S actions, S corpus scans. This operator computes
+every document's FIRST-FAILING stage in ONE pass and derives the
+whole funnel from a single tiny aggregate:
+
+- per-row gates (language allowlist, C4 hard rules, Gopher
+  duplicate-line repetition) are Catalyst expressions stacked into
+  one ``CASE`` — zero extra scans;
+- the exact-dedup stage (keep the min-id holder of each text
+  fingerprint) is evaluated ONLY among docs that survived the
+  per-row gates — the same order a staged pipeline would apply — via
+  one md5-keyed self-aggregation join (text never in the shuffle
+  key);
+- the funnel itself is a groupBy over the verdict column (≤ S+1
+  rows) plus a window cumsum over the FIXED stage ordering — driver
+  never loops.
+
+``curate_corpus`` returns (kept rows, verdict rows); ``funnel``
+folds verdicts into (stage_idx, stage, n_dropped, n_survivors).
+
+Scale notes (100 TB): the gate pass is map-only and fuses with the
+scan; the dedup join shuffles (md5, id) pairs — 24 B/row; AQE
+broadcast-joins the canonical side when a filtered corpus is small
+enough and handles fingerprint skew (a viral boilerplate text is ONE
+hot md5 group — min() partial-aggregates map-side, so skew cost is
+bounded before the exchange).
+
+Reference parity: karanta-ocr's pipeline is extraction-only; the
+funnel is the downstream curation mandate (brief). The stage list
+mirrors the public C4/Gopher rule families implemented in
+``operators/corpus_filters``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from karanta_ocr_spark.functions.text_analysis import WS
+from karanta_ocr_spark.operators.corpus_filters import (
+    duplicate_line_stats,
+    lines_expr,
+)
+
+#: Funnel stage order (fixed — the verdict CASE tests them in this
+#: order, so ``first_fail`` is well-defined).
+STAGES = ("lang_filter", "quality_filter", "repetition_filter", "exact_dedup")
+
+
+def curation_verdicts(
+    docs: DataFrame,
+    allowed_langs: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    min_words: int = 5,
+    max_dup_line_frac: float = 0.3,
+) -> DataFrame:
+    """Append ``verdict`` — the first failing stage, or ``kept``.
+
+    Gates, in order: ``lang_filter`` (allowlist), ``quality_filter``
+    (C4 hard rules: ≥ *min_words* words, no "lorem ipsum", no ``{``,
+    ≥1 non-empty line), ``repetition_filter`` (Gopher
+    ``dup_line_frac`` > *max_dup_line_frac*), ``exact_dedup``
+    (not the min-id holder of the md5(text) group AMONG gate
+    survivors — dedup sees the filtered corpus, exactly as a staged
+    pipeline would).
+    """
+    col = F.col(text_col)
+    toks = F.split(F.trim(col), WS + "+")
+    lines = lines_expr(col)
+    lorem = F.lower(col).contains("lorem ipsum")
+    brace = col.contains("{")
+    lang_ok = F.col(lang_col).isin(*allowed_langs)
+    quality_ok = (
+        (F.size(toks) >= min_words) & ~lorem & ~brace & (F.size(lines) > 0)
+    )
+    _, dup_frac, _ = duplicate_line_stats(col)
+    rep_ok = dup_frac <= max_dup_line_frac
+    sig = docs.withColumn("_fp", F.md5(col)).withColumn(
+        "_gates_ok", lang_ok & quality_ok & rep_ok
+    ).withColumn("_lang_ok", lang_ok).withColumn(
+        "_quality_ok", quality_ok
+    ).withColumn("_rep_ok", rep_ok)
+    canon = (
+        sig.filter(F.col("_gates_ok"))
+        .groupBy("_fp")
+        .agg(F.min(F.col(id_col)).alias("_keep_id"))
+    )
+    verdict = (
+        F.when(~F.col("_lang_ok"), F.lit("lang_filter"))
+        .when(~F.col("_quality_ok"), F.lit("quality_filter"))
+        .when(~F.col("_rep_ok"), F.lit("repetition_filter"))
+        .when(F.col("_keep_id") != F.col(id_col), F.lit("exact_dedup"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        sig.join(canon, "_fp", "left")
+        .withColumn("verdict", verdict)
+        .drop("_fp", "_gates_ok", "_lang_ok", "_quality_ok", "_rep_ok",
+              "_keep_id")
+    )
+
+
+def funnel(verdicts: DataFrame) -> DataFrame:
+    """Fold verdict rows into the published-corpus funnel table:
+    ``(stage_idx, stage, n_dropped, n_survivors)`` — survivors AFTER
+    each stage, in stage order."""
+    idx = F.when(F.col("verdict") == STAGES[0], 1)
+    for i, s in enumerate(STAGES[1:], start=2):
+        idx = idx.when(F.col("verdict") == s, i)
+    counts = verdicts.groupBy(idx.alias("stage_idx")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # Tiny frame (≤ S+1 rows): the cumsum window is trivially bounded.
+    total = counts.agg(F.sum("n").alias("_total"))
+    stages = verdicts.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(STAGES)], "stage_idx int, stage string"
+    )
+    w = Window.orderBy("stage_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = (
+        stages.join(counts, "stage_idx", "left")
+        .withColumn("n_dropped", F.coalesce(F.col("n"), F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_survivors",
+            (F.col("_total") - F.sum("n_dropped").over(w)).cast("long"),
+        )
+    )
+    return out.select("stage_idx", "stage", "n_dropped", "n_survivors")
+
+
+def curate_corpus(
+    docs: DataFrame, allowed_langs: list[str], **gate_kwargs
+) -> tuple[DataFrame, DataFrame]:
+    """(kept rows, funnel table) in one logical pass."""
+    v = curation_verdicts(docs, allowed_langs, **gate_kwargs)
+    return v.filter(F.col("verdict") == "kept").drop("verdict"), funnel(v)
