@@ -909,6 +909,38 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fn
 
 
+def _q_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental dedup (operators/bloom.py): docs with
+    doc_id % 3 != 0 form the prior crawl, folded into a 2^16-bit
+    filter; the full table then screens against it. seen_before is
+    exactly reproducible — the md5 probe positions make even the
+    false positives deterministic, and the DuckDB oracle replays the
+    build + screen bit-for-bit."""
+    from karanta_ocr_spark.operators.bloom import bloom_build, bloom_screen
+
+    d = _docs(spark, sf_dir)
+    prior = d.filter(F.col("doc_id") % 3 != 0).select("text")
+    bloom = bloom_build(prior, "text", num_bits=1 << 16, k=5, seed=42)
+    return bloom_screen(
+        d.select("doc_id", "text"), bloom, "text", num_bits=1 << 16, k=5, seed=42
+    ).select("doc_id", "seen_before")
+
+
+def _q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/importance.py): fit
+    hashed-unigram models on the en slice (target) vs the whole pool
+    (raw), score every doc by mean per-token log-likelihood ratio,
+    select scores > 0. The DuckDB oracle refits both models and
+    replays the left-fold scoring on the same md5-mod buckets."""
+    from karanta_ocr_spark.operators.importance import dsir_select
+
+    d = _docs(spark, sf_dir)
+    tgt = d.filter(F.col("lang") == "en").select("text")
+    return dsir_select(
+        d.select("doc_id", "lang", "text"), tgt, num_buckets=256, seed=42
+    ).select("doc_id", "lang", "n_toks", "importance", "selected")
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-ish (GPT-2 pretokenizer shape) token counts
     + chars/token — the budget numbers an LLM-data pipeline reports.
@@ -1850,6 +1882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_chain": _q_media_decode_chain,
         # -- new in r4 --
         "curation_funnel": _q_curation_funnel,
+        "bloom_incremental": _q_bloom_incremental,
+        "dsir_selection": _q_dsir_selection,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "ann_lsh_multiprobe_topk": _q_ann_lsh_multiprobe_topk,
         "bpe_token_stats": _q_bpe_token_stats,
@@ -2519,6 +2553,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.t - sum(coalesce(cnt.n, 0))
                               OVER (ORDER BY s.stage_idx) AS BIGINT) AS n_survivors
             FROM stages s LEFT JOIN cnt ON s.stage = cnt.verdict CROSS JOIN tot t
+        """,
+        "bloom_incremental": """
+            WITH ii AS (SELECT unnest(range(0, 5)) AS i),
+            ppos AS (SELECT ('0x' || substr(md5('42:' || CAST(i AS VARCHAR)
+                                 || ':' || text), 1, 15))::BIGINT % 65536 AS pos
+                     FROM documents CROSS JOIN ii
+                     WHERE doc_id % 3 <> 0),
+            bloom AS (SELECT CAST(floor(pos / 32) AS BIGINT) AS word_idx,
+                             bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS bits
+                      FROM ppos GROUP BY 1),
+            bpos AS (SELECT doc_id, ('0x' || substr(md5('42:' || CAST(i AS VARCHAR)
+                                 || ':' || text), 1, 15))::BIGINT % 65536 AS pos
+                     FROM documents CROSS JOIN ii),
+            hit AS (SELECT doc_id,
+                           coalesce((b.bits & (1::BIGINT
+                               << CAST(pos % 32 AS INTEGER))) <> 0, false) AS h
+                    FROM bpos LEFT JOIN bloom b
+                      ON CAST(floor(pos / 32) AS BIGINT) = b.word_idx)
+            SELECT doc_id, bool_and(h) AS seen_before FROM hit GROUP BY doc_id
+        """,
+        "dsir_selection": r"""
+            WITH toks AS (SELECT doc_id, lang,
+                                 list_filter(regexp_split_to_array(lower(trim(text)),
+                                             '[ \t-\r]+'), t -> t <> '') AS tk
+                          FROM documents),
+            tb AS (SELECT ('0x' || substr(md5('42:u:' || t), 1, 15))::BIGINT % 256 AS b,
+                          count(*) AS n
+                   FROM (SELECT unnest(tk) AS t FROM toks WHERE lang = 'en')
+                   GROUP BY 1),
+            rb AS (SELECT ('0x' || substr(md5('42:u:' || t), 1, 15))::BIGINT % 256 AS b,
+                          count(*) AS n
+                   FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1),
+            tn AS (SELECT sum(n) AS s FROM tb),
+            rn AS (SELECT sum(n) AS s FROM rb),
+            lr AS (SELECT g.b,
+                          ln((coalesce(tb.n, 0) + 1) / CAST(tn.s + 256 AS DOUBLE))
+                        - ln((coalesce(rb.n, 0) + 1) / CAST(rn.s + 256 AS DOUBLE)) AS v
+                   FROM (SELECT unnest(range(0, 256)) AS b) g
+                   LEFT JOIN tb ON g.b = tb.b
+                   LEFT JOIN rb ON g.b = rb.b
+                   CROSS JOIN tn CROSS JOIN rn),
+            model AS (SELECT list(v ORDER BY b) AS l FROM lr),
+            scored AS (SELECT doc_id, lang, CAST(len(tk) AS BIGINT) AS n_toks,
+                              CASE WHEN len(tk) > 0 THEN round(
+                                  list_reduce(list_prepend(0.0, list_transform(tk,
+                                      t -> l[CAST(('0x' || substr(md5('42:u:' || t), 1, 15))::BIGINT
+                                              % 256 AS INTEGER) + 1])),
+                                      (x, y) -> x + y) / len(tk), 6) END AS importance
+                       FROM toks CROSS JOIN model)
+            SELECT doc_id, lang, n_toks, importance,
+                   coalesce(importance > 0.0, false) AS selected
+            FROM scored
         """,
         "temperature_mix": """
             WITH d AS (
