@@ -205,6 +205,9 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "link_extract", "host_pagerank", "anchor_profile",
         "crawl_schedule", "bm25_search", "perplexity_buckets",
         "host_reputation", "temperature_mix", "stratified_split",
+        # r4 wave 3: one-pass curation funnel, Bloom-screened
+        # incremental dedup, DSIR hashed-ngram importance selection.
+        "curation_funnel", "bloom_incremental", "dsir_selection",
     ]
     qs = entrymod.queries()
     # One untimed pass of every query at sf0.001: the first run of
