@@ -941,6 +941,58 @@ def _q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_toks", "importance", "selected")
 
 
+def _q_quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training
+    (operators/train_lr.py): fit a C4-style keep/drop classifier on
+    (bounded word count, bounded length) features by 8 full-batch GD
+    steps with EXACT fixed-point gradient sums (partition-invariant
+    weights), then score every doc map-only. The DuckDB oracle
+    unrolls the whole training trajectory — 8 chained one-row weight
+    CTEs — and must land on the same 6-dp scores."""
+    from karanta_ocr_spark.functions.text_analysis import WS_SQL
+    from karanta_ocr_spark.operators.train_lr import train_quality_classifier
+
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        F.expr(
+            f"least(cast(size(split(trim(text), '{WS_SQL}+')) as double),"
+            " 100.0D) / 100.0D"
+        ).alias("f_wc"),
+        F.expr(
+            "least(cast(length(trim(text)) as double), 2000.0D) / 2000.0D"
+        ).alias("f_len"),
+        F.expr(
+            f"CASE WHEN size(split(trim(text), '{WS_SQL}+')) >= 5"
+            " AND NOT contains(text, '{')"
+            " AND NOT contains(lower(text), 'lorem ipsum')"
+            " THEN 1 ELSE 0 END"
+        ).alias("y"),
+    )
+    _, scored = train_quality_classifier(
+        base, ["f_wc", "f_len"], "y", lr=1.0, iters=8
+    )
+    return scored.select("doc_id", "y", "score", "predicted")
+
+
+def _quality_lr_oracle_sql() -> str:
+    from karanta_ocr_spark.operators.train_lr import logreg_oracle_sql
+
+    base = r"""base AS (
+        SELECT doc_id,
+               least(CAST(len(regexp_split_to_array(trim(text), '[ \t-\r]+'))
+                          AS DOUBLE), 100.0) / 100.0 AS f_wc,
+               least(CAST(length(trim(text)) AS DOUBLE), 2000.0) / 2000.0 AS f_len,
+               CASE WHEN len(regexp_split_to_array(trim(text), '[ \t-\r]+')) >= 5
+                     AND NOT contains(text, '{')
+                     AND NOT contains(lower(text), 'lorem ipsum')
+                    THEN 1 ELSE 0 END AS y
+        FROM documents)"""
+    return logreg_oracle_sql(
+        base, ["f_wc", "f_len"], "y", ["doc_id", "y"], lr=1.0, iters=8
+    )
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-ish (GPT-2 pretokenizer shape) token counts
     + chars/token — the budget numbers an LLM-data pipeline reports.
@@ -1884,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": _q_curation_funnel,
         "bloom_incremental": _q_bloom_incremental,
         "dsir_selection": _q_dsir_selection,
+        "quality_lr_train": _q_quality_lr_train,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "ann_lsh_multiprobe_topk": _q_ann_lsh_multiprobe_topk,
         "bpe_token_stats": _q_bpe_token_stats,
@@ -2508,6 +2561,7 @@ def oracle_sql() -> dict[str, str]:
         **_webgraph_oracle_sqls(),
         "bm25_search": _bm25_oracle_sql(_BM25_TERMS),
         "bpe_token_stats": _bpe_oracle_sql(),
+        "quality_lr_train": _quality_lr_oracle_sql(),
         "curation_funnel": r"""
             WITH base AS (
                 SELECT doc_id, lang,
