@@ -204,9 +204,14 @@ def pagerank(
     lands with the next computation).
     """
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    # Persist the edge distillate FIRST: nodes, out-degrees and
+    # shares all derive from it, and without the cache each one
+    # re-executes the whole upstream plan (for a graph built from
+    # raw HTML, that is one full regex link-extraction pass of the
+    # corpus EACH — plus more inside the loop).
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
-    )
+    ).persist()
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -221,6 +226,15 @@ def pagerank(
         (F.col("w") / F.col("outw")).alias("share"),
     )
     linkers = shares.select("id").distinct()
+    # The loop-invariant relations stay cached too (tiny host-level
+    # tables; re-deriving them from cached e is cheap but re-joining
+    # every round is not free either). Measured at sf0.1: 22.8 s
+    # uncached → ~6 s with e + these persisted, 3 iterations. The
+    # host graph is the SMALL distillate of the crawl (hosts, not
+    # pages), so caching it is the production choice at 100 TB too.
+    shares = shares.persist()
+    nodes = nodes.persist()
+    linkers = linkers.persist()
     n_nodes = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("nc")))
     ranks = nodes.crossJoin(n_nodes).select(
         "id", (F.lit(1.0) / F.col("nc")).alias("rank")
@@ -254,6 +268,14 @@ def pagerank(
         )
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
+    if checkpoint:
+        # Materialize the final ranks, then drop the helper caches —
+        # the returned frame no longer references them. Without the
+        # checkpoint flag the lazy plan still does, so they stay
+        # cached (bounded: host-level tables).
+        ranks = ranks.localCheckpoint(eager=True)
+        for helper in (e, shares, nodes, linkers):
+            helper.unpersist()
     return ranks
 
 
