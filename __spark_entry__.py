@@ -799,6 +799,77 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pii_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated card masking (functions/pii.scrub_cards): a
+    16-digit card-shaped number derived from doc_id is injected into
+    every doc (4-4-4-4 spacing); only the ~10% whose Luhn mod-10 sum
+    happens to land on 0 get masked — shape alone never does. The
+    DuckDB oracle replays candidate extraction, the right-to-left
+    doubled-digit fold, and the conditional replace fold."""
+    from karanta_ocr_spark.functions.pii import count_valid_cards, scrub_cards
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' card ', "
+            "substring(lpad(cast(doc_id * 7919 % 10000000000000000 as string),"
+            " 16, '0'), 1, 4), ' ', "
+            "substring(lpad(cast(doc_id * 7919 % 10000000000000000 as string),"
+            " 16, '0'), 5, 4), ' ', "
+            "substring(lpad(cast(doc_id * 7919 % 10000000000000000 as string),"
+            " 16, '0'), 9, 4), ' ', "
+            "substring(lpad(cast(doc_id * 7919 % 10000000000000000 as string),"
+            " 16, '0'), 13, 4))"
+        ).alias("text"),
+    )
+    return synth.select(
+        "doc_id",
+        count_valid_cards(F.col("text")).alias("n_cards"),
+        scrub_cards(F.col("text")).alias("scrubbed"),
+    )
+
+
+def _pii_cards_oracle_sql() -> str:
+    from karanta_ocr_spark.functions.pii import CARD_RE, CARD_TOKEN
+
+    luhn = (
+        "(len(regexp_extract_all(c, '[0-9]')) BETWEEN 13 AND 19 AND "
+        "list_reduce(list_prepend(0, list_transform("
+        "range(1, len(regexp_extract_all(c, '[0-9]')) + 1), i -> "
+        "CASE WHEN i % 2 = 0 THEN "
+        " CASE WHEN regexp_extract_all(c, '[0-9]')[len(regexp_extract_all(c, '[0-9]')) - i + 1]::INT * 2 > 9 "
+        "      THEN regexp_extract_all(c, '[0-9]')[len(regexp_extract_all(c, '[0-9]')) - i + 1]::INT * 2 - 9 "
+        "      ELSE regexp_extract_all(c, '[0-9]')[len(regexp_extract_all(c, '[0-9]')) - i + 1]::INT * 2 END "
+        "ELSE regexp_extract_all(c, '[0-9]')[len(regexp_extract_all(c, '[0-9]')) - i + 1]::INT END)), "
+        "(x, y) -> x + y) % 10 = 0)"
+    )
+    return f"""
+        WITH synth AS (
+            SELECT doc_id,
+                   text || ' card ' ||
+                   substring(lpad(CAST(doc_id * 7919 % 10000000000000000
+                                       AS VARCHAR), 16, '0'), 1, 4) || ' ' ||
+                   substring(lpad(CAST(doc_id * 7919 % 10000000000000000
+                                       AS VARCHAR), 16, '0'), 5, 4) || ' ' ||
+                   substring(lpad(CAST(doc_id * 7919 % 10000000000000000
+                                       AS VARCHAR), 16, '0'), 9, 4) || ' ' ||
+                   substring(lpad(CAST(doc_id * 7919 % 10000000000000000
+                                       AS VARCHAR), 16, '0'), 13, 4) AS text
+            FROM documents),
+        v AS (SELECT doc_id, text,
+                     list_filter(regexp_extract_all(text, '{CARD_RE}', 2),
+                                 c -> {luhn}) AS valid
+              FROM synth)
+        SELECT doc_id,
+               CAST(len(list_distinct(valid)) AS BIGINT) AS n_cards,
+               list_reduce(list_prepend(text, valid),
+                           (acc, c) -> replace(acc, c, '{CARD_TOKEN}'))
+                   AS scrubbed
+        FROM v
+    """
+
+
 def _q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup — the first dedup of any web pipeline: messy
     variants (uppercase authority, default ports, utm params,
@@ -1937,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_incremental": _q_bloom_incremental,
         "dsir_selection": _q_dsir_selection,
         "quality_lr_train": _q_quality_lr_train,
+        "pii_cards": _q_pii_cards,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "ann_lsh_multiprobe_topk": _q_ann_lsh_multiprobe_topk,
         "bpe_token_stats": _q_bpe_token_stats,
@@ -2562,6 +2634,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _bm25_oracle_sql(_BM25_TERMS),
         "bpe_token_stats": _bpe_oracle_sql(),
         "quality_lr_train": _quality_lr_oracle_sql(),
+        "pii_cards": _pii_cards_oracle_sql(),
         "curation_funnel": r"""
             WITH base AS (
                 SELECT doc_id, lang,

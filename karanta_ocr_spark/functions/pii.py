@@ -114,3 +114,68 @@ def canonicalize_url(col: Column) -> Column:
     u = F.regexp_replace(u, r"[?&]$", "")
     u = F.regexp_replace(u, r"(.)/$", r"$1")
     return u
+
+
+#: Card-shaped digit runs: 13-19 digits, optionally separated by
+#: SINGLE spaces or dashes (the common 4-4-4-4 print format), with
+#: consumed-boundary guards on both edges like IPV4_RE/PHONE_RE.
+#: Shape alone is NOT enough to mask (13-19 digit ids are everywhere)
+#: — candidates must also pass the Luhn mod-10 check, which a plain
+#: regexp_replace cannot express; see scrub_cards.
+CARD_RE = (
+    r"(?:^|([^\d]))"
+    r"(\d(?:[ -]?\d){12,18})"
+    r"(?:$|([^\d]))"
+)
+
+CARD_TOKEN = "|||CARD|||"
+
+
+def _luhn_valid(c: Column) -> Column:
+    """Luhn mod-10 validity of the digit string inside candidate
+    column *c* (optional single separators allowed). Pure Catalyst
+    HOFs: extract digits, fold from the RIGHT doubling every second
+    digit. The DuckDB twin lives in the pii_cards oracle."""
+    digs = F.regexp_extract_all(c, F.lit("[0-9]"), F.lit(0))
+    n = F.size(digs)
+
+    def digit_at(i: Column) -> Column:
+        return F.element_at(digs, (n - i + F.lit(1)).cast("int")).cast("int")
+
+    def contrib(acc: Column, i: Column) -> Column:
+        d = digit_at(i)
+        doubled = F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+        return acc + F.when(i % 2 == 0, doubled).otherwise(d)
+
+    total = F.aggregate(F.sequence(F.lit(1), n), F.lit(0), contrib)
+    return n.between(13, 19) & (total % 10 == 0)
+
+
+def scrub_cards(col: Column) -> Column:
+    """Mask card-shaped digit runs that PASS the Luhn check.
+
+    Conditional masking needs two phases (regexp_replace cannot call
+    Luhn): (1) regexp_extract_all the card-SHAPED candidates, keep
+    the Luhn-valid ones; (2) left-fold plain replace() over the
+    validated strings. Both phases are Catalyst HOFs — map-only, no
+    Python, no shuffle.
+
+    Compose BEFORE :func:`scrub_pii` when using both: the phone
+    pattern would otherwise eat the middle of a spaced card number
+    first. Caveat (documented, identical in the oracle): replace()
+    masks every occurrence of a validated substring, including a
+    (vanishingly unlikely) appearance inside a longer digit run
+    elsewhere in the same document."""
+    cands = F.regexp_extract_all(col, F.lit(CARD_RE), F.lit(2))
+    valid = F.filter(cands, _luhn_valid)
+    return F.aggregate(
+        valid, col, lambda acc, c: F.replace(acc, c, F.lit(CARD_TOKEN))
+    )
+
+
+def count_valid_cards(col: Column) -> Column:
+    """Number of distinct Luhn-valid card-shaped candidates."""
+    cands = F.regexp_extract_all(col, F.lit(CARD_RE), F.lit(2))
+    return F.size(
+        F.array_distinct(F.filter(cands, _luhn_valid))
+    ).cast("bigint")

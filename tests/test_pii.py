@@ -153,3 +153,50 @@ def test_scrub_adjacent_phone_list_both_masked(spark):
         _scrub_one(spark, "555-123-4567,555-987-6543,555-111-2222")
         == f"{PHONE_TOKEN},{PHONE_TOKEN},{PHONE_TOKEN}"
     )
+
+
+def test_scrub_cards_luhn_gated(spark):
+    from karanta_ocr_spark.functions.pii import (
+        CARD_TOKEN, count_valid_cards, scrub_cards,
+    )
+
+    rows = [
+        (1, "pay with 4111 1111 1111 1111 now"),   # Visa test number
+        (2, "pay with 4111 1111 1111 1112 now"),   # fails Luhn -> kept
+        (3, "card 5500-0000-0000-0004 works"),     # MC test number
+        (4, "phone 555-123-4567 stays"),           # 10 digits: not card-shaped
+        (5, "order 79927398713 ok"),               # Luhn-valid but 11 digits
+        (6, "id 1234567890123 is not a card"),     # 13 digits, Luhn-invalid
+        (7, "two: 4111 1111 1111 1111 and 5500-0000-0000-0004"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n"], r["s"])
+        for r in df.select(
+            "doc_id",
+            count_valid_cards(F.col("text")).alias("n"),
+            scrub_cards(F.col("text")).alias("s"),
+        ).collect()
+    }
+    assert out[1] == (1, f"pay with {CARD_TOKEN} now")
+    assert out[2] == (0, "pay with 4111 1111 1111 1112 now")
+    assert out[3] == (1, f"card {CARD_TOKEN} works")
+    assert out[4] == (0, "phone 555-123-4567 stays")
+    assert out[5] == (0, "order 79927398713 ok")
+    assert out[6] == (0, "id 1234567890123 is not a card")
+    assert out[7] == (2, f"two: {CARD_TOKEN} and {CARD_TOKEN}")
+
+
+def test_scrub_cards_before_phones_composition(spark):
+    # The documented order: cards first, then scrub_pii — otherwise
+    # the phone pattern eats the middle of a spaced card number.
+    from karanta_ocr_spark.functions.pii import CARD_TOKEN, scrub_cards
+
+    df = spark.createDataFrame(
+        [(1, "card 4111 1111 1111 1111 tel 555-123-4567")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        scrub_pii(scrub_cards(F.col("text"))).alias("s")
+    ).collect()[0]["s"]
+    assert out == f"card {CARD_TOKEN} tel {PHONE_TOKEN}"
