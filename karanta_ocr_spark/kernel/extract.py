@@ -56,7 +56,9 @@ def extract_document(
     try:
         kind = sniff_content_type(payload)
         if kind == "html":
-            text = extract_main_text(payload.decode("utf-8", "replace"))
+            from karanta_ocr_spark.kernel.charset import decode_html
+
+            text = extract_main_text(decode_html(payload))
             return [PageExtract(1, text if text else None, "", True)]
 
         seed = seed_from_key(url)
