@@ -870,6 +870,90 @@ def _pii_cards_oracle_sql() -> str:
     """
 
 
+def _q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing (operators/sitemap.py): every doc row becomes
+    a sitemap XML built in-plan — two page entries (one with
+    lastmod+priority, one with changefreq only → 0.5 default), a
+    sitemapindex child for doc_id%5 rows, and a loc-less entry that
+    must drop. The DuckDB oracle replays the block regexes and the
+    priority default/rounding."""
+    from karanta_ocr_spark.operators.sitemap import parse_sitemap_entries
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        F.expr(
+            "concat('https://', source, '.example.org/sitemap', doc_id,"
+            " '.xml')"
+        ).alias("sitemap_url"),
+        F.expr(
+            "concat('<urlset>',"
+            " '<url><loc> https://', source, '.example.org/p/', doc_id,"
+            " ' </loc><lastmod>2025-01-0', 1 + doc_id % 9, '</lastmod>',"
+            " '<priority>0.', doc_id % 10, '</priority></url>',"
+            " '<url><loc>https://', source, '.example.org/q/', doc_id,"
+            " '</loc><changefreq>daily</changefreq></url>',"
+            " CASE WHEN doc_id % 5 = 0 THEN concat('<sitemap><loc>https://',"
+            "   source, '.example.org/sitemap-child.xml</loc>',"
+            "   '<lastmod>2025-02-01</lastmod></sitemap>') ELSE '' END,"
+            " '<url><priority>0.9</priority></url>',"
+            " '</urlset>')"
+        ).alias("sitemap_xml"),
+    )
+    return parse_sitemap_entries(synth)
+
+
+def _sitemap_oracle_sql() -> str:
+    from karanta_ocr_spark.operators.sitemap import (
+        INDEX_BLOCK_RE, URL_BLOCK_RE, _CHANGEFREQ_RE, _LASTMOD_RE, _LOC_RE,
+        _PRIORITY_RE,
+    )
+
+    def block(kind: str, pat: str) -> str:
+        return f"""
+            SELECT sitemap_url, '{kind}' AS kind,
+                   regexp_extract(b, '{_LOC_RE}', 1) AS loc,
+                   regexp_extract(b, '{_LASTMOD_RE}', 1) AS lastmod_raw,
+                   regexp_extract(b, '{_CHANGEFREQ_RE}', 1) AS changefreq_raw,
+                   regexp_extract(b, '{_PRIORITY_RE}', 1) AS priority_raw
+            FROM (SELECT sitemap_url,
+                         unnest(regexp_extract_all(sitemap_xml, '{pat}', 0)) AS b
+                  FROM synth)"""
+
+    return f"""
+        WITH synth AS (
+            SELECT 'https://' || source || '.example.org/sitemap' ||
+                       CAST(doc_id AS VARCHAR) || '.xml' AS sitemap_url,
+                   '<urlset>' ||
+                   '<url><loc> https://' || source || '.example.org/p/' ||
+                       CAST(doc_id AS VARCHAR) || ' </loc><lastmod>2025-01-0' ||
+                       CAST(1 + doc_id % 9 AS VARCHAR) || '</lastmod>' ||
+                       '<priority>0.' || CAST(doc_id % 10 AS VARCHAR) ||
+                       '</priority></url>' ||
+                   '<url><loc>https://' || source || '.example.org/q/' ||
+                       CAST(doc_id AS VARCHAR) ||
+                       '</loc><changefreq>daily</changefreq></url>' ||
+                   CASE WHEN doc_id % 5 = 0 THEN
+                       '<sitemap><loc>https://' || source ||
+                       '.example.org/sitemap-child.xml</loc>' ||
+                       '<lastmod>2025-02-01</lastmod></sitemap>'
+                   ELSE '' END ||
+                   '<url><priority>0.9</priority></url>' ||
+                   '</urlset>' AS sitemap_xml
+            FROM documents),
+        raw AS ({block('url', URL_BLOCK_RE)}
+                UNION ALL
+                {block('sitemap', INDEX_BLOCK_RE)})
+        SELECT sitemap_url, kind, loc,
+               CASE WHEN lastmod_raw = '' THEN NULL ELSE lastmod_raw END
+                   AS lastmod,
+               CASE WHEN changefreq_raw = '' THEN NULL ELSE changefreq_raw END
+                   AS changefreq,
+               round(coalesce(TRY_CAST(priority_raw AS DOUBLE), 0.5), 6)
+                   AS priority
+        FROM raw WHERE loc <> ''
+    """
+
+
 def _q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup — the first dedup of any web pipeline: messy
     variants (uppercase authority, default ports, utm params,
@@ -2009,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_selection": _q_dsir_selection,
         "quality_lr_train": _q_quality_lr_train,
         "pii_cards": _q_pii_cards,
+        "sitemap_entries": _q_sitemap_entries,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "ann_lsh_multiprobe_topk": _q_ann_lsh_multiprobe_topk,
         "bpe_token_stats": _q_bpe_token_stats,
@@ -2635,6 +2720,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_stats": _bpe_oracle_sql(),
         "quality_lr_train": _quality_lr_oracle_sql(),
         "pii_cards": _pii_cards_oracle_sql(),
+        "sitemap_entries": _sitemap_oracle_sql(),
         "curation_funnel": r"""
             WITH base AS (
                 SELECT doc_id, lang,
