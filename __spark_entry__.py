@@ -954,6 +954,62 @@ def _sitemap_oracle_sql() -> str:
     """
 
 
+def _q_robots_crawl_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host Crawl-delay + Sitemap declarations
+    (corpus_filters.robots_crawl_policy): 50 hosts get robots.txt
+    built in-plan with arithmetically-knowable policy — a wildcard
+    group whose Crawl-delay h%7 is omitted when h%3=0, a trainbot
+    group (delay 1, more specific → wins) when h%4=0, and 0-2
+    Sitemap lines (h%2, h%5). The oracle PREDICTS every output value
+    from the same arithmetic instead of parsing (the robots_gate
+    pattern)."""
+    from karanta_ocr_spark.operators.corpus_filters import robots_crawl_policy
+
+    d = _docs(spark, sf_dir)
+    hosts = d.select((F.col("doc_id") % 50).alias("h")).distinct()
+    robots = hosts.select(
+        F.expr("concat('h', h, '.example.org')").alias("host"),
+        F.expr(
+            "concat('User-agent: *', char(10),"
+            " CASE WHEN h % 3 = 0 THEN ''"
+            "      ELSE concat('Crawl-delay: ', h % 7, char(10)) END,"
+            " 'Disallow: /private', char(10),"
+            " CASE WHEN h % 4 = 0 THEN concat('User-agent: trainbot',"
+            "   char(10), 'Crawl-delay: 1', char(10), 'Allow: /', char(10))"
+            "      ELSE '' END,"
+            " CASE WHEN h % 2 = 0 THEN concat('Sitemap: https://h', h,"
+            "   '.example.org/sitemap.xml', char(10)) ELSE '' END,"
+            " CASE WHEN h % 5 = 0 THEN concat('Sitemap: https://h', h,"
+            "   '.example.org/news.xml', char(10)) ELSE '' END)"
+        ).alias("robots_txt"),
+    )
+    return robots_crawl_policy(robots, agent="trainbot")
+
+
+_ROBOTS_POLICY_ORACLE = """
+    WITH hosts AS (SELECT DISTINCT doc_id % 50 AS h FROM documents)
+    SELECT 'h' || CAST(h AS VARCHAR) || '.example.org' AS host,
+           CASE WHEN h % 4 = 0 THEN 1.0
+                WHEN h % 3 = 0 THEN NULL
+                ELSE CAST(h % 7 AS DOUBLE) END AS crawl_delay,
+           CASE WHEN h % 2 = 0 AND h % 5 = 0 THEN
+                    'https://h' || CAST(h AS VARCHAR) ||
+                    '.example.org/sitemap.xml|https://h' ||
+                    CAST(h AS VARCHAR) || '.example.org/news.xml'
+                WHEN h % 2 = 0 THEN
+                    'https://h' || CAST(h AS VARCHAR) ||
+                    '.example.org/sitemap.xml'
+                WHEN h % 5 = 0 THEN
+                    'https://h' || CAST(h AS VARCHAR) ||
+                    '.example.org/news.xml'
+                ELSE NULL END AS sitemaps,
+           CAST(CASE WHEN h % 2 = 0 AND h % 5 = 0 THEN 2
+                     WHEN h % 2 = 0 OR h % 5 = 0 THEN 1
+                     ELSE 0 END AS BIGINT) AS n_sitemaps
+    FROM hosts
+"""
+
+
 def _q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup — the first dedup of any web pipeline: messy
     variants (uppercase authority, default ports, utm params,
@@ -2094,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lr_train": _q_quality_lr_train,
         "pii_cards": _q_pii_cards,
         "sitemap_entries": _q_sitemap_entries,
+        "robots_crawl_policy": _q_robots_crawl_policy,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "ann_lsh_multiprobe_topk": _q_ann_lsh_multiprobe_topk,
         "bpe_token_stats": _q_bpe_token_stats,
@@ -2721,6 +2778,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_lr_train": _quality_lr_oracle_sql(),
         "pii_cards": _pii_cards_oracle_sql(),
         "sitemap_entries": _sitemap_oracle_sql(),
+        "robots_crawl_policy": _ROBOTS_POLICY_ORACLE,
         "curation_funnel": r"""
             WITH base AS (
                 SELECT doc_id, lang,

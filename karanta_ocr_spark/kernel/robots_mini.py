@@ -34,6 +34,9 @@ class RuleGroup:
     agents: list[str] = field(default_factory=list)
     #: (allow?, raw pattern) in file order
     rules: list[tuple[bool, str]] = field(default_factory=list)
+    #: Crawl-delay seconds (non-standard but universally honored;
+    #: group-scoped like the rules). None = not declared.
+    delay: float | None = None
 
 
 def parse_robots(text: str) -> list[RuleGroup]:
@@ -58,11 +61,66 @@ def parse_robots(text: str) -> list[RuleGroup]:
             if cur is None:
                 continue  # rules before any User-agent line: ignored
             cur.rules.append((key == "allow", val))
+        elif key == "crawl-delay":
+            in_agent_run = False
+            if cur is not None and cur.delay is None:
+                try:
+                    cur.delay = float(val)
+                except ValueError:
+                    pass  # junk value: treat as undeclared
         else:
-            # crawl-delay / sitemap / unknown: close the agent run but
-            # keep the group open for later allow/disallow lines.
+            # sitemap / unknown: close the agent run but keep the
+            # group open for later allow/disallow lines. (Sitemap
+            # lines are group-INDEPENDENT per the protocol and are
+            # collected separately by sitemap_urls.)
             in_agent_run = False
     return groups
+
+
+#: Sitemap: lines are not part of any group (sitemaps.org protocol:
+#: they apply to the whole host, wherever they appear in the file).
+_SITEMAP_LINE_RE = re.compile(r"^[ \t]*sitemap[ \t]*:[ \t]*(\S+)", re.I | re.M)
+
+
+def sitemap_urls(robots_text: str | None) -> list[str]:
+    """All Sitemap: declarations, in file order (absolute URLs per
+    the protocol; values taken verbatim, comments stripped)."""
+    if not robots_text:
+        return []
+    stripped = "\n".join(
+        line.split("#", 1)[0] for line in robots_text.splitlines()
+    )
+    return _SITEMAP_LINE_RE.findall(stripped)
+
+
+def crawl_delay(robots_text: str | None, agent: str) -> float | None:
+    """The Crawl-delay for *agent*: from the most-specific matching
+    group(s), exactly like rule selection; when equally-specific
+    groups disagree, the MINIMUM delay wins (the conservative
+    reading is the larger delay, but merged groups historically mean
+    "any of these lines applies" — we take the smallest declared
+    value and document the choice). None = not declared."""
+    if not robots_text:
+        return None
+    groups = parse_robots(robots_text)
+    agent = agent.lower()
+    best_len = -1
+    delays: list[float] = []
+    for g in groups:
+        specificity = -1
+        for a in g.agents:
+            if a == "*":
+                specificity = max(specificity, 0)
+            elif agent.startswith(a):
+                specificity = max(specificity, len(a))
+        if specificity < 0:
+            continue
+        if specificity > best_len:
+            best_len = specificity
+            delays = [g.delay] if g.delay is not None else []
+        elif specificity == best_len and g.delay is not None:
+            delays.append(g.delay)
+    return min(delays) if delays else None
 
 
 def _pattern_re(pattern: str) -> re.Pattern:

@@ -498,3 +498,55 @@ def host_reputation(
             & (F.col("mean_chars") >= min_mean_chars)
         ).alias("reputable"),
     )
+
+
+def robots_crawl_policy(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Per-host crawl policy from robots.txt: the agent's
+    ``crawl_delay`` (group-selected exactly like the allow/disallow
+    rules; smallest declared value among equally-specific groups) and
+    the host's ``Sitemap:`` declarations (group-independent, file
+    order, joined with ``|`` so the row stays flat).
+
+    Together with :func:`robots_txt_gate` (page verdicts),
+    ``operators/sitemap`` (parsing the declared sitemaps) and
+    ``operators/frontier`` (politeness rounds — crawl_delay is the
+    seconds-per-round multiplier for a host's schedule) this closes
+    the crawl-policy loop. Map-only over the host table (one row per
+    host, ~10^8 at web scale — a sliver next to the page table): one
+    Arrow-batched pandas UDF with a per-worker parse, no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    def policy(texts: pd.Series) -> pd.DataFrame:
+        from karanta_ocr_spark.kernel.robots_mini import (
+            crawl_delay,
+            sitemap_urls,
+        )
+
+        delays = []
+        maps = []
+        for t in texts:
+            delays.append(crawl_delay(t, agent))
+            maps.append("|".join(sitemap_urls(t)))
+        return pd.DataFrame({"crawl_delay": delays, "sitemaps": maps})
+
+    pol = pandas_udf(
+        policy, "crawl_delay double, sitemaps string"
+    )(F.col(text_col))
+    out = robots.withColumn("_p", pol)
+    return out.select(
+        F.col(host_col).alias("host"),
+        F.col("_p.crawl_delay").alias("crawl_delay"),
+        F.when(F.col("_p.sitemaps") == "", None)
+        .otherwise(F.col("_p.sitemaps"))
+        .alias("sitemaps"),
+        F.when(
+            F.col("_p.sitemaps") == "", F.lit(0)
+        ).otherwise(
+            F.size(F.split(F.col("_p.sitemaps"), r"\|")) 
+        ).cast("bigint").alias("n_sitemaps"),
+    )

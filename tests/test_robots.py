@@ -93,3 +93,62 @@ def test_spark_robots_gate(spark):
     assert not out[3]["allowed"] and out[3]["host"] == "a.example"
     assert out[4]["allowed"]
     assert out[5]["allowed"] and out[5]["path"] == "/"
+
+
+def test_sitemap_urls_and_crawl_delay():
+    from karanta_ocr_spark.kernel.robots_mini import crawl_delay, sitemap_urls
+
+    txt = (
+        "User-agent: *\n"
+        "Crawl-delay: 2.5\n"
+        "Disallow: /private\n"
+        "Sitemap: https://h.example/sitemap.xml\n"
+        "\n"
+        "User-agent: mybot\n"
+        "Crawl-delay: 1\n"
+        "Allow: /\n"
+        "\n"
+        "Sitemap: https://h.example/news.xml  # trailing comment\n"
+    )
+    assert sitemap_urls(txt) == [
+        "https://h.example/sitemap.xml",
+        "https://h.example/news.xml",
+    ]
+    assert crawl_delay(txt, "mybot/1.0") == 1.0  # specific group wins
+    assert crawl_delay(txt, "otherbot") == 2.5
+    assert crawl_delay("User-agent: *\nDisallow:\n", "x") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: soon\n", "x") is None
+    assert crawl_delay(None, "x") is None
+    assert sitemap_urls(None) == []
+    # equally-specific merged groups: smallest declared delay wins.
+    two = (
+        "User-agent: *\nCrawl-delay: 5\nDisallow: /a\n\n"
+        "User-agent: *\nCrawl-delay: 3\nDisallow: /b\n"
+    )
+    assert crawl_delay(two, "anybot") == 3.0
+
+
+def test_crawl_delay_does_not_change_rule_semantics():
+    from karanta_ocr_spark.kernel.robots_mini import is_allowed
+
+    txt = "User-agent: *\nCrawl-delay: 9\nDisallow: /private\n"
+    assert not is_allowed(txt, "bot", "/private/x")
+    assert is_allowed(txt, "bot", "/public")
+
+
+def test_robots_crawl_policy_operator(spark):
+    from karanta_ocr_spark.operators.corpus_filters import robots_crawl_policy
+
+    rows = [
+        ("a.example", "User-agent: *\nCrawl-delay: 2\n"
+                      "Sitemap: https://a.example/s.xml\n"),
+        ("b.example", "User-agent: *\nDisallow: /x\n"),
+    ]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    out = {r["host"]: r for r in robots_crawl_policy(df, "bot").collect()}
+    assert out["a.example"]["crawl_delay"] == 2.0
+    assert out["a.example"]["sitemaps"] == "https://a.example/s.xml"
+    assert out["a.example"]["n_sitemaps"] == 1
+    assert out["b.example"]["crawl_delay"] is None
+    assert out["b.example"]["sitemaps"] is None
+    assert out["b.example"]["n_sitemaps"] == 0
