@@ -1010,6 +1010,71 @@ _ROBOTS_POLICY_ORACLE = """
 """
 
 
+def _q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration (dedup.minhash_estimator_report,
+    md5 mode, 32 perms / 8 bands): per estimated-Jaccard bucket, how
+    far the signature-agreement estimate sits from the exact
+    shingle-set Jaccard over the SAME candidate pairs. The DuckDB
+    oracle replays signatures → bands → pairs → exact Jaccard →
+    bucketed aggregate."""
+    from karanta_ocr_spark.operators.dedup import minhash_estimator_report
+
+    return minhash_estimator_report(
+        _docs(spark, sf_dir), num_perm=32, bands=8, shingle_k=3,
+        base_hash="md5",
+    )
+
+
+def _minhash_calibration_oracle_sql() -> str:
+    from karanta_ocr_spark.operators.dedup import _MINHASH_PRIME, _perm_coeffs
+
+    coeffs = _perm_coeffs(32, seed=42)
+    sig_terms = ",\n                ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MINHASH_PRIME}))"
+        for a, b in coeffs
+    )
+    return f"""
+        WITH shx AS ({_SHINGLES_SQL}),
+        hh AS (SELECT doc_id, sh,
+                      list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT
+                                               & 2147483647) AS hs
+               FROM shx),
+        sig AS (SELECT doc_id, sh, [
+                {sig_terms}
+                ] AS mh FROM hh),
+        ex AS (SELECT doc_id, mh, bb.b AS band,
+                      ('0x' || substr(md5(CAST(bb.b AS VARCHAR) || ':' ||
+                          array_to_string(list_transform(mh[bb.b*4+1 : bb.b*4+4],
+                                                         x -> CAST(x AS VARCHAR)), ',')),
+                          1, 15))::BIGINT AS bucket
+               FROM sig, (SELECT unnest(range(0, 8)) AS b) bb),
+        an AS (SELECT band, bucket, min(doc_id) AS aid,
+                      arg_min(mh, doc_id) AS amh, count(*) AS bn
+               FROM ex GROUP BY band, bucket),
+        sz AS (SELECT ex.doc_id, ex.mh, ex.band, ex.bucket, an.aid, an.amh, an.bn
+               FROM ex JOIN an USING (band, bucket)),
+        pr AS (SELECT DISTINCT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sz a JOIN sz b USING (band, bucket)
+            WHERE a.bn <= 64 AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT aid, doc_id FROM sz WHERE bn > 64 AND doc_id <> aid)),
+        pj AS (SELECT pr.id_a, pr.id_b,
+                      CAST(len(list_filter(range(1, 33),
+                               i -> sa.mh[i] = sb.mh[i])) AS DOUBLE) / 32 AS est,
+                      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                          / len(list_distinct(sa.sh || sb.sh)) AS exact
+               FROM pr JOIN sig sa ON sa.doc_id = pr.id_a
+                       JOIN sig sb ON sb.doc_id = pr.id_b)
+        SELECT floor(est * 10) / 10 AS est_bucket,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(avg(est), 6) AS avg_est,
+               round(avg(exact), 6) AS avg_exact,
+               round(avg(abs(est - exact)), 6) AS avg_abs_err
+        FROM pj GROUP BY 1
+    """
+
+
 def _q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup — the first dedup of any web pipeline: messy
     variants (uppercase authority, default ports, utm params,
@@ -2151,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_cards": _q_pii_cards,
         "sitemap_entries": _q_sitemap_entries,
         "robots_crawl_policy": _q_robots_crawl_policy,
+        "minhash_calibration": _q_minhash_calibration,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "ann_lsh_multiprobe_topk": _q_ann_lsh_multiprobe_topk,
         "bpe_token_stats": _q_bpe_token_stats,
@@ -2779,6 +2845,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_cards": _pii_cards_oracle_sql(),
         "sitemap_entries": _sitemap_oracle_sql(),
         "robots_crawl_policy": _ROBOTS_POLICY_ORACLE,
+        "minhash_calibration": _minhash_calibration_oracle_sql(),
         "curation_funnel": r"""
             WITH base AS (
                 SELECT doc_id, lang,

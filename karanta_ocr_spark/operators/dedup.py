@@ -889,3 +889,75 @@ def ngram_jaccard_dedup(
     if not small_data:
         with_sig.unpersist()
     return df.join(victims, on=id_col, how="left_anti")
+
+
+def minhash_estimator_report(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    base_hash: str = "md5",
+) -> "DataFrame":
+    """Calibration report for the MinHash Jaccard estimator —
+    "measure, don't guess" applied to the dedup threshold itself.
+
+    For every LSH candidate pair: the estimated Jaccard (signature
+    agreement / num_perm) AND the exact Jaccard over the distinct
+    shingle sets, folded into a per-estimate-bucket table
+    ``(est_bucket, n_pairs, avg_est, avg_exact, avg_abs_err)``.
+    This is how a pipeline owner picks ``threshold`` and ``num_perm``
+    from DATA: the report shows directly how tight the estimator is
+    at the operating point (theory: std-err ≈ sqrt(J(1-J)/num_perm)).
+
+    Scale shape: candidate pairs only (never all-pairs); the exact
+    side joins the pair list back to the per-doc shingle arrays by id
+    — at full corpus scale run it on a seeded sample, the estimator's
+    error is distribution-free. md5 mode end-to-end, so the DuckDB
+    oracle replays signatures, banding, pairing AND the exact
+    Jaccard."""
+    fused = base_hash == "md5"
+    with_sig = minhash_signatures(
+        df, text_col, num_perm, shingle_k,
+        base_hash=base_hash, emit_bands=bands if fused else None,
+    ).persist()
+    pairs = candidate_pairs(
+        with_sig, id_col, bands, num_perm, base_hash=base_hash,
+        bands_col="_bands" if fused else None, dedupe_pairs=True,
+    )
+    est = (
+        F.size(
+            F.filter(F.zip_with("mh_a", "mh_b", lambda a, b: a == b),
+                     lambda x: x)
+        )
+        / F.lit(num_perm)
+    )
+    sh = df.select(
+        F.col(id_col).alias("_sid"),
+        F.expr(_shingles_expr(text_col, shingle_k)).alias("_sh"),
+    )
+    j = (
+        pairs.withColumn("est_jaccard", est)
+        .join(sh.select(F.col("_sid").alias("id_a"),
+                        F.col("_sh").alias("_sha")), "id_a")
+        .join(sh.select(F.col("_sid").alias("id_b"),
+                        F.col("_sh").alias("_shb")), "id_b")
+        .withColumn(
+            "exact_jaccard",
+            F.size(F.array_intersect("_sha", "_shb"))
+            / F.size(F.array_union("_sha", "_shb")),
+        )
+    )
+    bucket = F.floor(F.col("est_jaccard") * 10) / 10
+    return (
+        j.groupBy(bucket.alias("est_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("est_jaccard"), 6).alias("avg_est"),
+            F.round(F.avg("exact_jaccard"), 6).alias("avg_exact"),
+            F.round(
+                F.avg(F.abs(F.col("est_jaccard") - F.col("exact_jaccard"))), 6
+            ).alias("avg_abs_err"),
+        )
+    )

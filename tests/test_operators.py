@@ -1460,3 +1460,27 @@ def test_snapshot_diff(spark):
     summ = {r["status"]: r["n_urls"] for r in diff_summary(
         snapshot_diff(prev, cur)).collect()}
     assert summ == {"gone": 1, "unchanged": 1, "changed": 1, "new": 1}
+
+
+def test_minhash_estimator_report_calibration(spark):
+    # Near-identical docs must land in a high-est bucket with exact
+    # Jaccard close by; unrelated docs either produce no candidate
+    # pair at all or land low. The report must cover every candidate
+    # pair exactly once (n_pairs sums to the distinct pair count).
+    from karanta_ocr_spark.operators.dedup import minhash_estimator_report
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " extra"),              # near-dup of 1
+        (3, "totally different words here unrelated content entirely"),
+        (4, base),                         # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = minhash_estimator_report(df, num_perm=32, bands=8).collect()
+    assert sum(r["n_pairs"] for r in rep) >= 2  # (1,2),(1,4) at least
+    top = max(rep, key=lambda r: r["est_bucket"])
+    assert top["est_bucket"] == 1.0  # the exact-dup pair agrees fully
+    assert top["avg_abs_err"] <= 0.2
+    for r in rep:
+        assert abs(r["avg_est"] - r["avg_exact"]) <= r["avg_abs_err"] + 1e-9
