@@ -1336,6 +1336,78 @@ def _q_script_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(*sel)
 
 
+def _q_script_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class Shannon entropy (text_analysis.class_entropy)
+    over the 8-class script profile — the gibberish/mojibake scalar:
+    clean prose concentrates mass (low-mid entropy), mojibake smears
+    it. Oracle replays the length-difference counts and sums the
+    entropy terms in the identical class order."""
+    from karanta_ocr_spark.functions.text_analysis import (
+        SCRIPT_COUNT_CLASSES,
+        char_class_count,
+        class_entropy,
+    )
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    counts = [char_class_count(t, c) for _, c in SCRIPT_COUNT_CLASSES]
+    n_digit = char_class_count(t, "[0-9]")
+    n_space = char_class_count(t, WS)
+    letters = None
+    for c in counts:
+        letters = c if letters is None else letters + c
+    other = F.length(t) - letters - n_digit - n_space
+    total = F.length(t)
+    ent = class_entropy(counts + [n_digit, n_space, other], total)
+    return d.select(
+        "doc_id",
+        total.cast("long").alias("n_chars"),
+        ent.alias("class_entropy"),
+        F.round(
+            other / F.nullif(total.cast("double"), F.lit(0.0)), 6
+        ).alias("other_frac"),
+    )
+
+
+_SCRIPT_ENTROPY_ORACLE = """
+    WITH c AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text,
+                   '[A-Za-zÀ-ÖØ-öø-ʯḀ-ỿ]', '', 'g')) AS n_latin,
+               length(text) - length(regexp_replace(text,
+                   '[ሀ-፿]', '', 'g')) AS n_ethiopic,
+               length(text) - length(regexp_replace(text,
+                   '[߀-߿]', '', 'g')) AS n_nko,
+               length(text) - length(regexp_replace(text,
+                   '[ꔀ-꘿]', '', 'g')) AS n_vai,
+               length(text) - length(regexp_replace(text,
+                   '[؀-ۿ]', '', 'g')) AS n_arabic,
+               length(text) - length(regexp_replace(text,
+                   '[0-9]', '', 'g')) AS n_digit,
+               length(text) - length(regexp_replace(text,
+                   '[ \t-\r]', '', 'g')) AS n_space
+        FROM documents),
+    g AS (SELECT *,
+                 n_chars - (n_latin + n_ethiopic + n_nko + n_vai + n_arabic)
+                     - n_digit - n_space AS n_other
+          FROM c)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CASE WHEN n_chars > 0 THEN round(
+               (CASE WHEN n_latin > 0 THEN -(n_latin / CAST(n_chars AS DOUBLE)) * ln(n_latin / CAST(n_chars AS DOUBLE)) ELSE 0.0 END)
+             + (CASE WHEN n_ethiopic > 0 THEN -(n_ethiopic / CAST(n_chars AS DOUBLE)) * ln(n_ethiopic / CAST(n_chars AS DOUBLE)) ELSE 0.0 END)
+             + (CASE WHEN n_nko > 0 THEN -(n_nko / CAST(n_chars AS DOUBLE)) * ln(n_nko / CAST(n_chars AS DOUBLE)) ELSE 0.0 END)
+             + (CASE WHEN n_vai > 0 THEN -(n_vai / CAST(n_chars AS DOUBLE)) * ln(n_vai / CAST(n_chars AS DOUBLE)) ELSE 0.0 END)
+             + (CASE WHEN n_arabic > 0 THEN -(n_arabic / CAST(n_chars AS DOUBLE)) * ln(n_arabic / CAST(n_chars AS DOUBLE)) ELSE 0.0 END)
+             + (CASE WHEN n_digit > 0 THEN -(n_digit / CAST(n_chars AS DOUBLE)) * ln(n_digit / CAST(n_chars AS DOUBLE)) ELSE 0.0 END)
+             + (CASE WHEN n_space > 0 THEN -(n_space / CAST(n_chars AS DOUBLE)) * ln(n_space / CAST(n_chars AS DOUBLE)) ELSE 0.0 END)
+             + (CASE WHEN n_other > 0 THEN -(n_other / CAST(n_chars AS DOUBLE)) * ln(n_other / CAST(n_chars AS DOUBLE)) ELSE 0.0 END)
+           , 6) END AS class_entropy,
+           round(n_other / nullif(CAST(n_chars AS DOUBLE), 0), 6) AS other_frac
+    FROM g
+"""
+
+
 def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled training-mixture sampling (mC4/XLM-R alpha
     rebalancing): skewed pseudo-sources derived from doc_id (group
@@ -2217,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": _q_sitemap_entries,
         "robots_crawl_policy": _q_robots_crawl_policy,
         "minhash_calibration": _q_minhash_calibration,
+        "script_entropy": _q_script_entropy,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "ann_lsh_multiprobe_topk": _q_ann_lsh_multiprobe_topk,
         "bpe_token_stats": _q_bpe_token_stats,
@@ -2846,6 +2919,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_entries": _sitemap_oracle_sql(),
         "robots_crawl_policy": _ROBOTS_POLICY_ORACLE,
         "minhash_calibration": _minhash_calibration_oracle_sql(),
+        "script_entropy": _SCRIPT_ENTROPY_ORACLE,
         "curation_funnel": r"""
             WITH base AS (
                 SELECT doc_id, lang,

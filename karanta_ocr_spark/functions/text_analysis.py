@@ -189,3 +189,22 @@ def dominant_script(counts: list[tuple[str, Column]]) -> Column:
     for name, c in reversed(counts):
         expr = F.when((best > 0) & (c == best), F.lit(name)).otherwise(expr)
     return expr
+
+
+def class_entropy(counts: list[Column], total: Column) -> Column:
+    """Shannon entropy (nats) of the character-class distribution —
+    the gibberish/mojibake scalar on top of the script profile: clean
+    monolingual prose concentrates its mass in one script class plus
+    space (low-to-mid entropy, stable per language), while mojibake
+    and binary-spray pages smear mass across classes (entropy toward
+    ln(k)) and all-one-class junk (digit walls, base64 runs counted
+    as 'other') collapses toward 0. Sum order is the caller's fixed
+    class order, left to right — the DuckDB oracle adds its terms in
+    the same order, so the doubles match bit for bit. NULL for empty
+    text."""
+    s = None
+    for c in counts:
+        frac = c / total
+        term = F.when(c > 0, -frac * F.log(frac)).otherwise(F.lit(0.0))
+        s = term if s is None else s + term
+    return F.when(total > 0, F.round(s, 6))

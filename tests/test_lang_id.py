@@ -2,6 +2,7 @@
 detection must be exact for non-Latin scripts; Latin langs may fall
 back to diacritic guesses or 'und' (documented limitation)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from karanta_ocr_spark.functions.text_analysis import lang_id_heuristic
@@ -104,3 +105,36 @@ def test_script_stats_partition_counts_sum_to_total(spark):
         + F.col("n_space") + F.col("n_other") != F.col("n_chars")
     ).count()
     assert bad == 0
+
+
+def test_class_entropy_extremes(spark):
+    from karanta_ocr_spark.functions.text_analysis import (
+        SCRIPT_COUNT_CLASSES, WS, char_class_count, class_entropy,
+    )
+
+    rows = [
+        (1, "aaaa"),             # all latin -> H = 0
+        (2, "ab12 \u1240\u1241"),  # latin+digit+space+ethiopic mix
+        (3, ""),                 # empty -> NULL
+        (4, "\ue000\ue001"),       # all 'other' (PUA) -> H = 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = F.col("text")
+    counts = [char_class_count(t, c) for _, c in SCRIPT_COUNT_CLASSES]
+    n_digit = char_class_count(t, "[0-9]")
+    n_space = char_class_count(t, WS)
+    letters = counts[0]
+    for c in counts[1:]:
+        letters = letters + c
+    other = F.length(t) - letters - n_digit - n_space
+    ent = class_entropy(counts + [n_digit, n_space, other], F.length(t))
+    out = {r["doc_id"]: r["h"] for r in df.select("doc_id", ent.alias("h")).collect()}
+    assert out[1] == 0.0
+    assert out[3] is None
+    assert out[4] == 0.0
+    import math
+
+    n = 7  # 'ab12 qq' = a b 1 2 space + two ethiopic
+    probs = [2 / n, 2 / n, 1 / n, 2 / n]  # latin, digit, space, ethiopic
+    expected = round(-sum(p * math.log(p) for p in probs), 6)
+    assert out[2] == pytest.approx(expected, abs=1e-6)
