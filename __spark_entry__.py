@@ -1408,6 +1408,54 @@ _SCRIPT_ENTROPY_ORACLE = """
 """
 
 
+def _q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-shape quality features (pii.url_shape_features) over four
+    synthesized URL shapes per doc_id%4 — homepage, deep path,
+    parameterized, digit-heavy date path. The oracle PREDICTS every
+    field arithmetically from the synthesis rule (never re-running
+    the regexes), so the Catalyst extraction is checked against an
+    independent formulation."""
+    from karanta_ocr_spark.functions.pii import url_shape_features
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.expr(
+            "CASE CAST(doc_id % 4 AS INT)"
+            " WHEN 0 THEN concat('https://', source, '.example.org/')"
+            " WHEN 1 THEN concat('https://', source, '.example.org/a/b/page', doc_id)"
+            " WHEN 2 THEN concat('http://', source, '.example.org/p?id=', doc_id, '&ref=x')"
+            " ELSE concat('https://', source, '.example.org/2024/01/', doc_id, '/item.html')"
+            " END"
+        ).alias("url"),
+    )
+    return synth.select(
+        "doc_id", url_shape_features(F.col("url")).alias("f")
+    ).select("doc_id", "f.*")
+
+
+_URL_FEATURES_ORACLE = """
+    WITH d AS (SELECT doc_id, source,
+                      length(CAST(doc_id AS VARCHAR)) AS idl,
+                      CAST(doc_id % 4 AS INT) AS m
+               FROM documents)
+    SELECT doc_id,
+           source || '.example.org' AS host,
+           CAST(CASE m WHEN 0 THEN 0 WHEN 1 THEN 3 WHEN 2 THEN 1
+                       ELSE 4 END AS BIGINT) AS path_depth,
+           CAST(CASE m WHEN 0 THEN 1 WHEN 1 THEN 9 + idl WHEN 2 THEN 2
+                       ELSE 19 + idl END AS BIGINT) AS path_len,
+           CAST(CASE m WHEN 2 THEN 2 ELSE 0 END AS BIGINT) AS n_params,
+           CASE m WHEN 0 THEN 0.0
+                  WHEN 1 THEN round(idl / CAST(9 + idl AS DOUBLE), 6)
+                  WHEN 2 THEN 0.0
+                  ELSE round((6 + idl) / CAST(19 + idl AS DOUBLE), 6)
+           END AS digit_frac,
+           m = 0 AS is_homepage
+    FROM d
+"""
+
+
 def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled training-mixture sampling (mC4/XLM-R alpha
     rebalancing): skewed pseudo-sources derived from doc_id (group
@@ -2290,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_crawl_policy": _q_robots_crawl_policy,
         "minhash_calibration": _q_minhash_calibration,
         "script_entropy": _q_script_entropy,
+        "url_features": _q_url_features,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "ann_lsh_multiprobe_topk": _q_ann_lsh_multiprobe_topk,
         "bpe_token_stats": _q_bpe_token_stats,
@@ -2920,6 +2969,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_crawl_policy": _ROBOTS_POLICY_ORACLE,
         "minhash_calibration": _minhash_calibration_oracle_sql(),
         "script_entropy": _SCRIPT_ENTROPY_ORACLE,
+        "url_features": _URL_FEATURES_ORACLE,
         "curation_funnel": r"""
             WITH base AS (
                 SELECT doc_id, lang,

@@ -179,3 +179,44 @@ def count_valid_cards(col: Column) -> Column:
     return F.size(
         F.array_distinct(F.filter(cands, _luhn_valid))
     ).cast("bigint")
+
+
+def url_shape_features(col: Column) -> Column:
+    """URL-shape quality features as one struct — the URL-level
+    signals web-corpus filters act on before reading a byte of the
+    page (RefinedWeb/C4 style: deep paths and parameter-heavy or
+    digit-heavy URLs correlate with templated/SEO/calendar junk):
+
+    ``host``, ``path_depth`` (non-empty segments), ``path_len``,
+    ``n_params`` (query k=v pairs), ``digit_frac`` of the path
+    (round 6; NULL for an empty path), ``is_homepage``.
+
+    Pure Catalyst regexes (RE2-safe), zero shuffle — composes into
+    the page scan like the other hygiene passes."""
+    host = F.lower(
+        F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    path = F.regexp_extract(
+        col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    query = F.regexp_extract(col, r"\?([^#]*)", 1)
+    seg_count = F.size(
+        F.filter(F.split(path, "/"), lambda s: s != "")
+    )
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    )
+    path_digits = F.length(path) - F.length(
+        F.regexp_replace(path, r"[0-9]", "")
+    )
+    return F.struct(
+        host.alias("host"),
+        seg_count.cast("bigint").alias("path_depth"),
+        F.length(path).cast("bigint").alias("path_len"),
+        n_params.cast("bigint").alias("n_params"),
+        F.round(
+            path_digits / F.nullif(F.length(path).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("digit_frac"),
+        ((path == "") | (path == "/")).alias("is_homepage"),
+    )

@@ -200,3 +200,28 @@ def test_scrub_cards_before_phones_composition(spark):
         scrub_pii(scrub_cards(F.col("text"))).alias("s")
     ).collect()[0]["s"]
     assert out == f"card {CARD_TOKEN} tel {PHONE_TOKEN}"
+
+
+def test_url_shape_features(spark):
+    from karanta_ocr_spark.functions.pii import url_shape_features
+
+    rows = [
+        (1, "https://EX.example.org/"),
+        (2, "https://a.example/a/b/page9"),
+        (3, "http://a.example/p?id=5&ref=x"),
+        (4, "https://a.example"),  # no path at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", url_shape_features(F.col("url")).alias("f")
+        ).select("doc_id", "f.*").collect()
+    }
+    assert out[1]["host"] == "ex.example.org" and out[1]["is_homepage"]
+    assert out[1]["path_depth"] == 0 and out[1]["digit_frac"] == 0.0
+    assert out[2]["path_depth"] == 3 and out[2]["path_len"] == 10
+    assert out[2]["digit_frac"] == round(1 / 10, 6)
+    assert out[3]["n_params"] == 2 and not out[3]["is_homepage"]
+    assert out[4]["path_len"] == 0 and out[4]["digit_frac"] is None
+    assert out[4]["is_homepage"]
