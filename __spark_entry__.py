@@ -1456,6 +1456,105 @@ _URL_FEATURES_ORACLE = """
 """
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's shape rules (corpus_filters.gopher_quality_signals)
+    over a variant corpus that exercises each gate: doc_id%7==0 docs
+    become bullet lists, %7==1 ellipsis-heavy, %7==2 symbol-spray,
+    %7==3 a 10-word stub (word-count fail), else the raw text. The
+    DuckDB oracle recomputes every signal from the same variants."""
+    from karanta_ocr_spark.operators.corpus_filters import (
+        gopher_quality_signals,
+    )
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.expr(
+            "CASE CAST(doc_id % 7 AS INT)"
+            " WHEN 0 THEN concat('- ', substring(trim(text), 1, 30), char(10),"
+            "   '- ', substring(trim(text), 31, 30), char(10),"
+            "   '- ', substring(trim(text), 61, 30))"
+            " WHEN 1 THEN concat(substring(trim(text), 1, 40), '...', char(10),"
+            "   substring(trim(text), 41, 40), '…')"
+            " WHEN 2 THEN concat(substring(trim(text), 1, 60), ' # # # # # # #')"
+            " WHEN 3 THEN 'just ten short words here to fail the count rule'"
+            " ELSE trim(text) END"
+        ).alias("text"),
+    )
+    return gopher_quality_signals(synth)
+
+
+def _gopher_quality_oracle_sql() -> str:
+    from karanta_ocr_spark.operators.corpus_filters import GOPHER_STOPWORDS
+
+    stop = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return r"""
+        WITH synth AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 7 AS INT)
+                   WHEN 0 THEN '- ' || substring(trim(text), 1, 30) || chr(10) ||
+                        '- ' || substring(trim(text), 31, 30) || chr(10) ||
+                        '- ' || substring(trim(text), 61, 30)
+                   WHEN 1 THEN substring(trim(text), 1, 40) || '...' || chr(10) ||
+                        substring(trim(text), 41, 40) || '…'
+                   WHEN 2 THEN substring(trim(text), 1, 60) || ' # # # # # # #'
+                   WHEN 3 THEN 'just ten short words here to fail the count rule'
+                   ELSE trim(text) END AS text
+            FROM documents),
+        l AS (SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '[ \t-\r]+'),
+                                 t -> t <> '') AS toks,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                x -> trim(x)), x -> x <> '') AS lines,
+                     length(text) - length(regexp_replace(text, '[#…]', '', 'g'))
+                         AS n_sym
+              FROM synth),
+        g AS (SELECT doc_id,
+                     len(toks) AS n_words,
+                     list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+                         AS tok_chars,
+                     len(list_filter(toks, t -> regexp_matches(t, '\p{L}')))
+                         AS alpha,
+                     len(lines) AS n_lines,
+                     len(list_filter(lines, x -> regexp_matches(x, '^[-*•‣▪]')))
+                         AS bullet,
+                     len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)$')))
+                         AS ellip,
+                     len(list_distinct(list_filter(toks,
+                         t -> list_contains([__STOP__], lower(t))))) AS n_stop,
+                     n_sym
+              FROM l),
+        s AS (SELECT doc_id,
+                     CAST(n_words AS BIGINT) AS n_words,
+                     CASE WHEN n_words > 0
+                          THEN round(tok_chars / CAST(n_words AS DOUBLE), 6) END
+                         AS mean_word_len,
+                     CASE WHEN n_words > 0
+                          THEN round(alpha / CAST(n_words AS DOUBLE), 6) END
+                         AS frac_alpha_words,
+                     CASE WHEN n_words > 0
+                          THEN round(n_sym / CAST(n_words AS DOUBLE), 6) END
+                         AS symbol_word_ratio,
+                     CASE WHEN n_lines > 0
+                          THEN round(bullet / CAST(n_lines AS DOUBLE), 6) END
+                         AS frac_bullet_lines,
+                     CASE WHEN n_lines > 0
+                          THEN round(ellip / CAST(n_lines AS DOUBLE), 6) END
+                         AS frac_ellipsis_lines,
+                     CAST(n_stop AS BIGINT) AS n_stopwords_present
+              FROM g)
+        SELECT *,
+               coalesce(n_words BETWEEN 50 AND 100000
+                        AND mean_word_len BETWEEN 3.0 AND 10.0
+                        AND frac_alpha_words >= 0.8
+                        AND symbol_word_ratio <= 0.1
+                        AND coalesce(frac_bullet_lines, 0.0) <= 0.9
+                        AND coalesce(frac_ellipsis_lines, 0.0) <= 0.3
+                        AND n_stopwords_present >= 2, false) AS gopher_keep
+        FROM s
+    """.replace("[__STOP__]", "[" + stop + "]")
+
+
 def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled training-mixture sampling (mC4/XLM-R alpha
     rebalancing): skewed pseudo-sources derived from doc_id (group
@@ -2339,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_calibration": _q_minhash_calibration,
         "script_entropy": _q_script_entropy,
         "url_features": _q_url_features,
+        "gopher_shape_rules": _q_gopher_quality,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "ann_lsh_multiprobe_topk": _q_ann_lsh_multiprobe_topk,
         "bpe_token_stats": _q_bpe_token_stats,
@@ -2970,6 +3070,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_calibration": _minhash_calibration_oracle_sql(),
         "script_entropy": _SCRIPT_ENTROPY_ORACLE,
         "url_features": _URL_FEATURES_ORACLE,
+        "gopher_shape_rules": _gopher_quality_oracle_sql(),
         "curation_funnel": r"""
             WITH base AS (
                 SELECT doc_id, lang,

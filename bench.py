@@ -210,7 +210,7 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "curation_funnel", "bloom_incremental", "dsir_selection",
         "quality_lr_train", "pii_cards", "sitemap_entries",
         "robots_crawl_policy", "minhash_calibration", "script_entropy",
-        "url_features",
+        "url_features", "gopher_shape_rules",
     ]
     qs = entrymod.queries()
     # One untimed pass of every query at sf0.001: the first run of

@@ -550,3 +550,78 @@ def robots_crawl_policy(
             F.size(F.split(F.col("_p.sitemaps"), r"\|")) 
         ).cast("bigint").alias("n_sitemaps"),
     )
+
+
+#: Gopher's stop-word presence list (Rae et al. 2021, §A1.1: "contains
+#: at least 2 of the following English words").
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The REST of Gopher's published quality rules (Rae et al. 2021
+    A1.1) — the repetition family lives in
+    :func:`gopher_repetition_stats`; this adds the shape rules:
+
+    word count in [50, 100k], mean word length in [3, 10], ≥80% of
+    words contain a letter, symbol-to-word ratio (``#`` and ``…``)
+    ≤ 0.1, ≤90% of lines bullet-started, ≤30% ellipsis-terminated,
+    and ≥2 of the 8 listed English stop words. Emits every signal
+    plus the combined ``gopher_keep`` verdict.
+
+    All Catalyst HOFs over the token/line arrays — map-only, one
+    whole-stage-codegen projection, zero shuffle at any scale. The
+    mean-word-length numerator is an INTEGER sum (order-independent),
+    so the 6-dp rounding is engine-exact."""
+    from karanta_ocr_spark.functions.text_analysis import WS
+
+    col = F.col(text_col)
+    toks = F.filter(F.split(F.trim(col), WS + "+"), lambda t: t != "")
+    n_words = F.size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    mean_wl = F.when(
+        n_words > 0, F.round(tok_chars / n_words, 6)
+    )
+    alpha = F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}")))
+    frac_alpha = F.when(n_words > 0, F.round(alpha / n_words, 6))
+    n_sym = (
+        F.length(col) - F.length(F.regexp_replace(col, r"[#…]", ""))
+    )
+    sym_ratio = F.when(n_words > 0, F.round(n_sym / n_words, 6))
+    lines = lines_expr(col)
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^[-*•‣▪]"))
+    )
+    ellip = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+    )
+    frac_bullet = F.when(n_lines > 0, F.round(bullet / n_lines, 6))
+    frac_ellip = F.when(n_lines > 0, F.round(ellip / n_lines, 6))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.array_distinct(
+            F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))
+        )
+    )
+    keep = (
+        n_words.between(50, 100000)
+        & mean_wl.between(3.0, 10.0)
+        & (frac_alpha >= 0.8)
+        & (sym_ratio <= 0.1)
+        & (F.coalesce(frac_bullet, F.lit(0.0)) <= 0.9)
+        & (F.coalesce(frac_ellip, F.lit(0.0)) <= 0.3)
+        & (n_stop >= 2)
+    )
+    return df.select(
+        id_col,
+        n_words.cast("bigint").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        sym_ratio.alias("symbol_word_ratio"),
+        frac_bullet.alias("frac_bullet_lines"),
+        frac_ellip.alias("frac_ellipsis_lines"),
+        n_stop.cast("bigint").alias("n_stopwords_present"),
+        F.coalesce(keep, F.lit(False)).alias("gopher_keep"),
+    )

@@ -190,3 +190,31 @@ def test_meta_robots_flags(spark):
     assert not out[5]["noindex"]  # description meta, not robots
     assert out[6]["noindex"] and not out[6]["indexable"]  # unquoted value
     assert out[7]["noindex"] and out[7]["nofollow"]
+
+
+def test_gopher_shape_rules(spark):
+    from karanta_ocr_spark.operators.corpus_filters import (
+        gopher_quality_signals,
+    )
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and keeps running "
+        "with great joy because that is what foxes have to do all day "
+    ) * 3  # ~60 words, stopword-rich, clean lines
+    rows = [
+        (1, good),
+        (2, "- one\n- two\n- three"),                       # all bullets
+        (3, "first part...\nsecond part...\nthird part..."),  # all ellipsis
+        (4, good + " " + "# " * 20),                        # symbol spray
+        (5, "too few words"),                               # count fail
+        (6, " ".join(["12345"] * 80)),                      # no letters, no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality_signals(df).collect()}
+    assert out[1]["gopher_keep"]
+    assert out[1]["n_stopwords_present"] >= 2
+    assert out[2]["frac_bullet_lines"] == 1.0 and not out[2]["gopher_keep"]
+    assert out[3]["frac_ellipsis_lines"] == 1.0 and not out[3]["gopher_keep"]
+    assert out[4]["symbol_word_ratio"] > 0.1 and not out[4]["gopher_keep"]
+    assert out[5]["n_words"] == 3 and not out[5]["gopher_keep"]
+    assert out[6]["frac_alpha_words"] == 0.0 and not out[6]["gopher_keep"]
