@@ -589,7 +589,49 @@ def main() -> None:
             "scaling": scaling,
         }
     )
-    print(json.dumps(result), flush=True)
+    # The driver keeps only the LAST 2000 characters of stdout, so the
+    # printed line must fit under that or the round's BENCH record is
+    # `parsed: null` (r4's fate once the suite hit 53 queries + full
+    # per-sample arrays). Full fidelity — every sample, steal reading,
+    # and diagnostic — goes to a committed sidecar; stdout carries a
+    # compact line with every query but only the scalar essentials of
+    # the scaling evidence.
+    full_out = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_full_latest.json"),
+    )
+    try:
+        with open(full_out, "w") as f:
+            json.dump(result, f, indent=1)
+        log(f"full bench record -> {full_out}")
+    except OSError as exc:
+        log(f"could not write full bench record: {exc}")
+
+    def _compact_level(lv: dict) -> dict:
+        keep = ("docs_per_sec", "wall_sec", "samples",
+                "external_busy_at_start", "steal_during_run")
+        return {k: lv[k] for k in keep if k in lv}
+
+    compact = dict(result)
+    if scaling:
+        cs = {}
+        for lev in ("p8", "p32"):
+            if lev in scaling:
+                cs[lev] = _compact_level(scaling[lev])
+        if "efficiency" in scaling:
+            cs["efficiency"] = scaling["efficiency"]
+        if "p16_diagnostic" in scaling:
+            cs["p16_per_core"] = scaling["p16_diagnostic"].get("per_core")
+        if "secondary_pair_p4_p16" in scaling:
+            cs["secondary_p4_p16_efficiency"] = (
+                scaling["secondary_pair_p4_p16"]["efficiency"])
+        compact["scaling"] = cs
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # still over: shave query precision
+        compact["queries"] = {k: round(v, 1) for k, v in queries.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -104,11 +104,19 @@ def resolve_label(label: str | None) -> str | None:
 def sniff_charset(
     payload: bytes, transport_charset: str | None = None
 ) -> str:
-    """The codec to decode *payload* with: BOM > meta prescan >
-    transport hint > utf-8."""
+    """The codec to decode *payload* with: BOM > transport hint >
+    meta prescan > utf-8 — the WHATWG "determine the encoding"
+    precedence: a certain BOM wins outright, then the transport
+    layer (HTTP Content-Type charset) overrides any in-document —
+    possibly stale — ``<meta>`` declaration, matching what browsers
+    do for a page served ``charset=shift_jis`` that still carries an
+    old ``<meta charset=iso-8859-1>``."""
     for bom, codec in _BOMS:
         if payload.startswith(bom):
             return codec
+    codec = resolve_label(transport_charset)
+    if codec:
+        return codec
     m = _META_CHARSET_RE.search(payload[:_PRESCAN])
     if m:
         codec = resolve_label(m.group(1).decode("ascii", "replace"))
@@ -119,8 +127,7 @@ def sniff_charset(
             if codec.startswith("utf-16"):
                 return "utf-8"
             return codec
-    codec = resolve_label(transport_charset)
-    return codec or "utf-8"
+    return "utf-8"
 
 
 def decode_html(

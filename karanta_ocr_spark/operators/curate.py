@@ -76,12 +76,16 @@ def curation_verdicts(
     lines = lines_expr(col)
     lorem = F.lower(col).contains("lorem ipsum")
     brace = col.contains("{")
-    lang_ok = F.col(lang_col).isin(*allowed_langs)
-    quality_ok = (
-        (F.size(toks) >= min_words) & ~lorem & ~brace & (F.size(lines) > 0)
+    # Each gate coalesces NULL → False: a NULL lang/text must FAIL
+    # its gate, not skip every when() branch and fall through to
+    # "kept" (the unsafe direction for a policy filter).
+    lang_ok = F.coalesce(F.col(lang_col).isin(*allowed_langs), F.lit(False))
+    quality_ok = F.coalesce(
+        (F.size(toks) >= min_words) & ~lorem & ~brace & (F.size(lines) > 0),
+        F.lit(False),
     )
     _, dup_frac, _ = duplicate_line_stats(col)
-    rep_ok = dup_frac <= max_dup_line_frac
+    rep_ok = F.coalesce(dup_frac <= max_dup_line_frac, F.lit(False))
     sig = docs.withColumn("_fp", F.md5(col)).withColumn(
         "_gates_ok", lang_ok & quality_ok & rep_ok
     ).withColumn("_lang_ok", lang_ok).withColumn(
@@ -122,8 +126,15 @@ def funnel(verdicts: DataFrame) -> DataFrame:
     stages = verdicts.sparkSession.createDataFrame(
         [(i + 1, s) for i, s in enumerate(STAGES)], "stage_idx int, stage string"
     )
-    w = Window.orderBy("stage_idx").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # partitionBy(lit(1)) is a deliberate single partition: the frame
+    # under this window is the ≤ len(STAGES)+1-row verdict rollup,
+    # never corpus rows, so one partition is the POINT — the explicit
+    # key just keeps "No Partition Defined for Window" out of plan
+    # audits.
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("stage_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = (
         stages.join(counts, "stage_idx", "left")

@@ -44,6 +44,7 @@ reachability computation.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import NumericType
 
 from karanta_ocr_spark.operators.corpus_filters import lines_expr
 
@@ -58,7 +59,9 @@ def connected_components(
 
     Returns ``(id, component)`` for every node appearing in any edge;
     ``component`` is the minimum node id of the component. Node ids
-    must be orderable (use longs at scale).
+    must be orderable (use longs at scale — numeric ids also get the
+    cheaper one-scalar-per-round convergence check; string ids pay a
+    changed-row-count join per round).
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -73,7 +76,17 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("component")).first()[0]
+    # Convergence detection: the monotone-sum trick (one scalar agg
+    # per round) only works when labels are numeric — F.sum over a
+    # string id column is NULL every round, and NULL == NULL would
+    # exit after ONE round with unconverged labels. Non-numeric ids
+    # fall back to an exact changed-row count against the previous
+    # round's (checkpointed) labels.
+    numeric_ids = isinstance(
+        labels.schema["component"].dataType, NumericType
+    )
+    prev_sum = labels.agg(F.sum("component")).first()[0] if numeric_ids else None
+    prev_labels = labels
     for _ in range(int(max_iters)):
         nbr_min = (
             sym.join(
@@ -114,12 +127,26 @@ def connected_components(
             )
             .localCheckpoint()  # truncate the iterative lineage
         )
-        cur_sum = labels.agg(F.sum("component")).first()[0]
-        # Labels are monotone non-increasing, so sum-unchanged IS the
-        # fixpoint (cheaper than a row-wise changed-count join).
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        if numeric_ids:
+            cur_sum = labels.agg(F.sum("component")).first()[0]
+            # Labels are monotone non-increasing, so sum-unchanged IS
+            # the fixpoint (cheaper than a row-wise changed-count
+            # join).
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            changed = (
+                labels.join(
+                    prev_labels.withColumnRenamed("component", "_prev"),
+                    on="id",
+                )
+                .filter(F.col("component") != F.col("_prev"))
+                .count()
+            )
+            if changed == 0:
+                break
+        prev_labels = labels
     return labels
 
 

@@ -25,16 +25,35 @@ _HAS_ICEBERG: bool | None = None
 
 
 def has_iceberg(spark: SparkSession) -> bool:
-    """True when the JVM can resolve the ``iceberg`` data source."""
+    """True when the JVM can resolve the ``iceberg`` data source.
+
+    ``DataSource.lookupDataSource``'s only signature is
+    ``(String, SQLConf)`` (spark-sql 4.x) — passing the session's
+    ``SQLConf`` matters: with a ``SparkConf`` Py4J raises a signature
+    error on EVERY call and the probe would report False even on an
+    Iceberg-equipped cluster. Only a resolution failure (the class
+    genuinely absent from the classpath) means "no Iceberg"; any
+    other Py4J error is a probe bug and propagates instead of being
+    silently swallowed into the parquet fallback.
+    """
     global _HAS_ICEBERG
     if _HAS_ICEBERG is None:
         try:
             spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
-                "iceberg", spark._jsc.sc().conf()
+                "iceberg",
+                spark._jvm.org.apache.spark.sql.internal.SQLConf.get(),
             )
             _HAS_ICEBERG = True
-        except Exception:
-            _HAS_ICEBERG = False
+        except Exception as exc:  # Py4J wraps the JVM throwable's text
+            msg = str(exc)
+            if (
+                "DATA_SOURCE_NOT_FOUND" in msg
+                or "ClassNotFoundException" in msg
+                or "Failed to find" in msg
+            ):
+                _HAS_ICEBERG = False
+            else:
+                raise
     return _HAS_ICEBERG
 
 

@@ -119,9 +119,23 @@ def write_wet(
     prior-count name for that partition), and the driver sums the
     counts from a directory listing AFTER the action — unlike a Spark
     accumulator inside ``foreachPartition``, which double-adds on
-    retry."""
+    retry.
+
+    The post-action listing is only exact when every seg file in the
+    directory belongs to THIS run, so any seg file left by a previous
+    run (including the retired un-counted ``seg-NNNNN.warc.wet.gz``
+    naming, or a run with a different partition count) is removed up
+    front — otherwise stale partitions would be silently counted in
+    (or, for the old naming, written over but never tallied)."""
+    import glob
     import os
     import re
+
+    if os.path.isdir(out_dir):
+        for stale in glob.glob(os.path.join(out_dir, "seg-*.warc.wet.gz")):
+            os.remove(stale)
+        for stale in glob.glob(os.path.join(out_dir, ".seg-*.tmp")):
+            os.remove(stale)
 
     def write_part(rows) -> None:
         import os

@@ -62,6 +62,18 @@ def test_self_refuting_utf16_meta():
     assert sniff_charset(b'<meta charset="utf-16"><p>x</p>') == "utf-8"
 
 
+def test_transport_beats_stale_meta():
+    # WHATWG precedence: the transport layer (HTTP Content-Type)
+    # outranks the in-document prescan — a page served shift_jis
+    # with a stale <meta charset=iso-8859-1> decodes as shift_jis,
+    # matching browsers.
+    payload = b'<meta charset="iso-8859-1"><p>\x93\xfa\x96\x7b</p>'
+    assert sniff_charset(payload, "shift_jis") == "shift_jis"
+    assert "日本" in decode_html(payload, "shift_jis")
+    # ...but a BOM still beats the transport hint.
+    assert sniff_charset(b"\xef\xbb\xbf<p>x</p>", "shift_jis") == "utf-8-sig"
+
+
 def test_meta_outside_prescan_ignored():
     payload = b"<p>" + b"a" * 2100 + b'</p><meta charset="koi8-r">'
     assert sniff_charset(payload) == "utf-8"

@@ -116,3 +116,19 @@ def test_funnel_equals_staged_pipeline(spark, corpus):
     staged = {r["doc_id"] for r in s3.select("doc_id").collect()}
     onepass = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert staged == onepass
+
+
+def test_null_inputs_fail_their_gate_not_pass_all(spark):
+    # Regression (r4 advice): a NULL lang (or NULL text) made every
+    # gate expression NULL, every when() branch was skipped, and the
+    # row fell through to 'kept' — bypassing the language allowlist
+    # AND dedup. NULLs must fail the FIRST gate they make undecidable.
+    rows = [
+        (1, "en", GOOD),
+        (2, None, GOOD + " null lang"),
+        (3, "en", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    v = {r["doc_id"]: r["verdict"]
+         for r in curation_verdicts(df, ["en"]).collect()}
+    assert v == {1: "kept", 2: "lang_filter", 3: "quality_filter"}

@@ -123,3 +123,28 @@ def test_minhash_incremental_agrees_with_batch_dedup(spark):
         for r in minhash_lsh_dedup(df, num_perm=32, bands=8).collect()
     }
     assert survivors == {0, 1, 2, 3}  # batch keeps min-id reps only
+
+
+def test_connected_components_string_ids_converge(spark):
+    # Regression (r4 advice): F.sum over string labels is NULL every
+    # round, and NULL == NULL used to exit the loop after ONE
+    # iteration with unconverged labels. A 5-node path needs several
+    # min-label rounds, so an early exit is visible here.
+    edges = [("e", "d"), ("d", "c"), ("c", "b"), ("b", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a"}
+
+
+def test_duplicate_clusters_string_doc_ids(spark):
+    rows = [
+        ("url-b", "unique alpha\nSHARED X"),
+        ("url-a", "SHARED X\nSHARED Y"),
+        ("url-c", "SHARED Y\nunique gamma"),
+        ("url-d", "all alone here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: (r["component"], r["cluster_size"])
+           for r in duplicate_clusters(df).collect()}
+    assert got == {"url-a": ("url-a", 3), "url-b": ("url-a", 3),
+                   "url-c": ("url-a", 3), "url-d": ("url-d", 1)}

@@ -103,3 +103,30 @@ def test_table_io_seam_falls_back_to_parquet(spark, tmp_path):
     assert got.count() == 3
     # probe result is cached (no repeated JVM lookups)
     assert table_io._HAS_ICEBERG is False
+
+
+def test_table_io_detects_iceberg_when_probe_resolves(spark, tmp_path):
+    # The True branch: on a cluster where the JVM CAN resolve the
+    # iceberg data source, the seam must flip to iceberg — the probe
+    # is the only gate. Stub the cache the probe would populate.
+    from karanta_ocr_spark.sources import table_io
+
+    saved = table_io._HAS_ICEBERG
+    try:
+        table_io._HAS_ICEBERG = True
+        assert table_io.has_iceberg(spark) is True
+        assert table_io.table_format(spark) == "iceberg"
+    finally:
+        table_io._HAS_ICEBERG = saved
+
+
+def test_table_io_probe_uses_resolvable_signature(spark):
+    # Guard against the r4 bug: the probe must call lookupDataSource
+    # with a SQLConf (its only signature); a probe that raises a Py4J
+    # *signature* error on every call would silently mark Iceberg
+    # absent even on an equipped cluster. A correctly-formed probe on
+    # a KNOWN-PRESENT source (parquet) must return, not raise.
+    jvm = spark._jvm
+    jconf = jvm.org.apache.spark.sql.internal.SQLConf.get()
+    ds = jvm.org.apache.spark.sql.execution.datasources.DataSource
+    assert ds.lookupDataSource("parquet", jconf) is not None

@@ -121,6 +121,32 @@ def test_write_wet_roundtrip(spark, tmp_path):
     assert got == {u: (t or "") for u, t in rows}
 
 
+def test_write_wet_count_exact_over_stale_directory(spark, tmp_path):
+    # Regression (r4 advice): seg files left by a PREVIOUS run into
+    # the same directory — including the retired un-counted
+    # seg-NNNNN.warc.wet.gz naming and partitions the current run
+    # doesn't write — used to be silently counted in (or written
+    # over but never tallied). write_wet must clean them up front so
+    # the post-action listing is exact for THIS run.
+    import glob
+    import os
+
+    from karanta_ocr_spark.sources.warc import write_wet
+
+    out = tmp_path / "wet"
+    out.mkdir()
+    (out / "seg-00000.warc.wet.gz").write_bytes(b"old-naming leftover")
+    (out / "seg-00099-n777.warc.wet.gz").write_bytes(b"stale partition")
+    (out / ".seg-00001.tmp").write_bytes(b"crashed tmp")
+    rows = [("https://a.example/1", "one"), ("https://a.example/2", "two")]
+    df = spark.createDataFrame(rows, "url string, text string").repartition(2)
+    n = write_wet(df, str(out))
+    assert n == 2
+    names = sorted(os.path.basename(p) for p in glob.glob(str(out / "*")))
+    assert all(gz.startswith("seg-0000") and "-n1." in gz for gz in names)
+    assert len(names) == 2
+
+
 def test_negative_content_length_rejected():
     rec = (b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -40\r\n\r\n")
     with pytest.raises(WarcError, match="negative"):
