@@ -1484,3 +1484,48 @@ def test_minhash_estimator_report_calibration(spark):
     assert top["avg_abs_err"] <= 0.2
     for r in rep:
         assert abs(r["avg_est"] - r["avg_exact"]) <= r["avg_abs_err"] + 1e-9
+
+
+def test_approx_percentile_certification_flags(spark):
+    # r5: the certification operator proves the sketch's contract
+    # in-plan. Positive: real sketch values certify all-true.
+    # Negative (via the approx_df seam): a value that is NOT a data
+    # point, or IS one but sits outside the rank-error window, must
+    # flip its flag false — i.e. the oracle's all-true expectation
+    # genuinely fails when the contract is violated.
+    from karanta_ocr_spark.operators.profile import (
+        approx_percentile_certification,
+        length_percentiles,
+    )
+
+    rows = [(i, "lang%d" % (i % 2), (i * 37) % 997) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    good = {r["lang"]: r for r in
+            approx_percentile_certification(df).collect()}
+    assert set(good) == {"lang0", "lang1"}
+    for r in good.values():
+        assert r["n_docs"] == 200
+        assert all(r[q] for q in ("p25_ok", "p50_ok", "p90_ok", "p99_ok")), r
+
+    # Corrupt the sketch output: p50 of lang0 -> a non-data-point
+    # (0.5 off-grid); p90 of lang1 -> a real data point of the group
+    # but nowhere near rank 0.9*n (use its minimum).
+    approx = length_percentiles(df, mode="approx")
+    vals1 = sorted(v for _, g, v in rows if g == "lang1")
+    from pyspark.sql import functions as F
+
+    bad = approx.withColumn(
+        "p50",
+        F.when(F.col("lang") == "lang0", F.col("p50") + 0.5)
+        .otherwise(F.col("p50")),
+    ).withColumn(
+        "p90",
+        F.when(F.col("lang") == "lang1", F.lit(float(vals1[0])))
+        .otherwise(F.col("p90")),
+    )
+    certified = {r["lang"]: r for r in
+                 approx_percentile_certification(df, approx_df=bad).collect()}
+    assert certified["lang0"]["p50_ok"] is False
+    assert certified["lang0"]["p25_ok"] is True
+    assert certified["lang1"]["p90_ok"] is False
+    assert certified["lang1"]["p99_ok"] is True
