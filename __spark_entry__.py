@@ -2421,6 +2421,45 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label")
 
 
+def _q_lang_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained char-trigram language ID (r5, judge task #5): hashed
+    trigram features × one-vs-rest exact fixed-point LR, over a
+    deterministic labeled corpus synthesized from doc_id (the
+    heuristic's confusable set: eng/fra/yor/igb). The DuckDB oracle
+    replays corpus synthesis, md5 bucket hashing, all K×4 quantized
+    gradient steps, and the argmax — the fixed-point trajectory makes
+    the fitted weights bit-identical under any partitioning."""
+    from karanta_ocr_spark.operators.lang_id_train import lang_id_trained
+
+    return lang_id_trained(_docs(spark, sf_dir).select("doc_id"))
+
+
+def _q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-export placement (r5, judge task #6):
+    merge-aware BPE token counts → seeded md5 global shuffle rank →
+    scale-safe two-level global prefix sum (buckets = the rank's own
+    leading hex digits, so the shuffled order still buckets evenly) →
+    sequence/shard placement arithmetic. The binary shard sink itself
+    (``operators/export.write_token_shards``) is pinned by the
+    round-trip pytest; this query verifies everything SQL-replayable:
+    token counts (the bpe_token_stats CTE device), the shuffle order,
+    and every placement integer."""
+    from karanta_ocr_spark.functions.bpe import bpe_token_count_merged
+    from karanta_ocr_spark.operators.export import training_placement
+
+    d = _docs(spark, sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    counted = d.select(
+        "doc_id", bpe_token_count_merged(t).alias("n_tokens")
+    )
+    return training_placement(
+        counted, "n_tokens", seq_len=128, shard_seqs=16
+    ).select(
+        "doc_id", "rank_hex", "n_tokens", "global_start",
+        "seq_id", "seq_pos", "shard_id",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness window checks
     the FIRST ~50 entries and the judge accepts a green row from the
@@ -2473,6 +2512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_chain": _q_media_decode_chain,
         "approx_length_percentiles": _q_approx_length_percentiles,
         # -- new in r5 --
+        "lang_id_trained": _q_lang_id_trained,
+        "training_export": _q_training_export,
         # -- driver-green in r4 (covered by the r4∪r5 union) --
         "pii_scrub": _q_pii_scrub,
         "meta_robots": _q_meta_robots,
@@ -2617,14 +2658,11 @@ def _token_stats_oracle_sql() -> str:
     """
 
 
-def _bpe_oracle_sql() -> str:
-    """DuckDB twin of ``functions.bpe.bpe_token_count_merged``: the
-    committed merge fixture inlined as a rank-ordered key list
-    (``left`` ‖ chr(1) ‖ ``right``), replayed by a recursive CTE over
-    the DISTINCT pretokens — one leftmost best-rank merge per step,
-    provably the same final segmentation as the encoder's batch merge
-    (see ``functions/bpe.py``). ``nullif(list_position, 0)`` because
-    DuckDB's list_position returns 0, not NULL, for absent."""
+def _bpe_counts_cte() -> str:
+    """The shared recursive-CTE prefix replaying the committed merge
+    fixture over DISTINCT pretokens; ends with
+    ``agg(doc_id, n_pretokens, bpe_tokens)``. Shared by the
+    ``bpe_token_stats`` and ``training_export`` oracles."""
     from karanta_ocr_spark.functions.bpe import load_merges
     from karanta_ocr_spark.functions.text_analysis import BPE_ISH_RE
 
@@ -2661,7 +2699,18 @@ def _bpe_oracle_sql() -> str:
         agg AS (SELECT dw.doc_id,
                        CAST(sum(dw.n) AS BIGINT) AS n_pretokens,
                        CAST(sum(dw.n * wc.n_tok) AS BIGINT) AS bpe_tokens
-                FROM dw JOIN wc USING (w) GROUP BY dw.doc_id)
+                FROM dw JOIN wc USING (w) GROUP BY dw.doc_id)"""
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB twin of ``functions.bpe.bpe_token_count_merged``: the
+    committed merge fixture inlined as a rank-ordered key list
+    (``left`` ‖ chr(1) ‖ ``right``), replayed by a recursive CTE over
+    the DISTINCT pretokens — one leftmost best-rank merge per step,
+    provably the same final segmentation as the encoder's batch merge
+    (see ``functions/bpe.py``). ``nullif(list_position, 0)`` because
+    DuckDB's list_position returns 0, not NULL, for absent."""
+    return _bpe_counts_cte() + """
         SELECT d.doc_id,
                coalesce(a.n_pretokens, 0) AS n_pretokens,
                coalesce(a.bpe_tokens, 0) AS bpe_tokens,
@@ -3068,9 +3117,43 @@ def _webgraph_oracle_sqls() -> dict[str, str]:
     }
 
 
+def _lang_id_trained_oracle_sql() -> str:
+    from karanta_ocr_spark.operators.lang_id_train import lang_id_oracle_sql
+
+    return lang_id_oracle_sql()
+
+
+def _training_export_oracle_sql() -> str:
+    """DuckDB twin of ``_q_training_export``: token counts via the
+    shared BPE CTE, shuffle rank = md5('shuf:42:' || doc_id), a FLAT
+    window cumsum over (rank_hex, doc_id) — int64-exact, so it must
+    equal Spark's two-level bucketed scan bit for bit — then the
+    seq/shard integer arithmetic at seq_len=128, shard_seqs=16."""
+    return _bpe_counts_cte() + """,
+        tok AS (SELECT d.doc_id,
+                       md5('shuf:42:' || CAST(d.doc_id AS VARCHAR)) AS rank_hex,
+                       coalesce(a.bpe_tokens, 0) AS n_tokens
+                FROM documents d LEFT JOIN agg a USING (doc_id)),
+        placed AS (SELECT doc_id, rank_hex, n_tokens,
+                          CAST(coalesce(sum(n_tokens) OVER (
+                              ORDER BY rank_hex, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS BIGINT)
+                          AS global_start
+                   FROM tok)
+        SELECT doc_id, rank_hex, n_tokens, global_start,
+               CAST(global_start // 128 AS BIGINT) AS seq_id,
+               CAST(global_start % 128 AS BIGINT) AS seq_pos,
+               CAST((global_start // 128) // 16 AS BIGINT) AS shard_id
+        FROM placed
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         **_webgraph_oracle_sqls(),
+        "lang_id_trained": _lang_id_trained_oracle_sql(),
+        "training_export": _training_export_oracle_sql(),
         "bm25_search": _bm25_oracle_sql(_BM25_TERMS),
         "bpe_token_stats": _bpe_oracle_sql(),
         "quality_lr_train": _quality_lr_oracle_sql(),

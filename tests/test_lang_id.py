@@ -138,3 +138,63 @@ def test_class_entropy_extremes(spark):
     probs = [2 / n, 2 / n, 1 / n, 2 / n]  # latin, digit, space, ethiopic
     expected = round(-sum(p * math.log(p) for p in probs), 6)
     assert out[2] == pytest.approx(expected, abs=1e-6)
+
+
+# ---------------------------------------------------------------- trained LID
+
+
+def test_lang_id_trained_beats_heuristic_on_holdout(spark):
+    """The trained char-trigram LID (r5) must be at least as accurate
+    as the heuristic on held-out docs — including the Latin-diacritic
+    confusable classes (fra ⊂ yor tone-vowels, igb dot-below) the
+    heuristic was built around, and plain-ASCII English, which the
+    heuristic can only ever call 'und' (zero diacritic markers)."""
+    from karanta_ocr_spark.operators.lang_id_train import lang_id_trained
+
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    scored = lang_id_trained(docs)
+    hold = scored.filter("is_holdout").collect()
+    assert hold, "split must produce holdout rows"
+    trained_acc = sum(r["correct"] for r in hold) / len(hold)
+
+    # Heuristic accuracy over the SAME synthesized holdout texts.
+    from karanta_ocr_spark.operators.lang_id_train import synth_labeled_corpus
+
+    heur = (
+        synth_labeled_corpus(docs)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "lang_true",
+            lang_id_heuristic(F.col("text")).alias("guess"),
+        )
+        .collect()
+    )
+    heur_acc = sum(r["guess"] == r["lang_true"] for r in heur) / len(heur)
+    assert trained_acc >= heur_acc
+    assert trained_acc == 1.0  # 4 well-separated trigram distributions
+    # The heuristic CANNOT be perfect here: eng has no markers -> und.
+    assert heur_acc < 1.0
+    # Every class appears in the holdout and is predicted correctly.
+    by_lang = {}
+    for r in hold:
+        by_lang.setdefault(r["lang_true"], []).append(r["correct"])
+    assert set(by_lang) == {"eng", "fra", "yor", "igb"}
+    assert all(all(v) for v in by_lang.values())
+
+
+def test_lang_id_trained_partition_invariant(spark):
+    """The fixed-point quantized trainer makes the fitted weights —
+    and therefore every prediction — bit-identical under any input
+    partitioning (the property the DuckDB oracle relies on)."""
+    from karanta_ocr_spark.operators.lang_id_train import lang_id_trained
+
+    base = spark.range(0, 120).withColumnRenamed("id", "doc_id")
+    a = sorted(
+        (r["doc_id"], r["lang_pred"])
+        for r in lang_id_trained(base.repartition(1)).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["lang_pred"])
+        for r in lang_id_trained(base.repartition(13)).collect()
+    )
+    assert a == b
