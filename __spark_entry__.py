@@ -2460,6 +2460,67 @@ def _q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (r5): one corpus pass for
+    pretoken counts, then per-round pair aggregation + argmax over
+    the Zipf-bounded distinct-word table, merge applied as a JVM
+    fold. The DuckDB oracle unrolls all 6 rounds (pair explosion,
+    byte-order tie-break, reduce-fold) and is pinned equivalent to
+    the scalar reference trainer (``scripts/train_bpe.py``) by
+    pytest."""
+    from karanta_ocr_spark.operators.bpe_train import bpe_learn
+
+    return bpe_learn(_docs(spark, sf_dir), n_merges=6)
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup verdicts (r5): seeded md5-rank codebook → nearest-
+    centroid cells → intra-cell earlier-rank cosine rule. The DuckDB
+    oracle replays codebook, assignment (np.argmax first-index
+    tie-break = lowest cell id), farthest-first keep ranking, and the
+    pair verdicts — float64 vectors keep both engines on the same
+    6-dp grid."""
+    from karanta_ocr_spark.operators.semdedup import semantic_dedup_verdicts
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return semantic_dedup_verdicts(emb, n_clusters=8, threshold=0.95)
+
+
+#: Per-family artifact suffixes appended to documents.text by doc_id%5
+#: so every OCR-artifact signal fires on real rows (family 4 stays
+#: clean). The DuckDB oracle rebuilds the identical variant corpus.
+_OCR_VARIANTS = [
+    " exam- ple over- flow",            # broken dehyphenation
+    " l1ke 0cr t3xt",                   # digit/letter confusion
+    " � bad ̀more ́",    # decode failure + split tone marks
+    " bcdfgh jklmnp q r s t",           # consonant soup + fragments
+    "",                                  # clean control
+]
+
+
+def _q_ocr_artifact_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-OCR artifact report (r5) — replacement chars, isolated
+    combining marks (the Yoruba/Igbo tone-mark split failure),
+    dehyphenation leftovers, consonant soup, fragment/confusion token
+    fractions, one weighted score + verdict. Map-only Catalyst; the
+    DuckDB oracle replays every regex and the fixed-order float sum
+    on the same synthesized variant corpus."""
+    from karanta_ocr_spark.functions.ocr_quality import ocr_artifact_report
+
+    docs = _docs(spark, sf_dir)
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _OCR_VARIANTS]),
+        (F.col("doc_id") % 5).cast("int") + 1,
+    )
+    variant = docs.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), suffix).alias("text"),
+    )
+    return ocr_artifact_report(variant)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness window checks
     the FIRST ~50 entries and the judge accepts a green row from the
@@ -2514,6 +2575,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r5 --
         "lang_id_trained": _q_lang_id_trained,
         "training_export": _q_training_export,
+        "bpe_learn": _q_bpe_learn,
+        "semantic_dedup": _q_semantic_dedup,
+        "ocr_artifact_score": _q_ocr_artifact_score,
         # -- driver-green in r4 (covered by the r4∪r5 union) --
         "pii_scrub": _q_pii_scrub,
         "meta_robots": _q_meta_robots,
@@ -3123,6 +3187,33 @@ def _lang_id_trained_oracle_sql() -> str:
     return lang_id_oracle_sql()
 
 
+def _bpe_learn_oracle_sql() -> str:
+    from karanta_ocr_spark.operators.bpe_train import bpe_learn_oracle_sql
+
+    return bpe_learn_oracle_sql(6)
+
+
+def _semdedup_oracle_sql_entry() -> str:
+    from karanta_ocr_spark.operators.semdedup import semdedup_oracle_sql
+
+    return semdedup_oracle_sql(n_clusters=8, threshold=0.95)
+
+
+def _ocr_artifact_oracle_sql() -> str:
+    from karanta_ocr_spark.functions.ocr_quality import ocr_artifact_oracle_sql
+
+    cases = " ".join(
+        f"WHEN {i} THEN '{s.replace(chr(39), chr(39) * 2)}'"
+        for i, s in enumerate(_OCR_VARIANTS)
+    )
+    text_expr = (
+        f"coalesce(text, '') || (CASE CAST(doc_id % 5 AS INT) {cases} END)"
+    )
+    return ocr_artifact_oracle_sql(text_expr=text_expr)
+
+
+
+
 def _training_export_oracle_sql() -> str:
     """DuckDB twin of ``_q_training_export``: token counts via the
     shared BPE CTE, shuffle rank = md5('shuf:42:' || doc_id), a FLAT
@@ -3154,6 +3245,9 @@ def oracle_sql() -> dict[str, str]:
         **_webgraph_oracle_sqls(),
         "lang_id_trained": _lang_id_trained_oracle_sql(),
         "training_export": _training_export_oracle_sql(),
+        "bpe_learn": _bpe_learn_oracle_sql(),
+        "semantic_dedup": _semdedup_oracle_sql_entry(),
+        "ocr_artifact_score": _ocr_artifact_oracle_sql(),
         "bm25_search": _bm25_oracle_sql(_BM25_TERMS),
         "bpe_token_stats": _bpe_oracle_sql(),
         "quality_lr_train": _quality_lr_oracle_sql(),

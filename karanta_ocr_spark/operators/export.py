@@ -297,8 +297,8 @@ def write_token_shards(
         return pd.DataFrame({"shard_id": [sid], "n_tokens": [len(flat)]})
 
     (
-        pieces.repartition("shard_id")
-        .groupBy("shard_id")
+        pieces.groupBy("shard_id")  # the groupBy IS the shuffle — no
+        # explicit repartition in front of it (that would be a second)
         .applyInPandas(assemble, "shard_id long, n_tokens long")
         .count()  # the action; per-shard counts come from the listing
     )
