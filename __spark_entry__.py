@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from karanta_ocr_spark.functions.text_analysis import (
     WS,
@@ -2521,6 +2521,198 @@ def _q_ocr_artifact_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ocr_artifact_report(variant)
 
 
+def _q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (r5) over the parity-split
+    embeddings table (even vec_ids = source language, odd = target —
+    the deterministic stand-in for per-language encoder outputs).
+    Integer micro-cosines make the k-NN sums and the floor-division
+    margin exact, so the DuckDB oracle replays pair sims, both
+    neighborhood sums, the margin, and the forward-best selection."""
+    from karanta_ocr_spark.operators.bitext import mine_bitext
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    return mine_bitext(src, tgt, k=4, margin_threshold=1.01)
+
+
+def _q_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-lite per-domain mixture weights (r5): per-doc bigram-LM
+    cross-entropy quantized to exact micro-units, per-source means,
+    excess over the corpus baseline, exponential reweighting. The
+    DuckDB oracle extends the shared LM CTE with the identical
+    integer sums and the same exp/normalize arithmetic."""
+    from karanta_ocr_spark.operators.doremi import domain_reweight
+
+    return domain_reweight(
+        _docs(spark, sf_dir), domain_col="source", temperature=0.5
+    )
+
+
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility report (r5): merged-BPE
+    tokens per pretoken (fertility) and UTF-8 bytes per BPE token
+    (compression) — the standard multilingual-tokenizer-equity audit
+    (high fertility on a language = that language pays more compute
+    per word). Reuses the committed merge fixture; the oracle reuses
+    the shared recursive-CTE BPE replay grouped by lang."""
+    from karanta_ocr_spark.functions.bpe import (
+        bpe_token_count_merged,
+        pretokenize,
+    )
+
+    d = _docs(spark, sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    per_doc = d.select(
+        "lang",
+        F.size(pretokenize(t)).cast("long").alias("_pt"),
+        bpe_token_count_merged(t).alias("_bt"),
+        F.octet_length(t).cast("long").alias("_bytes"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_pt").alias("n_pretokens"),
+        F.sum("_bt").alias("n_bpe_tokens"),
+        F.sum("_bytes").alias("n_bytes"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_pretokens",
+        "n_bpe_tokens",
+        "n_bytes",
+        F.round(
+            F.col("n_bpe_tokens") / F.greatest(F.col("n_pretokens"), F.lit(1)), 6
+        ).alias("fertility"),
+        F.round(
+            F.col("n_bytes") / F.greatest(F.col("n_bpe_tokens"), F.lit(1)), 6
+        ).alias("bytes_per_token"),
+    )
+
+
+def _q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasheet-style corpus rollup (r5): per language — doc count,
+    token totals, byte totals, mean whitespace-token quality score,
+    exact-duplicate fraction (md5 text fingerprints), and corpus
+    share. One groupBy pass + a distinct-fingerprint subaggregate;
+    the 1-row corpus total broadcasts back. The 'datasheets for
+    datasets' (Gebru et al. 2021) publishing artifact as a query."""
+    from karanta_ocr_spark.functions.text_analysis import (
+        fingerprint_md5,
+        quality_score,
+        token_count,
+    )
+
+    d = _docs(spark, sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    per_doc = d.select(
+        "lang",
+        token_count(t).cast("long").alias("_tok"),
+        F.octet_length(t).cast("long").alias("_bytes"),
+        # micro-quantized so per-group means are exact integers
+        F.round(quality_score(t) * 1000000).cast("long").alias("_q_micro"),
+        fingerprint_md5(t).alias("_fp"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_tok").alias("n_tokens"),
+        F.sum("_bytes").alias("n_bytes"),
+        F.sum("_q_micro").alias("_q_sum"),
+        F.countDistinct("_fp").cast("long").alias("n_distinct"),
+    )
+    total = agg.agg(F.sum("n_docs").alias("_tot_docs"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_bytes",
+            F.round(
+                F.col("_q_sum") / F.col("n_docs") / F.lit(1000000.0), 6
+            ).alias("mean_quality"),
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct"))
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_frac"),
+            F.round(
+                F.col("n_docs") / F.col("_tot_docs").cast("double"), 6
+            ).alias("corpus_share"),
+        )
+    )
+
+
+def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew report (r5): per partition key (source) — row
+    count, share, rank, cumulative share, over-uniform factor, and a
+    recommended salt multiplier, plus the corpus Gini coefficient.
+    This is the planning query behind the engine's salting knobs
+    (``plans/``): run it on the shuffle key BEFORE a big join and
+    feed ``salt_factor`` to the salted repartition. All arithmetic
+    exact-integer until the final divisions; the group table is
+    G rows, so the windows are trivially bounded."""
+    d = _docs(spark, sf_dir)
+    g = d.groupBy(F.col("source").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    # explicit 1-lit partition key: the window runs over the G-row
+    # group table (G = distinct sources), never corpus-sized
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("n_rows"), F.col("key"))
+    tot = g.agg(
+        F.sum("n_rows").alias("_tot"),
+        F.count(F.lit(1)).cast("long").alias("_g"),
+    )
+    ranked = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "_cum", F.sum("n_rows").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    # Gini over the ascending size order: (2·Σ i·x_(i) )/(n·Σx) − (n+1)/n,
+    # computed from exact integer sums of the G-row table.
+    wa = Window.partitionBy(F.lit(1)).orderBy(F.col("n_rows"), F.col("key"))
+    gini_tbl = (
+        g.withColumn("_i", F.row_number().over(wa))
+        .agg(
+            F.sum(F.col("_i") * F.col("n_rows")).alias("_ix"),
+            F.sum("n_rows").alias("_sx"),
+            F.count(F.lit(1)).cast("long").alias("_n"),
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(gini_tbl))
+        .select(
+            "key",
+            "n_rows",
+            "rank",
+            F.round(F.col("n_rows") / F.col("_tot").cast("double"), 6).alias(
+                "share"
+            ),
+            F.round(F.col("_cum") / F.col("_tot").cast("double"), 6).alias(
+                "cum_share"
+            ),
+            # ×G over the uniform share; ceil'd it IS the salt factor
+            F.round(
+                F.col("n_rows") * F.col("_g") / F.col("_tot").cast("double"), 6
+            ).alias("over_uniform"),
+            F.ceil(
+                F.col("n_rows") * F.col("_g") / F.col("_tot").cast("double")
+            )
+            .cast("long")
+            .alias("salt_factor"),
+            F.round(
+                (F.lit(2.0) * F.col("_ix")) / (F.col("_n") * F.col("_sx"))
+                - (F.col("_n") + F.lit(1)) / F.col("_n").cast("double"),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness window checks
     the FIRST ~50 entries and the judge accepts a green row from the
@@ -2578,6 +2770,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": _q_bpe_learn,
         "semantic_dedup": _q_semantic_dedup,
         "ocr_artifact_score": _q_ocr_artifact_score,
+        "bitext_mine": _q_bitext_mine,
+        "domain_reweight": _q_domain_reweight,
+        "tokenizer_fertility": _q_tokenizer_fertility,
+        "corpus_datacard": _q_corpus_datacard,
+        "skew_report": _q_skew_report,
         # -- driver-green in r4 (covered by the r4∪r5 union) --
         "pii_scrub": _q_pii_scrub,
         "meta_robots": _q_meta_robots,
@@ -2954,9 +3151,10 @@ def _minhash_oracle_sql() -> str:
     """
 
 
-#: Bigram-LM perplexity oracle (md5 join-key mode) — shared between
-#: the lm_perplexity entry and the perplexity_buckets wrapper.
-_LM_PPL_SQL = """
+#: Bigram-LM perplexity oracle CTE (md5 join-key mode) — shared by
+#: the lm_perplexity entry, the perplexity_buckets wrapper, and the
+#: domain_reweight oracle; ends with ``ag(doc_id, n, s)``.
+_LM_PPL_CTE = """
             WITH t AS (SELECT doc_id,
                               regexp_split_to_array(lower(trim(text)), '[ \\t-\\r]+') AS toks
                        FROM documents),
@@ -2976,6 +3174,9 @@ _LM_PPL_SQL = """
                           list_reduce(list_prepend(0.0, list(logp ORDER BY pos)),
                                       (x, y) -> x + y) AS s
                    FROM lp GROUP BY doc_id)
+"""
+
+_LM_PPL_SQL = _LM_PPL_CTE + """
             SELECT d.doc_id,
                    CAST(coalesce(ag.n, 0) AS BIGINT) AS n_bigrams,
                    round(-ag.s / ag.n, 6) AS cross_entropy,
@@ -3199,6 +3400,110 @@ def _semdedup_oracle_sql_entry() -> str:
     return semdedup_oracle_sql(n_clusters=8, threshold=0.95)
 
 
+#: DuckDB twin of ``_q_corpus_datacard``: replays token counts, the
+#: composite quality heuristic (stopword/length/punct terms in the
+#: exact Spark operation order), micro-quantization, md5 fingerprint
+#: distinct counts, and the broadcast corpus total.
+_CORPUS_DATACARD_SQL = f"""
+    WITH base AS (SELECT doc_id, lang, coalesce(text, '') AS t FROM documents),
+    f AS (SELECT doc_id, lang, t,
+                 regexp_split_to_array(trim(t), '[ \\t-\\r]+') AS toks
+          FROM base),
+    q AS (SELECT lang,
+                 CAST(len(toks) AS BIGINT) AS tok,
+                 CAST(strlen(t) AS BIGINT) AS bytes,
+                 md5(lower(regexp_replace(trim(t), '[ \\t-\\r]+', ' ', 'g'))) AS fp,
+                 CAST(round(round(
+                     (0.5 * least(len(list_filter(toks, x -> lower(x) IN {_STOP_SQL}))
+                                  / CAST(len(toks) AS DOUBLE) * 3.0, 1.0)
+                      + 0.5 * (CASE WHEN list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                                          / CAST(len(toks) AS DOUBLE) >= 2.5
+                                     AND list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                                          / CAST(len(toks) AS DOUBLE) <= 12.0
+                                    THEN 1.0 ELSE 0.5 END))
+                     * (1.0 - least((length(t) - length(regexp_replace(t,
+                            '[!-/:-@\\[-`{{-~]', '', 'g')))
+                            / CAST(length(t) AS DOUBLE) * 2.0, 1.0)), 6)
+                     * 1000000) AS BIGINT) AS q_micro
+          FROM f),
+    agg AS (SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(tok) AS BIGINT) AS n_tokens,
+                   CAST(sum(bytes) AS BIGINT) AS n_bytes,
+                   CAST(sum(q_micro) AS BIGINT) AS q_sum,
+                   CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct
+            FROM q GROUP BY lang),
+    tot AS (SELECT sum(n_docs) AS tot_docs FROM agg)
+    SELECT lang, n_docs, n_tokens, n_bytes,
+           round(q_sum / n_docs / 1000000.0, 6) AS mean_quality,
+           round((n_docs - n_distinct) / CAST(n_docs AS DOUBLE), 6) AS dup_frac,
+           round(n_docs / CAST(tot_docs AS DOUBLE), 6) AS corpus_share
+    FROM agg CROSS JOIN tot
+"""
+
+#: DuckDB twin of ``_q_skew_report``: group sizes, rank/cumulative
+#: windows over the G-row table, over-uniform factor, salt ceiling,
+#: and the exact-integer Gini.
+_SKEW_REPORT_SQL = """
+    WITH g AS (SELECT source AS key, CAST(count(*) AS BIGINT) AS n_rows
+               FROM documents GROUP BY source),
+    tot AS (SELECT sum(n_rows) AS tot, CAST(count(*) AS BIGINT) AS gcnt FROM g),
+    gini AS (SELECT sum(i * n_rows) AS ix, sum(n_rows) AS sx,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM (SELECT n_rows,
+                          row_number() OVER (ORDER BY n_rows, key) AS i
+                   FROM g)),
+    r AS (SELECT key, n_rows,
+                 row_number() OVER (ORDER BY n_rows DESC, key) AS rank,
+                 sum(n_rows) OVER (ORDER BY n_rows DESC, key
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM g)
+    SELECT r.key, r.n_rows, r.rank,
+           round(r.n_rows / CAST(tot.tot AS DOUBLE), 6) AS share,
+           round(r.cum / CAST(tot.tot AS DOUBLE), 6) AS cum_share,
+           round(r.n_rows * tot.gcnt / CAST(tot.tot AS DOUBLE), 6) AS over_uniform,
+           CAST(ceil(r.n_rows * tot.gcnt / CAST(tot.tot AS DOUBLE)) AS BIGINT)
+               AS salt_factor,
+           round((2.0 * gini.ix) / (gini.n * gini.sx)
+                 - (gini.n + 1) / CAST(gini.n AS DOUBLE), 6) AS gini
+    FROM r CROSS JOIN tot CROSS JOIN gini
+"""
+
+
+def _domain_reweight_oracle_sql() -> str:
+    from karanta_ocr_spark.operators.doremi import domain_reweight_oracle_sql
+
+    return domain_reweight_oracle_sql(_LM_PPL_CTE, temperature=0.5)
+
+
+def _tokenizer_fertility_oracle_sql() -> str:
+    """Shared BPE CTE grouped by lang: sums are exact integers, the
+    two ratios the same long/long double divisions as the Spark
+    plan."""
+    return _bpe_counts_cte() + """
+        , lg AS (SELECT d.lang,
+                        CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(coalesce(a.n_pretokens, 0)) AS BIGINT)
+                            AS n_pretokens,
+                        CAST(sum(coalesce(a.bpe_tokens, 0)) AS BIGINT)
+                            AS n_bpe_tokens,
+                        CAST(sum(strlen(coalesce(d.text, ''))) AS BIGINT)
+                            AS n_bytes
+                 FROM documents d LEFT JOIN agg a USING (doc_id)
+                 GROUP BY d.lang)
+        SELECT lang, n_docs, n_pretokens, n_bpe_tokens, n_bytes,
+               round(n_bpe_tokens / greatest(n_pretokens, 1), 6) AS fertility,
+               round(n_bytes / greatest(n_bpe_tokens, 1), 6) AS bytes_per_token
+        FROM lg
+    """
+
+
+def _bitext_oracle_sql_entry() -> str:
+    from karanta_ocr_spark.operators.bitext import bitext_oracle_sql
+
+    return bitext_oracle_sql(k=4, margin_threshold=1.01)
+
+
 def _ocr_artifact_oracle_sql() -> str:
     from karanta_ocr_spark.functions.ocr_quality import ocr_artifact_oracle_sql
 
@@ -3248,6 +3553,11 @@ def oracle_sql() -> dict[str, str]:
         "bpe_learn": _bpe_learn_oracle_sql(),
         "semantic_dedup": _semdedup_oracle_sql_entry(),
         "ocr_artifact_score": _ocr_artifact_oracle_sql(),
+        "bitext_mine": _bitext_oracle_sql_entry(),
+        "domain_reweight": _domain_reweight_oracle_sql(),
+        "tokenizer_fertility": _tokenizer_fertility_oracle_sql(),
+        "corpus_datacard": _CORPUS_DATACARD_SQL,
+        "skew_report": _SKEW_REPORT_SQL,
         "bm25_search": _bm25_oracle_sql(_BM25_TERMS),
         "bpe_token_stats": _bpe_oracle_sql(),
         "quality_lr_train": _quality_lr_oracle_sql(),

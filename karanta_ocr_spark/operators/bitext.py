@@ -1,0 +1,190 @@
+"""Margin-based bitext mining (Artetxe & Schwenk 2019,
+arXiv:1811.01136 — the LASER/CCMatrix mining rule): align documents
+across two languages by cosine similarity *relative to* each side's
+k-NN neighborhood density, which kills the hubness failure of raw
+cosine thresholds. For a multilingual web corpus this is how parallel
+training data is mined from comparable crawls.
+
+``margin(x, y) = cos(x, y) / ((avgk(x→TGT) + avgk(y→SRC)) / 2)``
+
+(the "ratio" margin; a pair is mined when its forward-best margin
+clears the threshold).
+
+Exactness device: cosines are snapped to integer micro-units
+(``round(cos·1e6)`` as bigint) BEFORE any aggregation, so k-NN sums
+are exact integer arithmetic and the margin is one floor division —
+``margin_micro = 2k·sim_micro·1e6 // (fwd_sum + bwd_sum)`` — making
+ranking, thresholding, and the emitted doubles bit-identical between
+Spark and the DuckDB oracle (the same fixed-point device as
+``operators/train_lr`` and ``functions/ocr_quality``).
+
+Scale shape (10^9 docs per side):
+
+* ``candidates='broadcast'`` (default, oracle-pinned): the TGT side
+  broadcasts — right when mining INTO a bounded target pool (one
+  language's worth of centroid-reduced candidates). BroadcastNLJ,
+  never a CartesianProduct.
+* At two big sides, generate candidates with the IVF/LSH machinery
+  (``similarity.ivf_topk`` / ``lsh_bucketed_topk``) and feed the
+  resulting pair table through :func:`margin_scores` unchanged — the
+  margin arithmetic only ever sees (src, tgt, sim_micro) rows. The
+  k-NN averages then run over ANN candidates instead of exact
+  neighborhoods, which is exactly CCMatrix's production compromise.
+
+Reference scope note: the reference has no mining stage; this is
+part of the training-data suite beyond reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from karanta_ocr_spark.operators.similarity import cosine
+
+#: micro-units per 1.0 of cosine/margin
+_M = 1_000_000
+
+
+def _pair_sims(
+    src: DataFrame, tgt: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """All (src, tgt) pairs with integer micro-cosines; the TGT side
+    broadcasts (documented seam — see module docstring)."""
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("_tv")
+    )
+    s = src.select(
+        F.col(id_col).alias("src_id"), F.col(vec_col).alias("_sv")
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "src_id",
+        "tgt_id",
+        F.round(cosine(F.col("_sv"), F.col("_tv")) * _M)
+        .cast("long")
+        .alias("sim_micro"),
+    )
+
+
+def margin_scores(pairs: DataFrame, k: int = 4) -> DataFrame:
+    """Ratio-margin scores over a (src_id, tgt_id, sim_micro) pair
+    table: each side's k-NN sum is an exact integer aggregation; the
+    margin is one floor division in micro-units."""
+    wf = Window.partitionBy("src_id").orderBy(
+        F.desc("sim_micro"), F.col("tgt_id")
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(
+        F.desc("sim_micro"), F.col("src_id")
+    )
+    ranked = pairs.withColumn("_rf", F.row_number().over(wf)).withColumn(
+        "_rb", F.row_number().over(wb)
+    )
+    fwd = (
+        ranked.filter(F.col("_rf") <= k)
+        .groupBy("src_id")
+        .agg(F.sum("sim_micro").alias("fwd_sum"), F.count("*").alias("fwd_n"))
+    )
+    bwd = (
+        ranked.filter(F.col("_rb") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum("sim_micro").alias("bwd_sum"), F.count("*").alias("bwd_n"))
+    )
+    return (
+        ranked.join(fwd, on="src_id")
+        .join(bwd, on="tgt_id")
+        .withColumn(
+            # margin = 2·sim / (fwd_sum/fwd_n + bwd_sum/bwd_n)
+            #        = 2·sim·fwd_n·bwd_n / (fwd_sum·bwd_n + bwd_sum·fwd_n)
+            # — all integers; one double division + floor, identical
+            # in both engines (numerator < 2^53).
+            "margin_micro",
+            F.floor(
+                F.col("sim_micro")
+                * F.lit(2 * _M).cast("long")
+                * F.col("fwd_n")
+                * F.col("bwd_n")
+                / F.greatest(
+                    F.col("fwd_sum") * F.col("bwd_n")
+                    + F.col("bwd_sum") * F.col("fwd_n"),
+                    F.lit(1),
+                )
+            ).cast("long"),
+        )
+    )
+
+
+def mine_bitext(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.01,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Mined pairs: per src doc, the forward-best tgt by margin
+    (ties → lowest tgt_id), kept when the margin clears the
+    threshold. Returns ``(src_id, tgt_id, cos_sim, margin)``."""
+    pairs = _pair_sims(src, tgt, vec_col, id_col)
+    scored = margin_scores(pairs, k=k)
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("margin_micro"), F.col("tgt_id")
+    )
+    thr = int(round(margin_threshold * _M))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter((F.col("_rk") == 1) & (F.col("margin_micro") >= thr))
+        .select(
+            "src_id",
+            "tgt_id",
+            (F.col("sim_micro") / F.lit(float(_M))).alias("cos_sim"),
+            (F.col("margin_micro") / F.lit(float(_M))).alias("margin"),
+        )
+    )
+
+
+def bitext_oracle_sql(
+    k: int = 4,
+    margin_threshold: float = 1.01,
+    table: str = "embeddings",
+    src_pred: str = "vec_id % 2 = 0",
+    tgt_pred: str = "vec_id % 2 = 1",
+) -> str:
+    """DuckDB twin of :func:`mine_bitext` over the parity-split
+    embeddings table: replays micro-cosines, both k-NN integer sums,
+    the floor-division margin, and the forward-best selection."""
+    thr = int(round(margin_threshold * _M))
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+        s AS (SELECT vec_id AS src_id, v AS sv FROM e WHERE {src_pred}),
+        t AS (SELECT vec_id AS tgt_id, v AS tv FROM e WHERE {tgt_pred}),
+        p AS (SELECT src_id, tgt_id,
+                     CAST(round(list_dot_product(sv, tv)
+                          / (greatest(sqrt(list_dot_product(sv, sv)), 1e-12)
+                             * greatest(sqrt(list_dot_product(tv, tv)), 1e-12))
+                          * {_M}) AS BIGINT) AS sim_micro
+              FROM s CROSS JOIN t),
+        r AS (SELECT *,
+                     row_number() OVER (PARTITION BY src_id
+                                        ORDER BY sim_micro DESC, tgt_id) AS rf,
+                     row_number() OVER (PARTITION BY tgt_id
+                                        ORDER BY sim_micro DESC, src_id) AS rb
+              FROM p),
+        fwd AS (SELECT src_id, sum(sim_micro) AS fwd_sum, count(*) AS fwd_n
+                FROM r WHERE rf <= {k} GROUP BY src_id),
+        bwd AS (SELECT tgt_id, sum(sim_micro) AS bwd_sum, count(*) AS bwd_n
+                FROM r WHERE rb <= {k} GROUP BY tgt_id),
+        m AS (SELECT r.src_id, r.tgt_id, r.sim_micro,
+                     CAST(floor(CAST(r.sim_micro * {2 * _M}::BIGINT
+                                     * fwd.fwd_n * bwd.bwd_n AS DOUBLE)
+                          / greatest(fwd.fwd_sum * bwd.bwd_n
+                                     + bwd.bwd_sum * fwd.fwd_n, 1)) AS BIGINT)
+                         AS margin_micro
+              FROM r JOIN fwd ON r.src_id = fwd.src_id
+                     JOIN bwd ON r.tgt_id = bwd.tgt_id),
+        best AS (SELECT *, row_number() OVER (PARTITION BY src_id
+                                              ORDER BY margin_micro DESC, tgt_id) AS rk
+                 FROM m)
+        SELECT src_id, tgt_id,
+               sim_micro / {float(_M)} AS cos_sim,
+               margin_micro / {float(_M)} AS margin
+        FROM best WHERE rk = 1 AND margin_micro >= {thr}
+    """
