@@ -2645,6 +2645,20 @@ def _q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _q_stupid_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out stupid-backoff trigram LM scoring (r5): the corpus is
+    split by md5(doc_id) parity into a train half (raw 1/2/3-gram
+    counts, one pass, one shuffle) and a held-out score half; each
+    held-out trigram position resolves down the Brants et al. 2007
+    backoff ladder (tri -> 0.4*bi -> 0.4^2*add-one unigram), so the
+    oracle checks training, the batched one-join lookup, the rung
+    dispatch, and the position-ordered fold end-to-end."""
+    from karanta_ocr_spark.operators.lm_score import stupid_backoff_score
+
+    return stupid_backoff_score(_docs(spark, sf_dir))
+
+
 def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-skew report (r5): per partition key (source) — row
     count, share, rank, cumulative share, over-uniform factor, and a
@@ -2775,6 +2789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "corpus_datacard": _q_corpus_datacard,
         "skew_report": _q_skew_report,
+        "stupid_backoff_lm": _q_stupid_backoff_lm,
         # -- driver-green in r4 (covered by the r4∪r5 union) --
         "pii_scrub": _q_pii_scrub,
         "meta_robots": _q_meta_robots,
@@ -3545,6 +3560,67 @@ def _training_export_oracle_sql() -> str:
     """
 
 
+
+#: Stupid-backoff held-out LM oracle — replays the md5-parity
+#: train/score split, the raw 1/2/3-gram counts, the five per-position
+#: lookups, the backoff rung dispatch, and the position-ordered
+#: left-associative fold (list_reduce) in DuckDB.
+_SB_LM_SQL = """
+    WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '[ \\t-\\r]+') AS toks,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+                        % 2 = 0 AS train
+               FROM documents),
+    tg AS (SELECT 3 AS ord, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+           FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i
+                 FROM t WHERE train AND len(toks) >= 3)
+           UNION ALL
+           SELECT 2, toks[i] || ' ' || toks[i+1]
+           FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                 FROM t WHERE train AND len(toks) >= 2)
+           UNION ALL
+           SELECT 1, unnest(toks) FROM t WHERE train),
+    cnt AS (SELECT ord, g, count(*) AS c FROM tg GROUP BY ord, g),
+    nv AS (SELECT sum(c) AS nn, count(*) AS vv FROM cnt WHERE ord = 1),
+    pos AS (SELECT doc_id, i - 1 AS pos,
+                   toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+            FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+                  FROM t WHERE NOT train AND len(toks) >= 3)),
+    lk AS (SELECT p.doc_id, p.pos, t3.c AS c3, b_ctx.c AS c2c,
+                  b.c AS c2, u_ctx.c AS c1c, u.c AS c1
+           FROM pos p
+           LEFT JOIN cnt t3    ON t3.ord = 3
+                AND t3.g = p.w1 || ' ' || p.w2 || ' ' || p.w3
+           LEFT JOIN cnt b_ctx ON b_ctx.ord = 2
+                AND b_ctx.g = p.w1 || ' ' || p.w2
+           LEFT JOIN cnt b     ON b.ord = 2 AND b.g = p.w2 || ' ' || p.w3
+           LEFT JOIN cnt u_ctx ON u_ctx.ord = 1 AND u_ctx.g = p.w2
+           LEFT JOIN cnt u     ON u.ord = 1 AND u.g = p.w3),
+    lp AS (SELECT doc_id, pos,
+                  CASE WHEN c3 IS NOT NULL THEN ln(c3) - ln(c2c)
+                       WHEN c2 IS NOT NULL THEN ln(0.4) + ln(c2) - ln(c1c)
+                       ELSE ln(0.4) + ln(0.4)
+                            + ln(coalesce(c1, 0) + 1.0) - ln(nn + vv) END AS logp,
+                  CASE WHEN c3 IS NOT NULL THEN 'tri'
+                       WHEN c2 IS NOT NULL THEN 'bi' ELSE 'uni' END AS rung
+           FROM lk, nv),
+    ag AS (SELECT doc_id, count(*) AS n,
+                  sum(CASE WHEN rung = 'tri' THEN 1 ELSE 0 END) AS ht,
+                  sum(CASE WHEN rung = 'bi' THEN 1 ELSE 0 END) AS hb,
+                  sum(CASE WHEN rung = 'uni' THEN 1 ELSE 0 END) AS hu,
+                  list_reduce(list_prepend(0.0, list(logp ORDER BY pos)),
+                              (x, y) -> x + y) AS s
+           FROM lp GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(ag.n, 0) AS BIGINT) AS n_trigrams,
+           CAST(coalesce(ag.ht, 0) AS BIGINT) AS hits_tri,
+           CAST(coalesce(ag.hb, 0) AS BIGINT) AS hits_bi,
+           CAST(coalesce(ag.hu, 0) AS BIGINT) AS hits_uni,
+           round(ag.s / ag.n, 6) AS sb_logscore,
+           round(exp(ag.s / ag.n), 6) AS sb_score
+    FROM (SELECT doc_id FROM t WHERE NOT train) d LEFT JOIN ag USING (doc_id)
+"""
+
 def oracle_sql() -> dict[str, str]:
     return {
         **_webgraph_oracle_sqls(),
@@ -3558,6 +3634,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _tokenizer_fertility_oracle_sql(),
         "corpus_datacard": _CORPUS_DATACARD_SQL,
         "skew_report": _SKEW_REPORT_SQL,
+        "stupid_backoff_lm": _SB_LM_SQL,
         "bm25_search": _bm25_oracle_sql(_BM25_TERMS),
         "bpe_token_stats": _bpe_oracle_sql(),
         "quality_lr_train": _quality_lr_oracle_sql(),

@@ -211,6 +211,14 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
         "quality_lr_train", "pii_cards", "sitemap_entries",
         "robots_crawl_policy", "minhash_calibration", "script_entropy",
         "url_features", "gopher_shape_rules",
+        # r5 additions: trained LID, tokenized shard export, distributed
+        # BPE merge learning, SemDeDup, OCR-artifact scoring, margin-based
+        # bitext mining, DoReMi-lite reweighting, fertility report,
+        # datacard, skew report, held-out stupid-backoff LM.
+        "lang_id_trained", "training_export", "bpe_learn",
+        "semantic_dedup", "ocr_artifact_score", "bitext_mine",
+        "domain_reweight", "tokenizer_fertility", "corpus_datacard",
+        "skew_report", "stupid_backoff_lm",
     ]
     qs = entrymod.queries()
     # One untimed pass of every query at sf0.001: the first run of
@@ -630,6 +638,22 @@ def main() -> None:
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # still over: shave query precision
         compact["queries"] = {k: round(v, 1) for k, v in queries.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # final tier: scalar-only extraction/scaling
+        # (full fidelity is already in the committed sidecar above)
+        if extraction:
+            compact["extraction"] = {
+                "docs_per_sec": extraction.get("docs_per_sec")}
+        if scaling:
+            slim = {}
+            for lev in ("p8", "p32"):
+                if lev in compact.get("scaling", {}):
+                    slim[lev] = compact["scaling"][lev].get("docs_per_sec")
+            for k in ("efficiency", "p16_per_core",
+                      "secondary_p4_p16_efficiency"):
+                if k in compact.get("scaling", {}):
+                    slim[k] = compact["scaling"][k]
+            compact["scaling"] = slim
         line = json.dumps(compact, separators=(",", ":"))
     print(line, flush=True)
 

@@ -202,3 +202,185 @@ def perplexity_buckets(
             .otherwise(F.lit("tail")),
         ).drop("_th")
     return out.unionByName(nulls)
+
+
+def stupid_backoff_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Held-out trigram scoring under a corpus-trained stupid-backoff
+    LM — the distributed n-gram LM of Brants et al. 2007 ("Large
+    Language Models in Machine Translation", EMNLP; their eq. 5 with
+    the recommended lambda = 0.4).
+
+    The corpus is split deterministically by md5(doc_id) parity into a
+    TRAIN half (counts) and a SCORE half (held-out documents) — so the
+    backoff ladder is genuinely exercised: a held-out trigram may be
+    unseen in training, falling to the bigram, unigram, or OOV rung.
+    Score of position (w1 w2 w3):
+
+    * ``c(w1 w2 w3) > 0``      → ``c(w1w2w3) / c(w1w2)``
+    * elif ``c(w2 w3) > 0``    → ``0.4 * c(w2w3) / c(w2)``
+    * else                     → ``0.4^2 * (c(w3)+1) / (N+V)``
+
+    where N = train token count, V = train vocabulary size; the last
+    rung is add-one smoothed so OOV words score finitely (Brants et
+    al. leave OOV to the serving layer; additive floor documented
+    here as the deviation). Counts are RAW n-gram frequencies (no
+    normalization pass — the paper's point: stupid backoff needs no
+    discounting statistics, which is what makes it trainable on
+    trillions of tokens in one MapReduce-style pass).
+
+    Returns one row per SCORE-half document:
+    ``(id_col, n_trigrams, hits_tri, hits_bi, hits_uni,
+    sb_logscore, sb_score)`` — hits_* count which rung each position
+    resolved at (hits_uni includes OOV), sb_logscore is the
+    left-associative position-ordered mean of ln S (round 6),
+    sb_score = exp(mean) (round 6). Docs under 3 tokens report
+    n_trigrams = 0 and NULL scores.
+
+    Scale shape (the paper's own architecture, re-expressed in
+    Catalyst):
+
+    * Training is ONE corpus pass: per doc, all 1/2/3-grams emitted
+      from one hoisted token array (three transform() HOFs concat'd),
+      ONE explode, ONE groupBy on the md5 gram key with map-side
+      partial aggregation. N and V derive from the aggregated counts
+      table (sum / count over ord=1 rows), never a second corpus scan.
+    * Lookup is the paper's batched shape: each score position emits
+      its five needed keys (trigram, two bigrams, two unigrams) in
+      LONG format, joined ONCE against the unified counts table on
+      the gram hash — one shuffle join instead of five, then a
+      doc_id+pos pivot (max-when over five tagged slots) that runs
+      map-side after the join's exchange. Hot stop-grams skew the
+      probe side; AQE skew-join splits them.
+    * The per-doc fold is position-sorted and left-associative
+      (collect_list bounded by doc length), bit-reproducible across
+      partitionings — replayed exactly by the DuckDB oracle.
+    """
+    from karanta_ocr_spark.functions.text_analysis import WS_SQL
+
+    toks_sql = f"split(lower(trim({text_col})), '{WS_SQL}+')"
+    is_train = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2), 16, 10)
+        .cast("long") % 2 == 0
+    )
+    base = docs.select(F.col(id_col), F.expr(toks_sql).alias("_toks"),
+                       is_train.alias("_train"))
+
+    # --- training: one explode over all orders, one groupBy ---------
+    grams_sql = (
+        "concat("
+        "  transform(_toks, t -> concat('1:', t)),"
+        "  CASE WHEN size(_toks) < 2 THEN array() ELSE"
+        "    transform(sequence(1, size(_toks) - 1), i ->"
+        "      concat('2:', element_at(_toks, i), ' ',"
+        "             element_at(_toks, i + 1))) END,"
+        "  CASE WHEN size(_toks) < 3 THEN array() ELSE"
+        "    transform(sequence(1, size(_toks) - 2), i ->"
+        "      concat('3:', element_at(_toks, i), ' ',"
+        "             element_at(_toks, i + 1), ' ',"
+        "             element_at(_toks, i + 2))) END)"
+    )
+    train_grams = base.filter(F.col("_train")).select(
+        F.explode(F.expr(grams_sql)).alias("_g")
+    ).select(
+        F.substring("_g", 1, 1).cast("int").alias("_ord"),
+        F.md5(F.col("_g")).alias("_k"),
+    )
+    counts = train_grams.groupBy("_ord", "_k").agg(
+        F.count(F.lit(1)).alias("_cnt"))
+    # N (train tokens) and V (train vocab) from the counts table —
+    # ord=1 rows are one-per-distinct-token with their frequencies.
+    nv = counts.filter(F.col("_ord") == 1).agg(
+        F.sum("_cnt").alias("_nn"), F.count(F.lit(1)).alias("_vv"))
+
+    # --- scoring: long-format batched lookup (one join) -------------
+    pos_sql = (
+        "CASE WHEN size(_toks) < 3 THEN "
+        "cast(array() as array<struct<pos:int,w1:string,w2:string,w3:string>>) "
+        "ELSE transform(sequence(1, size(_toks) - 2), i -> named_struct("
+        "'pos', i - 1, 'w1', element_at(_toks, i), "
+        "'w2', element_at(_toks, i + 1), 'w3', element_at(_toks, i + 2))) END"
+    )
+    pos = base.filter(~F.col("_train")).select(
+        F.col(id_col), F.explode(F.expr(pos_sql)).alias("e")
+    ).select(
+        id_col, F.col("e.pos").alias("pos"),
+        F.col("e.w1").alias("_w1"), F.col("e.w2").alias("_w2"),
+        F.col("e.w3").alias("_w3"),
+    )
+    # The F.concat key builders keep the md5 inputs byte-identical to
+    # the training emission above.
+    c = F.concat
+    lit = F.lit
+    key3 = F.md5(c(lit("3:"), F.col("_w1"), lit(" "), F.col("_w2"),
+                   lit(" "), F.col("_w3")))
+    key2c = F.md5(c(lit("2:"), F.col("_w1"), lit(" "), F.col("_w2")))
+    key2 = F.md5(c(lit("2:"), F.col("_w2"), lit(" "), F.col("_w3")))
+    key1c = F.md5(c(lit("1:"), F.col("_w2")))
+    key1 = F.md5(c(lit("1:"), F.col("_w3")))
+    slots = pos.select(
+        id_col, "pos",
+        F.explode(F.array(
+            F.struct(lit("t3").alias("slot"), key3.alias("_k")),
+            F.struct(lit("b_ctx").alias("slot"), key2c.alias("_k")),
+            F.struct(lit("b").alias("slot"), key2.alias("_k")),
+            F.struct(lit("u_ctx").alias("slot"), key1c.alias("_k")),
+            F.struct(lit("u").alias("slot"), key1.alias("_k")),
+        )).alias("_s"),
+    ).select(id_col, "pos", F.col("_s.slot").alias("_slot"),
+             F.col("_s._k").alias("_k"))
+    looked = slots.join(counts.select("_k", "_cnt"), on="_k", how="left")
+    piv = looked.groupBy(id_col, "pos").agg(
+        F.max(F.when(F.col("_slot") == "t3", F.col("_cnt"))).alias("c3"),
+        F.max(F.when(F.col("_slot") == "b_ctx", F.col("_cnt"))).alias("c2c"),
+        F.max(F.when(F.col("_slot") == "b", F.col("_cnt"))).alias("c2"),
+        F.max(F.when(F.col("_slot") == "u_ctx", F.col("_cnt"))).alias("c1c"),
+        F.max(F.when(F.col("_slot") == "u", F.col("_cnt"))).alias("c1"),
+    )
+    lb = F.log(F.lit(backoff))
+    piv = piv.crossJoin(F.broadcast(nv))
+    logp = (
+        F.when(F.col("c3").isNotNull(),
+               F.log(F.col("c3")) - F.log(F.col("c2c")))
+        .when(F.col("c2").isNotNull(),
+              lb + F.log(F.col("c2")) - F.log(F.col("c1c")))
+        .otherwise(lb + lb + F.log(F.coalesce(F.col("c1"), F.lit(0)) + 1.0)
+                   - F.log(F.col("_nn") + F.col("_vv")))
+    )
+    rung = (
+        F.when(F.col("c3").isNotNull(), F.lit("tri"))
+        .when(F.col("c2").isNotNull(), F.lit("bi"))
+        .otherwise(F.lit("uni"))
+    )
+    scored = piv.select(id_col, "pos", logp.alias("logp"),
+                        rung.alias("rung"))
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum((F.col("rung") == "tri").cast("long")).alias("hits_tri"),
+        F.sum((F.col("rung") == "bi").cast("long")).alias("hits_bi"),
+        F.sum((F.col("rung") == "uni").cast("long")).alias("hits_uni"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "logp"))),
+                lambda s: s["logp"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_sum"),
+    )
+    held = base.filter(~F.col("_train")).select(F.col(id_col))
+    out = held.join(agg, on=id_col, how="left")
+    mean = F.col("_sum") / F.col("_n")
+    return out.select(
+        id_col,
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_trigrams"),
+        F.coalesce(F.col("hits_tri"), F.lit(0)).cast("long").alias("hits_tri"),
+        F.coalesce(F.col("hits_bi"), F.lit(0)).cast("long").alias("hits_bi"),
+        F.coalesce(F.col("hits_uni"), F.lit(0)).cast("long").alias("hits_uni"),
+        F.round(mean, 6).alias("sb_logscore"),
+        F.round(F.exp(mean), 6).alias("sb_score"),
+    )

@@ -65,3 +65,71 @@ def test_lm_low_perplexity_for_templated_text(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["perplexity"] for r in bigram_lm_perplexity(df).collect()}
     assert out[0] < out[100]
+
+
+# ---------------------------------------------------------------------------
+# stupid-backoff held-out scoring (Brants et al. 2007)
+# ---------------------------------------------------------------------------
+
+def _is_train(doc_id: int) -> bool:
+    """Python twin of the operator's md5(doc_id)-parity split."""
+    import hashlib
+
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:2], 16) % 2 == 0
+
+
+def _split_ids(n_train: int, n_score: int):
+    train, score = [], []
+    i = 0
+    while len(train) < n_train or len(score) < n_score:
+        (train if _is_train(i) else score).append(i)
+        i += 1
+    return train[:n_train], score[:n_score]
+
+
+def test_stupid_backoff_hand_computed(spark):
+    from karanta_ocr_spark.operators.lm_score import stupid_backoff_score
+
+    (t0,), (s0, s1, s2) = _split_ids(1, 3)
+    rows = [
+        (t0, "the cat sat on the mat"),   # train: N=6 tokens, V=5
+        (s0, "the cat sat on"),           # both trigrams seen in train
+        (s1, "big cat sat zzz"),          # bi rung, then uni/OOV rung
+        (s2, "hi there"),                 # <3 tokens: NULL scores
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in stupid_backoff_score(df).collect()}
+    # only score-half docs are returned
+    assert set(out) == {s0, s1, s2}
+
+    r = out[s0]
+    assert (r["n_trigrams"], r["hits_tri"], r["hits_bi"], r["hits_uni"]) == (2, 2, 0, 0)
+    # c(the cat sat)/c(the cat) = 1/1 and c(cat sat on)/c(cat sat) = 1/1
+    assert r["sb_logscore"] == pytest.approx(0.0, abs=1e-6)
+    assert r["sb_score"] == pytest.approx(1.0, abs=1e-6)
+
+    r = out[s1]
+    assert (r["n_trigrams"], r["hits_tri"], r["hits_bi"], r["hits_uni"]) == (2, 0, 1, 1)
+    # (big cat sat): unseen tri -> 0.4 * c(cat sat)/c(cat) = 0.4
+    # (cat sat zzz): unseen tri and (sat zzz) -> 0.4^2 * (c(zzz)+1)/(N+V)
+    lp1 = math.log(0.4)
+    lp2 = 2 * math.log(0.4) + math.log(0 + 1.0) - math.log(6 + 5)
+    mean = (lp1 + lp2) / 2
+    assert r["sb_logscore"] == pytest.approx(mean, abs=1e-6)
+    assert r["sb_score"] == pytest.approx(math.exp(mean), abs=1e-6)
+
+    r = out[s2]
+    assert (r["n_trigrams"], r["hits_tri"], r["hits_bi"], r["hits_uni"]) == (0, 0, 0, 0)
+    assert r["sb_logscore"] is None and r["sb_score"] is None
+
+
+def test_stupid_backoff_partition_invariance(spark):
+    from karanta_ocr_spark.operators.lm_score import stupid_backoff_score
+
+    train_ids, score_ids = _split_ids(4, 4)
+    rows = [(i, "alpha beta gamma delta alpha beta") for i in train_ids]
+    rows += [(i, f"alpha beta gamma omega{i} alpha") for i in score_ids]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, stupid_backoff_score(df).collect()))
+    b = sorted(map(tuple, stupid_backoff_score(df.repartition(7)).collect()))
+    assert a == b

@@ -49,6 +49,9 @@ KEYS = [
     # r1 sentinels (one agg, one per-row) to catch harness regressions:
     "lang_stats",
     "doc_fingerprints",
+    # r5: held-out stupid-backoff LM (ln/exp float parity + the
+    # md5-parity corpus split replayed cross-engine)
+    "stupid_backoff_lm",
 ]
 
 
