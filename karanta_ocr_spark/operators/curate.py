@@ -126,24 +126,28 @@ def funnel(verdicts: DataFrame) -> DataFrame:
     stages = verdicts.sparkSession.createDataFrame(
         [(i + 1, s) for i, s in enumerate(STAGES)], "stage_idx int, stage string"
     )
-    # partitionBy(lit(1)) is a deliberate single partition: the frame
-    # under this window is the ≤ len(STAGES)+1-row verdict rollup,
-    # never corpus rows, so one partition is the POINT — the explicit
-    # key just keeps "No Partition Defined for Window" out of plan
-    # audits.
-    w = (
-        Window.partitionBy(F.lit(1))
-        .orderBy("stage_idx")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = (
+    base = (
         stages.join(counts, "stage_idx", "left")
         .withColumn("n_dropped", F.coalesce(F.col("n"), F.lit(0)).cast("long"))
         .crossJoin(F.broadcast(total))
-        .withColumn(
-            "n_survivors",
-            (F.col("_total") - F.sum("n_dropped").over(w)).cast("long"),
-        )
+    )
+    # Cumulative drops via a triangular broadcast self-join over the
+    # ≤ len(STAGES)-row stage table (stage i sums drops of stages ≤ i)
+    # — deliberately NOT a window: Spark 4's EliminateWindowPartitions
+    # folds ANY constant partition key out of the spec, after which
+    # WindowExec warns about the single partition on every plan audit.
+    # Over a bounded stage table the triangular join is the same
+    # O(S² ≤ 16) work without the noise.
+    d = base.select("stage_idx", "n_dropped")
+    cum = (
+        d.alias("a")
+        .join(F.broadcast(d.alias("b")),
+              F.col("b.stage_idx") <= F.col("a.stage_idx"))
+        .groupBy(F.col("a.stage_idx").alias("stage_idx"))
+        .agg(F.sum("b.n_dropped").alias("_cumdrop"))
+    )
+    out = base.join(F.broadcast(cum), "stage_idx").withColumn(
+        "n_survivors", (F.col("_total") - F.col("_cumdrop")).cast("long")
     )
     return out.select("stage_idx", "stage", "n_dropped", "n_survivors")
 

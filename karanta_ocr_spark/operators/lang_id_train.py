@@ -222,7 +222,15 @@ def lang_id_trained(docs: DataFrame) -> DataFrame:
     ``doc_id % 5 != 0`` split → score EVERY doc → per-doc verdict
     ``(doc_id, lang_true, lang_pred, is_holdout, correct)``."""
     corpus = trigram_features(synth_labeled_corpus(docs))
-    train = corpus.filter(F.col("doc_id") % 5 != 0)
+    # The trainer runs K·iters (+K count) aggregations over this
+    # frame; without a persist every one of them re-synthesizes the
+    # corpus and re-hashes every trigram (md5 ×3 chars/row ×16 jobs —
+    # measured ~5× the query wall at sf0.1). The cache holds d+2
+    # doubles per row, not text. Values are unchanged — the gradient
+    # trajectory is the same fixed-point sequence either way.
+    train = corpus.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", "lang_true", *FEATURE_COLS
+    ).persist()
     models = train_lang_id(train)
     scored = predict_lang(corpus, models)
     return scored.select(

@@ -126,3 +126,20 @@ def test_partition_invariance(spark):
     a = mine_bitext(src.repartition(1), tgt.repartition(1), k=4).orderBy("src_id").collect()
     b = mine_bitext(src.repartition(7), tgt.repartition(3), k=4).orderBy("src_id").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_pair_sims_numpy_bit_identical_to_catalyst(spark):
+    # The Arrow kernel must equal the HOF-fold formulation BIT-exactly
+    # (same dimension-axis add order), not just approximately.
+    from karanta_ocr_spark.operators.bitext import _pair_sims, _pair_sims_catalyst
+
+    rows = []
+    for i in range(40):
+        rows.append((i, [((i * 7 + j * 13) % 29 - 14) / 7.0 for j in range(16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = df.filter("vec_id % 2 = 0")
+    tgt = df.filter("vec_id % 2 = 1")
+    a = sorted(map(tuple, _pair_sims(src, tgt, "embedding", "vec_id").collect()))
+    b = sorted(map(tuple,
+                   _pair_sims_catalyst(src, tgt, "embedding", "vec_id").collect()))
+    assert a == b and len(a) == 400
