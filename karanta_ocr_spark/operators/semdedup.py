@@ -118,6 +118,10 @@ def semantic_dedup_verdicts(
                 Window.partitionBy("_cell").orderBy("centroid_sim", id_col)
             ),
         )
+        # Three consumers read this frame (both sides of the intra-cell
+        # pair join and the final verdict join) — persist or the
+        # centroid-assignment kernel and the rank window run 3×.
+        .persist()
     )
     a = ranked.select(
         F.col("_cell"),
