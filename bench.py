@@ -241,6 +241,13 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 2)
         log(f"  {name:22s} {out[name]:7.2f}s")
+        # Operators that persist for intra-query reuse (bitext,
+        # semdedup, lang_id_trained, ...) leave their cached frames
+        # behind; 60+ queries in one session would otherwise pile up
+        # dead cache blocks and LRU-evict live ones. Each query is
+        # timed self-contained, so clearing between queries changes
+        # no measurement.
+        spark.catalog.clearCache()
     return out
 
 

@@ -39,7 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from karanta_ocr_spark.operators.similarity import cosine
+from karanta_ocr_spark.operators.similarity import cosine_guarded
 
 #: micro-units per 1.0 of cosine/margin
 _M = 1_000_000
@@ -60,7 +60,7 @@ def _pair_sims_catalyst(
     return s.crossJoin(F.broadcast(t)).select(
         "src_id",
         "tgt_id",
-        F.round(cosine(F.col("_sv"), F.col("_tv")) * _M)
+        F.round(cosine_guarded(F.col("_sv"), F.col("_tv")) * _M)
         .cast("long")
         .alias("sim_micro"),
     )
@@ -90,6 +90,14 @@ def _pair_sims(
     rows = tgt.select(
         F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("_tv")
     ).collect()
+    s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("_sv"))
+    schema = StructType([
+        StructField("src_id", s.schema["src_id"].dataType),
+        StructField("tgt_id", LongType()),
+        StructField("sim_micro", LongType()),
+    ])
+    if not rows:  # empty target pool: zero pairs, like the Catalyst twin
+        return src.sparkSession.createDataFrame([], schema)
     tgt_ids = np.asarray([r["tgt_id"] for r in rows], dtype="int64")
     T = np.asarray([list(r["_tv"]) for r in rows], dtype="float64")
     sc = src.sparkSession.sparkContext
@@ -101,25 +109,22 @@ def _pair_sims(
             acc = acc + A[:, j] * B[:, j]
         return acc
 
-    s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("_sv"))
-    schema = StructType([
-        StructField("src_id", s.schema["src_id"].dataType),
-        StructField("tgt_id", LongType()),
-        StructField("sim_micro", LongType()),
-    ])
-
     def gen(batches):
         import pandas as pd
 
         T_ = b_t.value
         tids = b_ids.value
         m, d = T_.shape
-        tnorm = np.sqrt(_seq_dot(T_, T_))
+        # Norms clamped at 1e-12 like the Catalyst twin's
+        # cosine_guarded and the oracle's greatest(sqrt(...), 1e-12):
+        # a zero vector scores 0, never NaN (whose int64 cast is
+        # undefined). No-op for nonzero vectors.
+        tnorm = np.maximum(np.sqrt(_seq_dot(T_, T_)), 1e-12)
         for pdf in batches:
             if not len(pdf):
                 continue
             S = np.asarray([list(v) for v in pdf["_sv"]], dtype="float64")
-            snorm = np.sqrt(_seq_dot(S, S))
+            snorm = np.maximum(np.sqrt(_seq_dot(S, S)), 1e-12)
             # (n, m) dot built one dimension at a time — same add order
             # as the sequential folds in both engines.
             sim = np.zeros((S.shape[0], m))

@@ -237,9 +237,12 @@ def write_token_shards(
     for stale in glob.glob(os.path.join(out_dir, ".shard-*.tmp")):
         os.remove(stale)
 
+    # Persist the tokenized frame: the BPE Arrow UDF is the export's
+    # dominant cost and TWO jobs consume it — training_placement's
+    # eager bucket-totals collect, then the shard-write job itself.
     with_ids = docs.select(
         "doc_id", token_ids(F.col(text_col)).alias("ids")
-    ).withColumn("n_tokens", F.size("ids").cast("long"))
+    ).withColumn("n_tokens", F.size("ids").cast("long")).persist()
     placed = training_placement(
         with_ids, "n_tokens", L, S, seed, bucket_chars
     ).filter(F.col("n_tokens") > 0)
@@ -302,9 +305,12 @@ def write_token_shards(
         .applyInPandas(assemble, "shard_id long, n_tokens long")
         .count()  # the action; per-shard counts come from the listing
     )
+    with_ids.unpersist()
 
     total = 0
-    pat = re.compile(r"shard-\d{5}-n(\d+)\.bin$")
+    # \d{5,}: %05d widens past 99,999 shards (~200B tokens at the
+    # production span), so the count pattern must not assume 5 digits.
+    pat = re.compile(r"shard-\d{5,}-n(\d+)\.bin$")
     for p in glob.glob(os.path.join(out_dir, "shard-*-n*.bin")):
         m = pat.search(os.path.basename(p))
         if m:
@@ -318,7 +324,12 @@ def read_token_shards(out_dir: str) -> list[int]:
     import glob
     import numpy as np
 
+    def sid(path: str) -> int:
+        # numeric shard order: lexicographic sorting misorders once
+        # %05d widens to 6 digits (shard-100000 < shard-99999 as text)
+        return int(os.path.basename(path).split("-")[1])
+
     stream: list[int] = []
-    for p in sorted(glob.glob(os.path.join(out_dir, "shard-*-n*.bin"))):
+    for p in sorted(glob.glob(os.path.join(out_dir, "shard-*-n*.bin")), key=sid):
         stream.extend(np.fromfile(p, dtype="<i4").tolist())
     return stream

@@ -290,8 +290,11 @@ def stupid_backoff_score(
         F.substring("_g", 1, 1).cast("int").alias("_ord"),
         F.md5(F.col("_g")).alias("_k"),
     )
+    # Persisted: two consumers (the nv aggregate and the lookup join)
+    # would otherwise each re-run the corpus-sized explode+groupBy.
+    # The cached table is gram-count-sized, not corpus-sized.
     counts = train_grams.groupBy("_ord", "_k").agg(
-        F.count(F.lit(1)).alias("_cnt"))
+        F.count(F.lit(1)).alias("_cnt")).persist()
     # N (train tokens) and V (train vocab) from the counts table —
     # ord=1 rows are one-per-distinct-token with their frequencies.
     nv = counts.filter(F.col("_ord") == 1).agg(

@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from karanta_ocr_spark.operators.similarity import (
     _assign_centroids,
-    cosine,
+    cosine_guarded,
     refine_codebook,
 )
 
@@ -107,7 +107,7 @@ def semantic_dedup_verdicts(
         assigned.join(F.broadcast(cent_df), on="_cell")
         .withColumn(
             "centroid_sim",
-            F.round(cosine(F.col(vec_col).cast("array<double>"), F.col("_cv")), 6),
+            F.round(cosine_guarded(F.col(vec_col).cast("array<double>"), F.col("_cv")), 6),
         )
         .drop("_cv")
         .withColumn(
@@ -138,7 +138,7 @@ def semantic_dedup_verdicts(
     dup_ids = (
         a.join(b, on="_cell")
         .filter(F.col("_rb") < F.col("_ra"))
-        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= float(threshold))
+        .filter(F.round(cosine_guarded(F.col("_va"), F.col("_vb")), 6) >= float(threshold))
         .select(F.col("_ida").alias(id_col))
         .distinct()
         .withColumn("is_semantic_dup", F.lit(True))

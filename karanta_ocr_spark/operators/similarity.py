@@ -40,6 +40,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_guarded(a: Column, b: Column) -> Column:
+    """Cosine with both norms clamped at 1e-12 — an all-zero vector
+    scores 0.0 instead of NaN. Use WHEREVER the DuckDB oracle twin
+    writes ``greatest(sqrt(...), 1e-12)`` (semdedup, bitext): the
+    unguarded form diverges from those oracles on zero vectors, and
+    Spark's NaN-is-greatest ordering would silently pass
+    ``NaN >= threshold`` filters. For nonzero vectors the clamp is a
+    no-op, so values are unchanged on any real embedding corpus."""
+    return dot(a, b) / (
+        F.greatest(l2_norm(a), F.lit(1e-12))
+        * F.greatest(l2_norm(b), F.lit(1e-12))
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     query: list[float],

@@ -92,10 +92,15 @@ def hll_coverage_batch_processor(
             vdir = os.path.join(state_dir, f"v={batch_id}")
             # Overwrite so a retry that died mid-write converges.
             merged.write.mode("overwrite").parquet(vdir)
-            snap = hll_estimate(merged, groups, b=b).withColumn(
-                "batch_id", F.lit(int(batch_id)).cast("long")
+            # Snapshot into a per-batch PARTITION dir with overwrite —
+            # foreachBatch replays batches at-least-once, and a plain
+            # append would duplicate the (group, batch_id) row on
+            # replay; overwrite-into-batch_id=N converges instead.
+            # Readers get batch_id back as the partition column.
+            snap = hll_estimate(merged, groups, b=b)
+            snap.write.mode("overwrite").parquet(
+                os.path.join(estimates_dir, f"batch_id={int(batch_id)}")
             )
-            snap.write.mode("append").parquet(estimates_dir)
             for v in _versions(state_dir)[:-keep_versions]:
                 shutil.rmtree(
                     os.path.join(state_dir, f"v={v}"), ignore_errors=True

@@ -73,6 +73,8 @@ def main() -> int:
         srows = sdf.collect()
         scols = sdf.columns
         dt = time.time() - t0
+        # drop intra-query persisted frames before the next query
+        spark.catalog.clearCache()
         if name not in oracles:
             print(f"  {name:24s} rows-only: {len(srows):7d} rows   ({dt:.1f}s)")
             continue

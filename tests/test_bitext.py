@@ -143,3 +143,29 @@ def test_pair_sims_numpy_bit_identical_to_catalyst(spark):
     b = sorted(map(tuple,
                    _pair_sims_catalyst(src, tgt, "embedding", "vec_id").collect()))
     assert a == b and len(a) == 400
+
+
+def test_pair_sims_zero_vector_and_empty_target(spark):
+    # Zero vectors must score 0 (the oracle's greatest(norm, 1e-12)
+    # clamp), never NaN -> undefined int64; and an empty target pool
+    # must yield zero pairs, not a shape-unpack crash.
+    from karanta_ocr_spark.operators.bitext import _pair_sims, _pair_sims_catalyst
+
+    rows = [
+        (0, [0.0] * 8),              # zero src vector
+        (2, [1.0] + [0.0] * 7),
+        (1, [0.5] * 8),
+        (3, [0.0] * 8),              # zero tgt vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = df.filter("vec_id % 2 = 0")
+    tgt = df.filter("vec_id % 2 = 1")
+    got = {(r["src_id"], r["tgt_id"]): r["sim_micro"]
+           for r in _pair_sims(src, tgt, "embedding", "vec_id").collect()}
+    assert got[(0, 1)] == 0 and got[(0, 3)] == 0 and got[(2, 3)] == 0
+    cat = {(r["src_id"], r["tgt_id"]): r["sim_micro"]
+           for r in _pair_sims_catalyst(src, tgt, "embedding", "vec_id").collect()}
+    assert got == cat
+
+    empty_tgt = tgt.filter("vec_id < 0")
+    assert _pair_sims(src, empty_tgt, "embedding", "vec_id").count() == 0

@@ -121,3 +121,20 @@ def test_zero_token_docs_occupy_no_stream_space(spark, tmp_path):
     )
     assert total == expected_n
     assert len(read_token_shards(out)) == expected_n
+
+
+def test_read_token_shards_numeric_order_and_wide_ids(tmp_path):
+    # %05d widens past 99,999 shards: the reader must order shards
+    # numerically (lexicographic puts shard-100000 before shard-99999)
+    # and the count pattern must accept >5-digit ids.
+    import numpy as np
+    import re
+
+    from karanta_ocr_spark.operators.export import read_token_shards
+
+    d = str(tmp_path)
+    np.asarray([1, 2], dtype="<i4").tofile(f"{d}/shard-99999-n2.bin")
+    np.asarray([3, 4], dtype="<i4").tofile(f"{d}/shard-100000-n2.bin")
+    assert read_token_shards(d) == [1, 2, 3, 4]
+    pat = re.compile(r"shard-\d{5,}-n(\d+)\.bin$")
+    assert pat.search("shard-100000-n2.bin")

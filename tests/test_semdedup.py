@@ -149,3 +149,19 @@ def test_dedup_output_equals_verdict_filter(clustered):
         for r in semantic_dedup(clustered, n_clusters=3, threshold=0.995).collect()
     }
     assert out_ids == keep_ids
+
+
+def test_semantic_dedup_zero_vector_is_not_nan_dup(spark):
+    # A zero embedding must score centroid_sim 0.0 (oracle's clamp)
+    # and must NOT be marked duplicate via Spark's NaN>=threshold
+    # ordering quirk.
+    from karanta_ocr_spark.operators.semdedup import semantic_dedup_verdicts
+
+    rows = [(i, [float((i * 3 + j) % 5 - 2) for j in range(8)]) for i in range(12)]
+    rows.append((99, [0.0] * 8))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup_verdicts(df, n_clusters=3).collect()}
+    z = out[99]
+    assert z["centroid_sim"] == 0.0
+    assert z["is_semantic_dup"] is False

@@ -91,8 +91,13 @@ def test_streaming_hll_replay_converges(spark, tmp_path):
     proc(d1, 0)
     proc(d2, 1)
     after_once = sorted(map(tuple, load_registers(spark, sdir, ["lang"]).collect()))
+    snaps_once = sorted(map(tuple, spark.read.parquet(edir).collect()))
     # replay batch 1 (driver died before checkpoint commit): the
-    # strictly-older read merges batch 2 into v=0 again — same result.
+    # strictly-older read merges batch 2 into v=0 again — same result,
+    # and the per-batch overwrite keeps the snapshot series free of
+    # duplicate (group, batch_id) rows.
     proc(d2, 1)
     after_replay = sorted(map(tuple, load_registers(spark, sdir, ["lang"]).collect()))
     assert after_once == after_replay
+    snaps_replay = sorted(map(tuple, spark.read.parquet(edir).collect()))
+    assert snaps_once == snaps_replay
