@@ -215,3 +215,52 @@ def classify_images(
     return classify_features(
         feats, ["f_mean", "f_std", "f_aspect", "f_edge"], seed, threshold
     )
+
+
+def calibration_report(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label_true",
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability table for a probabilistic quality classifier —
+    the check a curation pipeline runs before TRUSTING a model score
+    as a keep/drop probability (Guo et al. 2017's reliability-diagram
+    table, as data): per score bin, ``(bin, n, mean_score,
+    frac_positive, gap)`` plus the corpus expected calibration error
+    (ECE = Σ n_b/N · |gap_b|) repeated per row for one-pass reads.
+
+    One groupBy over ≤ *bins* groups; the ECE fold is a broadcast of
+    the ≤ bins-row aggregate — map-side everything, the usual shape.
+    Scores exactly 1.0 land in the top bin (least(floor(s·B), B−1)).
+    """
+    if bins < 1:
+        raise ValueError("bins >= 1 required")
+    b = F.least(
+        F.floor(F.col(score_col) * bins).cast("int"), F.lit(bins - 1)
+    )
+    per = (
+        scored.filter(F.col(score_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg(F.col(score_col)).alias("_ms"),
+            F.avg(F.col(label_col).cast("double")).alias("_fp"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").alias("_n_total"),
+        F.sum(F.abs(F.col("_ms") - F.col("_fp")) * F.col("n")).alias("_werr"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("_ms"), 6).alias("mean_score"),
+            F.round(F.col("_fp"), 6).alias("frac_positive"),
+            F.round(F.col("_ms") - F.col("_fp"), 6).alias("gap"),
+            F.round(F.col("_werr") / F.col("_n_total"), 6).alias("ece"),
+        )
+        .orderBy("bin")
+    )
