@@ -232,6 +232,7 @@ def lang_id_trained(docs: DataFrame) -> DataFrame:
         "doc_id", "lang_true", *FEATURE_COLS
     ).persist()
     models = train_lang_id(train)
+    train.unpersist()  # scoring reads `corpus`; the cache is dead here
     scored = predict_lang(corpus, models)
     return scored.select(
         "doc_id",
