@@ -49,7 +49,10 @@ def winnow_fingerprints(
     both edge rules keep every non-empty doc represented."""
     if k < 1 or w < 1:
         raise ValueError("k >= 1 and w >= 1 required")
-    t = f"lower({text_col})"
+    # NULL text must behave like "" (the Python twin's `text or ""`):
+    # a NULL gram hash would empty the rightmost-min filter and
+    # element_at(..., -1) throws under ANSI mode on an empty array.
+    t = f"lower(coalesce({text_col}, ''))"
     grams = (
         f"transform(sequence(1, greatest(length({t}) - {k - 1}, 1)), "
         f"i -> substring({t}, i, {k}))"

@@ -22,6 +22,7 @@ def test_winnow_matches_python_twin(spark):
         "",                        # empty
         "aaaaaaaaaaaaaaa",         # all-equal hashes: rightmost-tie rule
         "mixed CASE Text with  spaces",
+        None,                      # NULL text == "" (ANSI element_at trap)
     ]
     df = spark.createDataFrame(
         list(enumerate(texts)), "doc_id long, text string"
