@@ -39,16 +39,71 @@ from karanta_ocr_spark.sources.web_pages import web_pages_from_documents
 
 _D = "documents.parquet"
 
+#: Inputs smaller than this (bytes) get a scan-parallelism floor (see
+#: _spread). Default 1 GiB: below it a 32-core cluster cannot fill its
+#: cores from file splits alone; above it the scan parallelizes by
+#: itself and the plan is left untouched.
+_SPREAD_MAX_BYTES = int(
+    __import__("os").environ.get("SPARK_GRAFT_SPREAD_MAX_BYTES", str(1 << 30))
+)
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{_D}")
+
+def _input_bytes(path: str) -> int:
+    import glob
+    import os
+
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    return sum(os.path.getsize(f) for f in glob.glob(f"{path}/*") if os.path.isfile(f))
+
+
+def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Scan-parallelism floor (optimization guide §2.5: an unsplittable
+    input starves the stage → repartition right after the read).
+
+    The driver SFs are single-row-group parquet files, so no split-size
+    conf can parallelize them: every downstream map stage (regex link
+    extraction, tokenization, n-gram hashing) would run on ONE core.
+    One round-robin exchange of the (tiny) input spreads that work
+    across the cluster. Scale-adaptive: applied only when the input is
+    too small to fill the cores from file splits alone
+    (bytes < _SPREAD_MAX_BYTES); at production scale the condition is
+    false and the plan is untouched. Row-set is unchanged — every
+    registry query is partition-invariant by construction (seeded
+    ranks / struct-max argmaxes throughout)."""
+    try:
+        if _input_bytes(path) >= _SPREAD_MAX_BYTES:
+            return df
+    except OSError:
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _docs(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
+    """Documents table. ``spread=True`` (default) applies the
+    scan-parallelism floor — the documents table feeds the regex/
+    tokenize/n-gram-heavy queries where a single-split scan starves
+    the cluster. Callers that immediately repartition themselves (the
+    PDF builders) or do only trivial per-row work pass
+    ``spread=False`` and keep the plain single-exchange-free scan
+    (measured: the extra exchange costs ~0.2-0.4 s at bench scale,
+    which only pays for itself when the map work is heavy)."""
+    p = f"{sf_dir}/{_D}"
+    df = spark.read.parquet(p)
+    return _spread(spark, df, p) if spread else df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No spread: event queries are window/agg shaped — per-row map
+    # work is trivial, so the exchange never pays (measured +0.3 s).
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No spread: ANN queries do their heavy math after their own
+    # explodes/joins, i.e. post-shuffle (measured +0.3-0.5 s).
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
@@ -109,7 +164,7 @@ def _q_extract_pdf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     web = (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .select("doc_id", "text")
         .repartition(8)
         .mapInPandas(build, schema=WEB_PAGES_SCHEMA)
@@ -172,7 +227,7 @@ def _q_encrypted_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)[[f.name for f in WEB_PAGES_SCHEMA.fields]]
 
     web = (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .select("doc_id", "text")
         .repartition(8)
         .mapInPandas(build, schema=WEB_PAGES_SCHEMA)
@@ -222,7 +277,7 @@ def _q_pdf_anchor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     web = (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .select("doc_id", "text")
         .repartition(8)
         .mapInPandas(build, schema=WEB_PAGES_SCHEMA)
@@ -291,7 +346,7 @@ def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_source_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A1/T15 analog in pure SQL shape: per-source ordered concat.
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -309,7 +364,7 @@ def _q_source_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -328,7 +383,7 @@ def _q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     against."""
     from karanta_ocr_spark.operators.profile import length_percentiles
 
-    return length_percentiles(_docs(spark, sf_dir), mode="exact")
+    return length_percentiles(_docs(spark, sf_dir, spread=False), mode="exact")
 
 
 def _q_approx_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,11 +403,11 @@ def _q_approx_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx_percentile_certification,
     )
 
-    return approx_percentile_certification(_docs(spark, sf_dir))
+    return approx_percentile_certification(_docs(spark, sf_dir, spread=False))
 
 
 def _q_workspace_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).agg(
+    return _docs(spark, sf_dir, spread=False).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.sum(F.when(F.col("n_chars") > 400, 1).otherwise(0))
@@ -363,7 +418,7 @@ def _q_workspace_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=False)
     committed = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
     return docs.join(committed, on="doc_id", how="left_anti").select("doc_id", "lang")
 
@@ -371,7 +426,7 @@ def _q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_systematic_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O7: interval stride 7, phase 3.
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .filter(F.pmod(F.col("doc_id") - 3, F.lit(7)) == 0)
         .select("doc_id", "source", "n_chars")
     )
@@ -379,7 +434,7 @@ def _q_systematic_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -391,7 +446,7 @@ def _q_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     return d.select(
         "doc_id",
         fingerprint_md5(F.col("text")).alias("fingerprint"),
@@ -400,7 +455,7 @@ def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_exact_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir).withColumn("pfx", F.substring(F.trim("text"), 1, 16))
+    d = _docs(spark, sf_dir, spread=False).withColumn("pfx", F.substring(F.trim("text"), 1, 16))
     return exact_dedup(d, ["pfx"], "doc_id").select("doc_id", "pfx")
 
 
@@ -446,7 +501,7 @@ def _q_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from karanta_ocr_spark.operators.sampling import proportional_allocation
 
     return proportional_allocation(
-        _docs(spark, sf_dir), "source", "n_chars", total_budget=1000
+        _docs(spark, sf_dir, spread=False), "source", "n_chars", total_budget=1000
     ).select(
         "source",
         F.col("total_weight").cast("long").alias("total_weight"),
@@ -460,7 +515,7 @@ def _q_seeded_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from karanta_ocr_spark.operators.sampling import seeded_sample_per_group
 
     return seeded_sample_per_group(
-        _docs(spark, sf_dir), "source", k=3, seed=42, rank="md5"
+        _docs(spark, sf_dir, spread=False), "source", k=3, seed=42, rank="md5"
     ).select("doc_id", "source")
 
 
@@ -472,7 +527,7 @@ def _q_two_phase_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from karanta_ocr_spark.operators.sampling import two_phase_coverage_sample
 
     return two_phase_coverage_sample(
-        _docs(spark, sf_dir), "source", "n_chars",
+        _docs(spark, sf_dir, spread=False), "source", "n_chars",
         total_budget=200, base_per_group=2, rank="md5",
     ).select("doc_id", "source")
 
@@ -484,7 +539,7 @@ def _q_sampled_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from karanta_ocr_spark.operators.sampling import sampled_avg
 
     return sampled_avg(
-        _docs(spark, sf_dir), "n_chars", n=100, seed=42, rank="md5"
+        _docs(spark, sf_dir, spread=False), "n_chars", n=100, seed=42, rank="md5"
     ).select(F.round("avg_n_chars", 6).alias("avg_n_chars"))
 
 
@@ -507,7 +562,7 @@ def _q_event_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_anchor_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F7: anchor-length branch — short docs dispatch to the image-page
     # prompt path (reference karanta/training/pipeline_steps.py:128-131).
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     return d.select(
         "doc_id",
         F.when(F.size(F.split(F.trim("text"), WS + "+")) > 10, F.lit("text_page"))
@@ -519,7 +574,7 @@ def _q_anchor_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_manifest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J2: work-hash manifest lookup — docs join a small derived
     # manifest (broadcast by AQE).
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     manifest = (
         d.groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_in_source"))
@@ -1806,7 +1861,13 @@ def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     ppl = bigram_lm_perplexity(d, hash_mode="md5")
-    scored = ppl.join(d.select("doc_id", "lang"), "doc_id")
+    # Persisted: perplexity_buckets splits `scored` into a scored and
+    # an unscored branch (union) — uncached, each branch re-runs the
+    # whole LM train+score pipeline (24-scan / 46-Exchange plan,
+    # plans/r06/perplexity_buckets_before.txt). The cached frame is
+    # the narrow (doc_id, n_bigrams, cross_entropy, perplexity, lang)
+    # per-doc proxy, not the corpus text (guide §8).
+    scored = ppl.join(d.select("doc_id", "lang"), "doc_id").persist()
     return perplexity_buckets(scored, group_col="lang", mode="exact").select(
         "doc_id", "lang", "perplexity", "bucket"
     )
@@ -1821,7 +1882,7 @@ def _q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from karanta_ocr_spark.operators.sampling import stratified_split
 
     return stratified_split(
-        _docs(spark, sf_dir).select("doc_id", "lang"),
+        _docs(spark, sf_dir, spread=False).select("doc_id", "lang"),
         "lang",
         {"train": 0.8, "val": 0.1, "test": 0.1},
         rank="md5",
@@ -1960,7 +2021,7 @@ def _q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy-coded pixels)."""
     from karanta_ocr_spark.operators.multimodal import sample_video_frames
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _docs(spark, sf_dir, spread=False).select("doc_id")
 
     def make_avis(batches):
         import pandas as pd
@@ -2447,7 +2508,7 @@ def _q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from karanta_ocr_spark.functions.bpe import bpe_token_count_merged
     from karanta_ocr_spark.operators.export import training_placement
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     t = F.coalesce(F.col("text"), F.lit(""))
     counted = d.select(
         "doc_id", bpe_token_count_merged(t).alias("n_tokens")
@@ -2615,13 +2676,17 @@ def _q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(quality_score(t) * 1000000).cast("long").alias("_q_micro"),
         fingerprint_md5(t).alias("_fp"),
     )
+    # Persisted: `agg` (one row per language) feeds both the 1-row
+    # corpus total and the output branch; uncached, the corpus-wide
+    # tokenize/quality/md5 pass runs TWICE (10-Exchange / 4-scan plan,
+    # plans/r06/corpus_datacard_before.txt).
     agg = per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("_tok").alias("n_tokens"),
         F.sum("_bytes").alias("n_bytes"),
         F.sum("_q_micro").alias("_q_sum"),
         F.countDistinct("_fp").cast("long").alias("n_distinct"),
-    )
+    ).persist()
     total = agg.agg(F.sum("n_docs").alias("_tot_docs"))
     return (
         agg.crossJoin(F.broadcast(total))

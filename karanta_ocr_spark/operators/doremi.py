@@ -63,11 +63,20 @@ def domain_reweight(
             F.round(F.col("cross_entropy") * _M).cast("long"),
         )
     )
+    # Persisted: the ≤G-row domain table is referenced THREE times in
+    # the final plan (the baseline broadcast, the softmax-normalizer
+    # broadcast, and the output branch); without the cache each
+    # reference re-runs the whole upstream bigram-LM train+score
+    # pipeline — measured as a 48-parquet-scan / 108-Exchange physical
+    # plan at bench scale (plans/r06/domain_reweight_before.txt).
+    # G is small by contract (sources/registries, not hosts), so the
+    # cache is a handful of rows. Guide §5: cache only reused frames
+    # whose recompute is expensive — this is the textbook case.
     dom = scored.groupBy("domain").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.count("_ce_micro").cast("long").alias("n_scored"),
         F.sum("_ce_micro").alias("_sum_micro"),
-    )
+    ).persist()
     base = dom.agg(
         F.sum("_sum_micro").alias("_tot_micro"),
         F.sum("n_scored").alias("_tot_n"),

@@ -294,13 +294,19 @@ def anchor_texts(links: DataFrame, min_links: int = 1) -> DataFrame:
     identical struct compare). Empty anchors (image links) count
     under the sentinel ``(none)``.
     """
+    # Persisted: both aggregates below consume `base`; for links that
+    # come straight from extract_links, an uncached plan re-runs the
+    # full regex link-extraction pass of the corpus once per branch
+    # (4-scan / 10-Exchange plan, plans/r06/anchor_profile_before.txt).
+    # The cached frame is the (target, anchor, src_host) distillate —
+    # the light proxy of the page table (guide §8), never the html.
     base = links.select(
         "link_url",
         F.when(F.trim(F.col("anchor")) == "", F.lit("(none)"))
         .otherwise(F.trim(F.col("anchor")))
         .alias("anchor"),
         host_expr(F.col("url")).alias("src_host"),
-    )
+    ).persist()
     stats = base.groupBy("link_url").agg(
         F.count(F.lit(1)).alias("n_links"),
         F.count_distinct(F.col("src_host")).alias("n_src_hosts"),
