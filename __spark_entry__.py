@@ -1028,7 +1028,7 @@ def _q_robots_crawl_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern)."""
     from karanta_ocr_spark.operators.corpus_filters import robots_crawl_policy
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     hosts = d.select((F.col("doc_id") % 50).alias("h")).distinct()
     robots = hosts.select(
         F.expr("concat('h', h, '.example.org')").alias("host"),
@@ -1224,7 +1224,7 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage by stage."""
     from karanta_ocr_spark.operators.curate import curate_corpus
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     rep = (
         "concat(trim(substring(trim(text), 1, 40)), ' w w w w w', char(10), "
         "trim(substring(trim(text), 1, 40)), ' w w w w w', char(10), "
@@ -1257,7 +1257,7 @@ def _q_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     build + screen bit-for-bit."""
     from karanta_ocr_spark.operators.bloom import bloom_build, bloom_screen
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     prior = d.filter(F.col("doc_id") % 3 != 0).select("text")
     bloom = bloom_build(prior, "text", num_bits=1 << 16, k=5, seed=42)
     return bloom_screen(
@@ -1480,7 +1480,7 @@ def _q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent formulation."""
     from karanta_ocr_spark.functions.pii import url_shape_features
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     synth = d.select(
         "doc_id",
         F.expr(
@@ -1629,7 +1629,7 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number-by-md5 selection row-for-row."""
     from karanta_ocr_spark.sources.mix import temperature_mix
 
-    d = _docs(spark, sf_dir).withColumn(
+    d = _docs(spark, sf_dir, spread=False).withColumn(
         "mix_src",
         F.concat(
             F.lit("s"),
@@ -1859,7 +1859,7 @@ def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         perplexity_buckets,
     )
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     ppl = bigram_lm_perplexity(d, hash_mode="md5")
     # Persisted: perplexity_buckets splits `scored` into a scored and
     # an unscored branch (union) — uncached, each branch re-runs the
@@ -2142,7 +2142,7 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     are verified end-to-end."""
     from karanta_ocr_spark.operators.multimodal import audio_features
 
-    d = _docs(spark, sf_dir).select("doc_id")
+    d = _docs(spark, sf_dir, spread=False).select("doc_id")
     ch = "(1 + doc_id % 2)"
     rate = "(8000 * (1 + doc_id % 3))"
 
@@ -2181,7 +2181,7 @@ def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pretokenize,
     )
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     t = F.coalesce(F.col("text"), F.lit(""))
     return d.select(
         "doc_id",
@@ -2210,7 +2210,7 @@ def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from karanta_ocr_spark.functions.text_analysis import token_count
     from karanta_ocr_spark.operators.packing import pack_sequences
 
-    d = _docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir, spread=False).select(
         "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
     )
     return pack_sequences(
@@ -2254,7 +2254,7 @@ def _q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent byte-layout computation, not against itself."""
     from karanta_ocr_spark.sources.warc import warc_cdx_index
 
-    d = _docs(spark, sf_dir).select("doc_id", "text").withColumn(
+    d = _docs(spark, sf_dir, spread=False).select("doc_id", "text").withColumn(
         "g", (F.col("doc_id") % 50).cast("int")
     )
 
@@ -2364,7 +2364,7 @@ def _q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-propagation fixpoint."""
     from karanta_ocr_spark.operators.graph import duplicate_clusters
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     syn = d.select(
         "doc_id",
         F.expr(
@@ -2531,7 +2531,7 @@ def _q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest."""
     from karanta_ocr_spark.operators.bpe_train import bpe_learn
 
-    return bpe_learn(_docs(spark, sf_dir), n_merges=6)
+    return bpe_learn(_docs(spark, sf_dir, spread=False), n_merges=6)
 
 
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2624,7 +2624,7 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         pretokenize,
     )
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     t = F.coalesce(F.col("text"), F.lit(""))
     per_doc = d.select(
         "lang",
@@ -2733,7 +2733,7 @@ def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed ``salt_factor`` to the salted repartition. All arithmetic
     exact-integer until the final divisions; the group table is
     G rows, so the windows are trivially bounded."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     g = d.groupBy(F.col("source").alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows")
     )

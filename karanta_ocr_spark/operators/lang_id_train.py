@@ -43,7 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from karanta_ocr_spark.operators.train_lr import QUANT, _dot_expr, fit_logreg
+from karanta_ocr_spark.operators.train_lr import QUANT, _dot_expr
 
 #: (code, 16 words) per class — class k is ``doc_id % len(LID_LANGS)``.
 #: Diacritics chosen so yor/igb/fra collide on weak markers (the
@@ -188,16 +188,44 @@ def train_lang_id(
 ) -> dict[str, list[float]]:
     """One-vs-rest: fit one exact fixed-point LR per class. Returns
     ``{code: [w_1..w_d, intercept]}`` — K·(d+1) doubles of driver-side
-    model parameters (same adjudication as the IVF centroids)."""
-    models: dict[str, list[float]] = {}
-    for code, _ in LID_LANGS:
-        labeled = train.withColumn(
-            "_y", (F.col(label_col) == code).cast("int")
-        )
-        models[code] = fit_logreg(
-            labeled, FEATURE_COLS, "_y", lr=lr, iters=iters
-        )
-    return models
+    model parameters (same adjudication as the IVF centroids).
+
+    All K classes' gradient sums ride ONE aggregation per iteration:
+    the per-class steps are independent given the shared corpus, so
+    batching them cuts K·iters sequential jobs (+K counts) down to
+    iters jobs (+1 count) — each a map-side-combined partial agg of
+    K·(d+1) exact fixed-point sums. The per-class arithmetic (the
+    quantized gradient expression, the NULL-label semantics of
+    ``label = code``) is byte-identical to the per-class
+    :func:`fit_logreg` path, so the weight trajectories — and the
+    unrolled DuckDB oracle replay — are unchanged."""
+    codes = [code for code, _ in LID_LANGS]
+    n = train.count()
+    d = len(FEATURE_COLS)
+    xs = list(FEATURE_COLS) + ["1"]  # intercept pseudo-feature
+    ws: dict[str, list[float]] = {c: [0.0] * (d + 1) for c in codes}
+    for _ in range(int(iters)):
+        aggs = []
+        for ci, c in enumerate(codes):
+            z = _dot_expr(FEATURE_COLS, ws[c])
+            sig = f"(1.0D / (1.0D + exp(-({z}))))"
+            y = f"cast(cast(({label_col} = '{c}') as int) as double)"
+            aggs.extend(
+                F.sum(
+                    F.expr(
+                        f"cast(round(({sig} - {y}) * {x} * {QUANT})"
+                        f" as bigint)"
+                    )
+                ).alias(f"g{ci}_{j}")
+                for j, x in enumerate(xs)
+            )
+        row = train.agg(*aggs).collect()[0]
+        for ci, c in enumerate(codes):
+            ws[c] = [
+                ws[c][j] - lr * ((row[f"g{ci}_{j}"] or 0) / QUANT) / n
+                for j in range(d + 1)
+            ]
+    return ws
 
 
 def predict_lang(
@@ -231,7 +259,29 @@ def lang_id_trained(docs: DataFrame) -> DataFrame:
     train = corpus.filter(F.col("doc_id") % 5 != 0).select(
         "doc_id", "lang_true", *FEATURE_COLS
     ).persist()
-    models = train_lang_id(train)
+    # Size-adaptive coalesce of the iteration table (guide §2): every
+    # gradient aggregation pays per-partition task overhead on this
+    # cached d+2-double frame; a narrow merge sizes it to the data
+    # (1 task at bench scale, full parallelism at production row
+    # counts). train_lang_id's own count() is served by the cache.
+    import math
+    import os
+
+    rows_per_task = int(
+        os.environ.get("SPARK_GRAFT_GRAPH_ROWS_PER_TASK", "250000")
+    )
+    n_rows = train.count()
+    npart = max(
+        1,
+        min(
+            train.sparkSession.sparkContext.defaultParallelism,
+            math.ceil(n_rows / rows_per_task),
+        ),
+    )
+    fit_frame = train
+    if npart < train.rdd.getNumPartitions():
+        fit_frame = train.coalesce(npart)
+    models = train_lang_id(fit_frame)
     train.unpersist()  # scoring reads `corpus`; the cache is dead here
     scored = predict_lang(corpus, models)
     return scored.select(

@@ -209,9 +209,34 @@ def pagerank(
     # re-executes the whole upstream plan (for a graph built from
     # raw HTML, that is one full regex link-extraction pass of the
     # corpus EACH — plus more inside the loop).
-    e = edges.select(
+    e_cached = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
     ).persist()
+    e = e_cached
+    # Size-adaptive partitioning of the loop tables (guide §2: derive
+    # partitioning from data size, not a constant): the host graph is
+    # the small distillate of the crawl, and every iteration pays per-
+    # partition task overhead on it. Count the cached edges (this also
+    # materializes the cache before the fan-out below) and coalesce —
+    # a narrow, shuffle-free merge — so a bench-scale graph runs its
+    # iterations on 1 task while a 10^8-edge production graph keeps
+    # full parallelism. Rows-per-task is env-tunable.
+    import math
+    import os
+
+    rows_per_task = int(
+        os.environ.get("SPARK_GRAFT_GRAPH_ROWS_PER_TASK", "250000")
+    )
+    n_edges = e_cached.count()
+    npart = max(
+        1,
+        min(
+            e_cached.sparkSession.sparkContext.defaultParallelism,
+            math.ceil(n_edges / rows_per_task),
+        ),
+    )
+    if npart < e_cached.rdd.getNumPartitions():
+        e = e_cached.coalesce(npart)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -274,7 +299,7 @@ def pagerank(
         # checkpoint flag the lazy plan still does, so they stay
         # cached (bounded: host-level tables).
         ranks = ranks.localCheckpoint(eager=True)
-        for helper in (e, shares, nodes, linkers):
+        for helper in (e_cached, shares, nodes, linkers):
             helper.unpersist()
     return ranks
 
