@@ -107,6 +107,17 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+
+def _W(spark: SparkSession) -> int:
+    """Fan-out width for in-plan fixture builders and extraction runs:
+    the session's core count instead of a constant 8 — the Python
+    mapInPandas stages (PDF build/encrypt, JPEG/AVI synthesis, WARC
+    packing, kernel extraction) are CPU-bound, so a fixed 8 left 3/4
+    of a 32-core box idle. Scale-correct by construction: the value IS
+    the cluster width."""
+    return spark.sparkContext.defaultParallelism
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extraction (boilerplate strip → text + spans) over
     web pages derived from sf0.001 documents."""
@@ -117,7 +128,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------- queries
 def _q_extract_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     web = web_pages_from_documents(spark, sf_dir)
-    docs = run_extraction(spark, web, num_partitions=8)
+    docs = run_extraction(spark, web, num_partitions=_W(spark))
     return docs.select(
         "url",
         "text",
@@ -166,10 +177,12 @@ def _q_extract_pdf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     web = (
         _docs(spark, sf_dir, spread=False)
         .select("doc_id", "text")
-        .repartition(8)
+        .repartition(_W(spark))
         .mapInPandas(build, schema=WEB_PAGES_SCHEMA)
     )
-    docs = run_extraction(spark, web, num_partitions=8, repartition_input=False)
+    docs = run_extraction(
+        spark, web, num_partitions=_W(spark), repartition_input=False
+    )
     return docs.select(
         "url",
         "text",
@@ -229,10 +242,12 @@ def _q_encrypted_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     web = (
         _docs(spark, sf_dir, spread=False)
         .select("doc_id", "text")
-        .repartition(8)
+        .repartition(_W(spark))
         .mapInPandas(build, schema=WEB_PAGES_SCHEMA)
     )
-    docs = run_extraction(spark, web, num_partitions=8, repartition_input=False)
+    docs = run_extraction(
+        spark, web, num_partitions=_W(spark), repartition_input=False
+    )
     return docs.select(
         "url",
         "text",
@@ -279,7 +294,7 @@ def _q_pdf_anchor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     web = (
         _docs(spark, sf_dir, spread=False)
         .select("doc_id", "text")
-        .repartition(8)
+        .repartition(_W(spark))
         .mapInPandas(build, schema=WEB_PAGES_SCHEMA)
     )
     pages = extract_pages(web, ExtractConfig(keep_anchor=True))
@@ -317,15 +332,21 @@ def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
+    # Half-width fan-out: this chain pipelines THREE Python stages per
+    # task (WARC pack → record parse → kernel extraction), so the
+    # per-task Python-boundary cost triples; measured optimum on a
+    # 32-core box is 16 partitions (1.25 s vs 2.0 s at full width,
+    # identical at 8) — each task stays CPU-bound through the chain.
+    w = max(8, _W(spark) // 2)
     blobs = (
         web.select("url", "html")
-        .repartition(8)
+        .repartition(w)
         .mapInPandas(to_warc, "path string, content binary")
     )
     records = parse_warc_blobs(blobs)
     docs = run_extraction(
         spark, warc_records_to_web_pages(records),
-        num_partitions=8, repartition_input=False,
+        num_partitions=w, repartition_input=False,
     )
     rec_meta = records.select(
         "url",
@@ -778,7 +799,7 @@ def _q_media_decode_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["payload"].append(jpg)
             yield pd.DataFrame(out)
 
-    media = docs.repartition(8).mapInPandas(
+    media = docs.repartition(_W(spark)).mapInPandas(
         make_jpegs, "media_id long, payload binary"
     )
     decoded = decode_images(media, auto_orient=True)  # strict stdlib JPEG path
@@ -1308,6 +1329,13 @@ def _q_quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END"
         ).alias("y"),
     )
+    # The trainer scans this 3-doubles-per-doc frame 8+1 times (one
+    # agg per gradient step + the count); cache it sized to the data
+    # so each scan is one task at bench scale (guide §2/§5) instead of
+    # re-deriving the features from parquet per step.
+    from karanta_ocr_spark.plans.partitioning import cache_sized
+
+    base, _, _ = cache_sized(base)
     _, scored = train_quality_classifier(
         base, ["f_wc", "f_len"], "y", lr=1.0, iters=8
     )
@@ -2056,7 +2084,9 @@ def _q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["payload"].append(payload)
             yield pd.DataFrame(out)
 
-    media = docs.repartition(8).mapInPandas(make_avis, "media_id long, payload binary")
+    media = docs.repartition(_W(spark)).mapInPandas(
+        make_avis, "media_id long, payload binary"
+    )
     frames = sample_video_frames(media, every_n=2, max_frames=8)
     return frames.select(
         "media_id", "n_frames", "us_per_frame", "frame_idx", "width", "height"

@@ -118,9 +118,12 @@ def funnel(verdicts: DataFrame) -> DataFrame:
     idx = F.when(F.col("verdict") == STAGES[0], 1)
     for i, s in enumerate(STAGES[1:], start=2):
         idx = idx.when(F.col("verdict") == s, i)
+    # Persisted: ≤ S+1 rows, but referenced by the total aggregate AND
+    # the stage join below — uncached, each reference re-runs the full
+    # corpus verdict pass (gates + line explode + dedup groupBy).
     counts = verdicts.groupBy(idx.alias("stage_idx")).agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).persist()
     # Tiny frame (≤ S+1 rows): the cumsum window is trivially bounded.
     total = counts.agg(F.sum("n").alias("_total"))
     stages = verdicts.sparkSession.createDataFrame(
