@@ -87,9 +87,27 @@ def _pair_sims(
 
     from pyspark.sql.types import LongType, StructField, StructType
 
+    import os
+
     rows = tgt.select(
         F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("_tv")
     ).collect()
+    # Bounded-pool contract, ENFORCED: the target side is collected
+    # and broadcast, which is only sane for a bounded mining pool.
+    # Above the cap, fail fast with the remedy named instead of
+    # OOMing the driver/executors mid-broadcast (two-big-sides mining
+    # needs the ANN-candidate path documented in the module
+    # docstring). spark.driver.maxResultSize still backstops the
+    # collect itself.
+    cap = int(os.environ.get("SPARK_GRAFT_BITEXT_TGT_CAP", "2000000"))
+    if len(rows) > cap:
+        raise ValueError(
+            f"bitext target pool has {len(rows)} rows, above the "
+            f"broadcast cap ({cap}); pre-reduce the target side with "
+            "an ANN candidate filter or raise "
+            "SPARK_GRAFT_BITEXT_TGT_CAP if the pool genuinely fits "
+            "driver+executor memory"
+        )
     s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("_sv"))
     schema = StructType([
         StructField("src_id", s.schema["src_id"].dataType),

@@ -89,31 +89,33 @@ def bloom_screen(
     positives at the filter's design rate), false iff any bit is
     clear (DEFINITELY new — Bloom filters have no false negatives).
 
-    One broadcast hash join per probe (k total), each on a distinct
-    renamed copy of the filter — all map-side, the batch is never
-    shuffled. k, num_bits, seed must match the build.
+    ONE broadcast carries the whole filter: the sparse (word_idx,
+    bits) table folds into a single-row ``map_from_entries`` map and
+    cross-joins onto the batch, and every probe becomes a map-side
+    ``try_element_at`` lookup (NULL = absent word = 32 zero bits).
+    The batch is never shuffled, and — unlike the previous k renamed
+    broadcast-join copies — there is exactly one broadcast job and
+    one copy of the filter per executor, so a driver GC pause cannot
+    serialize k barriers. k, num_bits, seed must match the build.
 
-    The filter is persisted first: without it, each of the k
-    broadcast subtrees would re-run the whole filter build — k full
-    passes over the prior corpus instead of one (verified in the
-    physical plan; the k broadcasts then read the one cached
-    m/32-row table)."""
-    bloom = bloom.persist()
-    out = df
+    Bit semantics are unchanged (same probe positions, same packed
+    masks); the DuckDB oracle replay is identical."""
+    bloom_row = F.broadcast(
+        bloom.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word_idx", "bits"))
+            ).alias("_bloom_map")
+        )
+    )
+    out = df.crossJoin(bloom_row)
     hits = []
     for i in range(k):
         out = out.withColumn(f"_p{i}", _probe_pos(col, i, num_bits, seed))
-        b = bloom.select(
-            F.col("word_idx").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
-        )
-        out = out.join(
-            F.broadcast(b),
-            (F.col(f"_p{i}") / 32).cast("bigint") == F.col(f"_w{i}"),
-            "left",
-        )
+        word = F.expr(f"cast(_p{i} / 32 as bigint)")
+        bits = F.try_element_at(F.col("_bloom_map"), word)
         hits.append(
             F.coalesce(
-                F.col(f"_b{i}").bitwiseAND(
+                bits.bitwiseAND(
                     F.expr(f"shiftleft(1L, cast(_p{i} % 32 as int))")
                 )
                 != 0,
@@ -124,9 +126,7 @@ def bloom_screen(
     for h in hits[1:]:
         seen = seen & h
     out = out.withColumn("seen_before", seen)
-    return out.drop(
-        *[c for i in range(k) for c in (f"_p{i}", f"_w{i}", f"_b{i}")]
-    )
+    return out.drop("_bloom_map", *[f"_p{i}" for i in range(k)])
 
 
 def bloom_new_docs(

@@ -49,6 +49,7 @@ name, ``os.replace`` per partition, post-action listing).
 from __future__ import annotations
 
 import os
+import uuid
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
@@ -286,7 +287,16 @@ def write_token_shards(
             [np.asarray(x, dtype="<i4") for x in pdf["ids"]]
         )
         name = f"shard-{sid:05d}-n{len(flat)}.bin"
-        tmp = os.path.join(out_dir, f".shard-{sid:05d}.tmp")
+        # Attempt-unique tmp name: under speculative execution or a
+        # concurrent retry, two attempts of this shard must never
+        # write the same tmp path (os.replace of a file another
+        # attempt is still writing tears the shard). uuid4 + pid makes
+        # each attempt's staging file private; the final os.replace
+        # stays atomic, last completed attempt wins.
+        tmp = os.path.join(
+            out_dir,
+            f".shard-{sid:05d}-{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp",
+        )
         with open(tmp, "wb") as f:
             f.write(flat.tobytes())
         # A retry of this shard's task replaces the prior attempt's

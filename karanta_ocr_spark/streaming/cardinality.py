@@ -77,6 +77,16 @@ def hll_coverage_batch_processor(
     one estimate snapshot row per group to *estimates_dir* —
     ``(group..., n_registers, estimate, batch_id)``, the coverage
     curve a crawl operator watches."""
+    if keep_versions < 2:
+        # With one retained version, a replayed batch N finds no
+        # version strictly older than N (pruning deleted them), loads
+        # an EMPTY prior, and overwrites v=N with only that batch's
+        # registers — silently discarding all accumulated state. Two
+        # versions is the minimum for at-least-once replay safety.
+        raise ValueError(
+            f"keep_versions must be >= 2 for replay safety, got "
+            f"{keep_versions}"
+        )
     groups = list(group_cols or [])
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

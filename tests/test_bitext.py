@@ -169,3 +169,18 @@ def test_pair_sims_zero_vector_and_empty_target(spark):
 
     empty_tgt = tgt.filter("vec_id < 0")
     assert _pair_sims(src, empty_tgt, "embedding", "vec_id").count() == 0
+
+
+def test_pair_sims_target_pool_cap_enforced(spark, monkeypatch):
+    # The collected+broadcast target side is a bounded-pool contract;
+    # above the cap the operator must fail fast with the remedy named,
+    # not OOM mid-broadcast.
+    import pytest
+
+    from karanta_ocr_spark.operators.bitext import _pair_sims
+
+    monkeypatch.setenv("SPARK_GRAFT_BITEXT_TGT_CAP", "3")
+    rows = [(i, [float(i), 1.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="target pool"):
+        _pair_sims(df, df, "embedding", "vec_id")

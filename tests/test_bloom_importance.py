@@ -63,16 +63,18 @@ def test_bloom_new_docs_definitely_new(spark, corpora):
     assert len(ids) >= 45
 
 
-def test_bloom_screen_plan_is_broadcast_no_shuffle(spark, corpora):
+def test_bloom_screen_plan_is_one_broadcast_no_shuffle(spark, corpora):
     prior, batch = corpora
     bloom = bloom_build(prior, "text", BITS, K)
     plan = bloom_screen(batch, bloom, "text", BITS, K)._jdf.queryExecution().executedPlan().toString()
-    # k broadcast joins, no sort-merge: the batch is never shuffled.
-    assert plan.count("BroadcastHashJoin") == K
+    # ONE broadcast carries the whole filter (the single-row
+    # map_from_entries fold); the k probes are map-side lookups, so
+    # there is exactly one broadcast exchange, no per-probe join
+    # cascade, and the batch is never shuffled or sort-merged.
+    assert plan.count("BroadcastExchange") == 1
+    assert "BroadcastHashJoin" not in plan
     assert "SortMergeJoin" not in plan
-    # The filter is built once (persisted) and re-read from cache by
-    # every broadcast, not rebuilt k times.
-    assert "InMemoryTableScan" in plan
+    assert plan.count("element_at") >= K
 
 
 def test_hashed_counts_sum_to_token_count(spark):

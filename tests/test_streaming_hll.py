@@ -101,3 +101,13 @@ def test_streaming_hll_replay_converges(spark, tmp_path):
     assert after_once == after_replay
     snaps_replay = sorted(map(tuple, spark.read.parquet(edir).collect()))
     assert snaps_once == snaps_replay
+
+
+def test_keep_versions_below_two_rejected():
+    # keep_versions=1 would let a replayed batch find no strictly-older
+    # version and silently reset all accumulated state; the processor
+    # must refuse to be constructed that way.
+    import pytest
+
+    with pytest.raises(ValueError, match="keep_versions"):
+        hll_coverage_batch_processor("/tmp/x", "/tmp/y", "v", keep_versions=1)
