@@ -59,6 +59,16 @@ def hll_registers(
     8 md5 hex chars mod m; ``rank`` is 1 + leading zeros of the next
     8 hex chars read as a 32-bit word (rank ∈ [1, 33]).
 
+    Cardinality ceiling: the rank word is 32 bits, so estimates are
+    reliable to roughly 10^8 distinct values; past that, hash
+    saturation makes the sketch UNDERestimate (the classic-HLL
+    large-range regime). For all-of-history counters expected to
+    exceed ~10^8 per group, either apply the large-range correction
+    ``-2^32 · ln(1 - E/2^32)`` to the returned estimate or widen the
+    rank domain to 64 bits (more md5 hex chars) — at the cost of
+    breaking byte-compatibility with previously persisted register
+    state, which is why the 32-bit layout is kept as the default.
+
     This is the MERGEABLE form: registers of a corpus union are the
     elementwise max of the parts' registers (pytest-pinned).
     """

@@ -33,6 +33,15 @@ Scale shape (10^9 docs per side):
 
 Reference scope note: the reference has no mining stage; this is
 part of the training-data suite beyond reference parity.
+
+Caching contract: this module ``persist()``s a bounded intermediate
+(named at the persist site) that the returned lazy plan still
+references — it cannot be unpersisted inside the operator without
+re-running the upstream per consumer. Library callers composing many
+operators in one session should release it after the final consuming
+action (``spark.catalog.clearCache()`` or the frame's own
+``unpersist()``); the bench and oracle harnesses do exactly that
+between queries.
 """
 
 from __future__ import annotations

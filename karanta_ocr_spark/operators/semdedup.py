@@ -39,6 +39,15 @@ verdicts) hash-matches.
 Reference scope note: the reference pipeline has no semantic dedup;
 this operator is part of the training-data suite the brief adds
 beyond reference parity.
+
+Caching contract: this module ``persist()``s a bounded intermediate
+(named at the persist site) that the returned lazy plan still
+references — it cannot be unpersisted inside the operator without
+re-running the upstream per consumer. Library callers composing many
+operators in one session should release it after the final consuming
+action (``spark.catalog.clearCache()`` or the frame's own
+``unpersist()``); the bench and oracle harnesses do exactly that
+between queries.
 """
 
 from __future__ import annotations
