@@ -182,6 +182,14 @@ def duplicate_clusters(
         .join(comp.withColumnRenamed("id", id_col), on=id_col, how="left")
         .withColumn("component", F.coalesce("component", F.col(id_col)))
     )
+    # Persisted: both the size aggregate and the final join consume
+    # `out`; uncached each branch re-runs the docs⋈labels join. (A
+    # count window over `component` would do it in one pass but puts
+    # an entire duplicate family into ONE window partition — a
+    # hot-family hazard at corpus scale; the partial-agg groupBy +
+    # join keeps sizes map-side-combinable.) The cache is two longs
+    # per doc.
+    out = out.persist()
     sizes = out.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
