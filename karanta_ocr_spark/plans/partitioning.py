@@ -26,6 +26,8 @@ custom rules or RDDs are involved.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 #: Engine session configuration (documented, applied by the pipeline).
@@ -42,6 +44,26 @@ ENGINE_CONF = {
     # Scan granularity: 64 MB splits so wide binary scans parallelize.
     "spark.sql.files.maxPartitionBytes": str(64 * 1024 * 1024),
 }
+
+# Driver-JVM service-thread bounds (effective at session build; the
+# runtime ``apply_engine_conf`` path no-ops on static confs via its
+# guard). The JVM sizes BOTH its GC worker pool and its JIT compiler
+# pool ergonomically from the core count (this 32-core box: 23 G1
+# workers, 15 tiered-compiler threads), so on a node whose task slots
+# already cover every core the service threads oversubscribe the CPUs
+# exactly when the engine is busiest — measured here as multi-second
+# first-execution inflation of plan-heavy queries while C2 compiles
+# their generated code concurrently with 32 busy task threads.
+# Bounding the pools keeps compilation in the background; the same
+# bound applies to many-core production executors
+# (``spark.executor.extraJavaOptions``) where task slots, not JVM
+# service pools, should own the cores. Parameterised:
+# ``SPARK_GRAFT_JAVA_OPTS`` (also read by bench.py) overrides this
+# whole string when set.
+if not os.environ.get("SPARK_GRAFT_JAVA_OPTS"):
+    ENGINE_CONF["spark.driver.extraJavaOptions"] = (
+        "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2 -XX:CICompilerCount=4"
+    )
 
 
 def apply_engine_conf(spark) -> None:
