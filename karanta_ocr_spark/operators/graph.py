@@ -169,17 +169,51 @@ def duplicate_clusters(
     ).select(
         "_id", F.struct(F.xxhash64("para"), F.length("para")).alias("_pk")
     ).distinct()
-    anchors = paras.groupBy("_pk").agg(F.min("_id").alias("_anchor"))
-    edges = (
-        paras.join(anchors, on="_pk")
-        .filter(F.col("_id") != F.col("_anchor"))
-        .select(F.col("_id").alias("src"), F.col("_anchor").alias("dst"))
+    # Star contraction (optimization r6): run the iterative fixpoint
+    # over the ANCHOR graph, not the member graph. Only paragraphs
+    # shared by >= 2 docs link anything (a group of one produced no
+    # edge before either), so unshared paragraphs — the vast majority
+    # of a real corpus — exit here, before any join graph exists.
+    # Each doc then contracts to a star over its anchor set (every
+    # anchor -> the doc's min anchor), which preserves exactly the
+    # doc-level connectivity: two anchors are linked iff some doc
+    # contains both, which is the same reachability the member->anchor
+    # edges induced. The fixpoint now iterates over |shared-paragraph
+    # anchors| nodes instead of |docs in any shared group| — fewer
+    # nodes AND half the diameter (doc hops are gone), so fewer
+    # propagation rounds at a fixed per-round stage cost.
+    anchors = (
+        paras.groupBy("_pk")
+        .agg(F.min("_id").alias("_anchor"), F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .drop("_n")
+    )
+    doc_anchors = paras.join(anchors, on="_pk").select("_id", "_anchor").distinct()
+    doc_min = doc_anchors.groupBy("_id").agg(F.min("_anchor").alias("_dmin"))
+    anchor_edges = (
+        doc_anchors.join(doc_min, on="_id")
+        .filter(F.col("_anchor") != F.col("_dmin"))
+        .select(F.col("_anchor").alias("src"), F.col("_dmin").alias("dst"))
         .distinct()
     )
-    comp = connected_components(edges, max_iters=max_iters)
+    comp_a = connected_components(anchor_edges, max_iters=max_iters)
+    # Doc label = min over its anchors' components (an anchor absent
+    # from every anchor edge — a one-group family — keeps its own id
+    # via the coalesce). The family minimum is itself the min anchor
+    # of every group it belongs to, so this min IS the family min the
+    # member-graph fixpoint produced.
+    doc_comp = (
+        doc_anchors.join(
+            comp_a.withColumnRenamed("id", "_anchor"), on="_anchor", how="left"
+        )
+        .withColumn("_c", F.coalesce("component", F.col("_anchor")))
+        .groupBy("_id")
+        .agg(F.min("_c").alias("component"))
+        .withColumnRenamed("_id", id_col)
+    )
     out = (
         df.select(F.col(id_col))
-        .join(comp.withColumnRenamed("id", id_col), on=id_col, how="left")
+        .join(doc_comp, on=id_col, how="left")
         .withColumn("component", F.coalesce("component", F.col(id_col)))
     )
     # Persisted: both the size aggregate and the final join consume

@@ -148,3 +148,26 @@ def test_duplicate_clusters_string_doc_ids(spark):
            for r in duplicate_clusters(df).collect()}
     assert got == {"url-a": ("url-a", 3), "url-b": ("url-a", 3),
                    "url-c": ("url-a", 3), "url-d": ("url-d", 1)}
+
+
+def test_duplicate_clusters_anchor_contraction_paths(spark):
+    # Exercises the r6 star-contraction internals:
+    # - doc 5 is the min of its only group {5,7}, so its label must
+    #   arrive through the anchor self-lookup (comp of anchor 5),
+    #   propagated from doc 7's star edge (5 -> 3);
+    # - docs 10/11 form a one-group family whose anchor appears in no
+    #   anchor edge (the coalesce fallback path);
+    # - doc 20 shares nothing (left-join fallback to its own id).
+    rows = [
+        (5, "SHARED P"),
+        (7, "SHARED P\nSHARED Q"),
+        (3, "SHARED Q\nown text"),
+        (10, "SHARED R"),
+        (11, "SHARED R"),
+        (20, "totally unique"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["component"], r["cluster_size"])
+           for r in duplicate_clusters(df).collect()}
+    assert got == {3: (3, 3), 5: (3, 3), 7: (3, 3),
+                   10: (10, 2), 11: (10, 2), 20: (20, 1)}
