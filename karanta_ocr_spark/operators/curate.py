@@ -91,23 +91,30 @@ def curation_verdicts(
     ).withColumn("_lang_ok", lang_ok).withColumn(
         "_quality_ok", quality_ok
     ).withColumn("_rep_ok", rep_ok)
-    canon = (
-        sig.filter(F.col("_gates_ok"))
-        .groupBy("_fp")
-        .agg(F.min(F.col(id_col)).alias("_keep_id"))
+    # The canonical keeper of each md5 group AMONG gate survivors is a
+    # conditional min over the fingerprint partition (optimization r6):
+    # one shuffle by _fp and one corpus pass. The previous
+    # groupBy-survivors + join-back shape shuffled the corpus by _fp
+    # TWICE (once to build the keeper table, once to join it) and
+    # recomputed every gate expression on the build side. A text
+    # duplicated millions of times makes one hot _fp partition either
+    # way (the join probe shuffled by _fp identically), so the window
+    # adds no new skew exposure. Only gates_ok rows can reach the
+    # exact_dedup branch, and for them the conditional min is
+    # non-NULL and equal to the old keeper id.
+    keep_id = F.min(F.when(F.col("_gates_ok"), F.col(id_col))).over(
+        Window.partitionBy("_fp")
     )
     verdict = (
         F.when(~F.col("_lang_ok"), F.lit("lang_filter"))
         .when(~F.col("_quality_ok"), F.lit("quality_filter"))
         .when(~F.col("_rep_ok"), F.lit("repetition_filter"))
-        .when(F.col("_keep_id") != F.col(id_col), F.lit("exact_dedup"))
+        .when(keep_id != F.col(id_col), F.lit("exact_dedup"))
         .otherwise(F.lit("kept"))
     )
     return (
-        sig.join(canon, "_fp", "left")
-        .withColumn("verdict", verdict)
-        .drop("_fp", "_gates_ok", "_lang_ok", "_quality_ok", "_rep_ok",
-              "_keep_id")
+        sig.withColumn("verdict", verdict)
+        .drop("_fp", "_gates_ok", "_lang_ok", "_quality_ok", "_rep_ok")
     )
 
 
