@@ -132,24 +132,68 @@ def semantic_dedup_verdicts(
         # centroid-assignment kernel and the rank window run 3×.
         .persist()
     )
-    a = ranked.select(
-        F.col("_cell"),
-        F.col(id_col).alias("_ida"),
-        F.col(vec_col).alias("_va"),
-        F.col("keep_rank").alias("_ra"),
-    )
-    b = ranked.select(
-        F.col("_cell"),
-        F.col(id_col).alias("_idb"),
-        F.col(vec_col).alias("_vb"),
-        F.col("keep_rank").alias("_rb"),
-    )
+    # Intra-cell pair verdicts in a numpy kernel (optimization r6):
+    # one grouped pass per cell replaces the JVM self-join, whose
+    # zip_with+fold cosine over Σ n_c² pairs was the query's dominant
+    # cost. Shuffle bytes halve (the cell's vectors cross once, not as
+    # both join sides) and the O(n_c²·d) arithmetic runs as d
+    # accumulated outer products — the SAME dimension-ascending add
+    # order as the sequential ``aggregate`` folds, so every cosine is
+    # bit-identical to the Catalyst expression (the device
+    # ``bitext._pair_sims`` pinned first). Cell sizes are bounded by
+    # the SemDeDup design point (n_clusters grows with the corpus), so
+    # one cell per task is the same contract the pair join ran under.
+    tau = float(threshold)
+    # round(cos, 6) >= tau  ⟺  cos·10⁶ ≥ tau·10⁶ − 0.5 (HALF_UP). The
+    # vectorized compare decides everything at least 1e-6 micro-units
+    # from that boundary; straddling entries (measure-zero, but the
+    # oracle demands exactness) fall back to decimal HALF_UP on the
+    # shortest-repr value — the same quantization Spark's round()
+    # applies via BigDecimal.
+    bound = tau * 1e6 - 0.5
+
+    def _pair_kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n <= 1:
+            return pd.DataFrame({id_col: pdf[id_col].iloc[:0]})
+        order = pdf.sort_values("keep_rank").reset_index(drop=True)
+        V = np.asarray([list(v) for v in order["_vd"]], dtype="float64")
+        d = V.shape[1]
+        nrm = np.zeros(n)
+        for j in range(d):
+            nrm = nrm + V[:, j] * V[:, j]
+        nrm = np.maximum(np.sqrt(nrm), 1e-12)
+        gram = np.zeros((n, n))
+        for j in range(d):
+            gram = gram + np.outer(V[:, j], V[:, j])
+        cos = gram / (nrm[:, None] * nrm[None, :])
+        scaled = cos * 1e6
+        ge = scaled >= bound + 1e-6
+        unsure = np.abs(scaled - bound) < 1e-6
+        if unsure.any():
+            from decimal import Decimal, ROUND_HALF_UP
+
+            q6 = Decimal("0.000001")
+            tq = Decimal(repr(tau))
+            for a_i, b_i in zip(*np.nonzero(unsure)):
+                r = Decimal(repr(float(cos[a_i, b_i]))).quantize(
+                    q6, ROUND_HALF_UP
+                )
+                ge[a_i, b_i] = r >= tq
+        earlier = np.tril(np.ones((n, n), dtype=bool), k=-1)
+        dup = (ge & earlier).any(axis=1)
+        return pd.DataFrame({id_col: order[id_col][dup]})
+
+    from pyspark.sql.types import StructType
+
     dup_ids = (
-        a.join(b, on="_cell")
-        .filter(F.col("_rb") < F.col("_ra"))
-        .filter(F.round(cosine_guarded(F.col("_va"), F.col("_vb")), 6) >= float(threshold))
-        .select(F.col("_ida").alias(id_col))
-        .distinct()
+        ranked.withColumn("_vd", F.col(vec_col).cast("array<double>"))
+        .select("_cell", id_col, "_vd", "keep_rank")
+        .groupBy("_cell")
+        .applyInPandas(_pair_kernel, schema=StructType([ranked.schema[id_col]]))
         .withColumn("is_semantic_dup", F.lit(True))
     )
     return (

@@ -165,3 +165,47 @@ def test_semantic_dedup_zero_vector_is_not_nan_dup(spark):
     z = out[99]
     assert z["centroid_sim"] == 0.0
     assert z["is_semantic_dup"] is False
+
+
+def test_pair_kernel_matches_catalyst_join(spark):
+    # The r6 numpy pair kernel must reproduce the JVM formulation
+    # bit-for-bit: same dimension-ascending add order as the
+    # zip_with+aggregate fold, same HALF_UP 6-dp threshold decision.
+    import random
+
+    from pyspark.sql import functions as F
+
+    from karanta_ocr_spark.operators.semdedup import semantic_dedup_verdicts
+    from karanta_ocr_spark.operators.similarity import cosine_guarded
+
+    rng = random.Random(7)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(16)])
+        for i in range(120)
+    ]
+    # seed some exact duplicates and near-duplicates
+    for i in range(0, 30, 3):
+        rows[i + 1] = (i + 1, rows[i][1])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = semantic_dedup_verdicts(df, n_clusters=4, threshold=0.9, seed=3)
+
+    ranked = got.select("vec_id", "cell", "keep_rank")
+    vecs = df
+    a = ranked.join(vecs, "vec_id").select(
+        F.col("cell"), F.col("vec_id").alias("_ida"),
+        F.col("embedding").alias("_va"), F.col("keep_rank").alias("_ra"))
+    b = ranked.join(vecs, "vec_id").select(
+        F.col("cell"), F.col("vec_id").alias("_idb"),
+        F.col("embedding").alias("_vb"), F.col("keep_rank").alias("_rb"))
+    jvm_dups = {
+        r["_ida"]
+        for r in a.join(b, on="cell")
+        .filter(F.col("_rb") < F.col("_ra"))
+        .filter(F.round(cosine_guarded(F.col("_va"), F.col("_vb")), 6)
+                >= 0.9)
+        .select("_ida").distinct().collect()
+    }
+    kernel_dups = {
+        r["vec_id"] for r in got.filter("is_semantic_dup").collect()
+    }
+    assert kernel_dups == jvm_dups and len(kernel_dups) > 0
