@@ -46,7 +46,7 @@ between queries.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from karanta_ocr_spark.operators.similarity import cosine_guarded
 
@@ -175,35 +175,33 @@ def margin_scores(pairs: DataFrame, k: int = 4) -> DataFrame:
     """Ratio-margin scores over a (src_id, tgt_id, sim_micro) pair
     table: each side's k-NN sum is an exact integer aggregation; the
     margin is one floor division in micro-units."""
-    wf = Window.partitionBy("src_id").orderBy(
-        F.desc("sim_micro"), F.col("tgt_id")
-    )
-    wb = Window.partitionBy("tgt_id").orderBy(
-        F.desc("sim_micro"), F.col("src_id")
-    )
-    # The ranked pair table feeds THREE consumers (fwd sums, bwd sums,
-    # and the margin join): without a persist the upstream pair
-    # cosines — the expensive HOF crossJoin — are recomputed once per
-    # branch (measured 3× the wall at sf0.1). Values are unaffected;
-    # at two-big-sides scale the pair table is ANN-bounded (module
+    # The pair table feeds THREE consumers (fwd sums, bwd sums, and
+    # the margin join): without a persist the upstream pair cosines —
+    # the expensive kernel crossJoin — are recomputed once per branch
+    # (measured 3× the wall at sf0.1). Values are unaffected; at
+    # two-big-sides scale the pair table is ANN-bounded (module
     # docstring) so the cache is candidate-sized, not corpus-sized.
-    ranked = (
-        pairs.withColumn("_rf", F.row_number().over(wf))
-        .withColumn("_rb", F.row_number().over(wb))
-        .persist()
+    pairs = pairs.persist()
+    # k-NN sums as aggregations, not rank windows (optimization r6):
+    # the sum of the k LARGEST sim_micro values is invariant to how a
+    # rank window breaks ties at the k boundary (tied values are
+    # equal), so each side's neighborhood sum is one groupBy with a
+    # per-group top-k slice — no full sort of the pair table per side
+    # and no rank filter pass. Per-group state is the group's
+    # sim_micro list, bounded by the candidate-generation contract
+    # (exact pool mode is pool-capped, ANN mode is candidate-capped).
+    topk = F.slice(F.sort_array(F.collect_list("sim_micro"), asc=False), 1, k)
+    topk_sum = F.aggregate(topk, F.lit(0).cast("long"), lambda a, x: a + x)
+    fwd = pairs.groupBy("src_id").agg(
+        topk_sum.alias("fwd_sum"),
+        F.least(F.count(F.lit(1)), F.lit(k)).cast("long").alias("fwd_n"),
     )
-    fwd = (
-        ranked.filter(F.col("_rf") <= k)
-        .groupBy("src_id")
-        .agg(F.sum("sim_micro").alias("fwd_sum"), F.count("*").alias("fwd_n"))
-    )
-    bwd = (
-        ranked.filter(F.col("_rb") <= k)
-        .groupBy("tgt_id")
-        .agg(F.sum("sim_micro").alias("bwd_sum"), F.count("*").alias("bwd_n"))
+    bwd = pairs.groupBy("tgt_id").agg(
+        topk_sum.alias("bwd_sum"),
+        F.least(F.count(F.lit(1)), F.lit(k)).cast("long").alias("bwd_n"),
     )
     return (
-        ranked.join(fwd, on="src_id")
+        pairs.join(fwd, on="src_id")
         .join(bwd, on="tgt_id")
         .withColumn(
             # margin = 2·sim / (fwd_sum/fwd_n + bwd_sum/bwd_n)
@@ -239,18 +237,29 @@ def mine_bitext(
     threshold. Returns ``(src_id, tgt_id, cos_sim, margin)``."""
     pairs = _pair_sims(src, tgt, vec_col, id_col)
     scored = margin_scores(pairs, k=k)
-    w = Window.partitionBy("src_id").orderBy(
-        F.desc("margin_micro"), F.col("tgt_id")
-    )
     thr = int(round(margin_threshold * _M))
+    # Forward-best per src as a struct-max aggregation (optimization
+    # r6): (margin_micro desc, tgt_id asc) is a total order within a
+    # src group (tgt_id is unique there), so max of the struct
+    # (margin, -tgt, payload...) picks exactly the row the rank-1
+    # window picked, without sorting every group.
+    best = scored.groupBy("src_id").agg(
+        F.max(
+            F.struct(
+                F.col("margin_micro"),
+                (-F.col("tgt_id")).alias("_nt"),
+                F.col("tgt_id"),
+                F.col("sim_micro"),
+            )
+        ).alias("_b")
+    )
     return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter((F.col("_rk") == 1) & (F.col("margin_micro") >= thr))
+        best.filter(F.col("_b.margin_micro") >= thr)
         .select(
             "src_id",
-            "tgt_id",
-            (F.col("sim_micro") / F.lit(float(_M))).alias("cos_sim"),
-            (F.col("margin_micro") / F.lit(float(_M))).alias("margin"),
+            F.col("_b.tgt_id").alias("tgt_id"),
+            (F.col("_b.sim_micro") / F.lit(float(_M))).alias("cos_sim"),
+            (F.col("_b.margin_micro") / F.lit(float(_M))).alias("margin"),
         )
     )
 
