@@ -150,6 +150,32 @@ def test_duplicate_clusters_string_doc_ids(spark):
                    "url-c": ("url-a", 3), "url-d": ("url-d", 1)}
 
 
+def test_connected_components_driver_path_matches_loop(spark, monkeypatch):
+    # The size-gated driver union-find must label exactly what the
+    # distributed fixpoint labels, on a graph mixing a long path (the
+    # loop's worst case), a cycle, a star, and an isolated edge.
+    import karanta_ocr_spark.operators.graph as gm
+
+    edges = (
+        [(i, i + 1) for i in range(1, 30)]          # path 1..30
+        + [(100, 101), (101, 102), (102, 100)]       # cycle
+        + [(200, v) for v in range(201, 208)]        # star
+        + [(300, 301)]                               # island
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {(r["id"], r["component"])
+            for r in connected_components(df).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_EDGES", "0")
+    slow = {(r["id"], r["component"])
+            for r in connected_components(df).collect()}
+    assert fast == slow
+    comps = {}
+    for node, c in fast:
+        comps.setdefault(c, set()).add(node)
+    assert set(comps) == {1, 100, 200, 300}
+    assert comps[1] == set(range(1, 31))
+
+
 def test_duplicate_clusters_anchor_contraction_paths(spark):
     # Exercises the r6 star-contraction internals:
     # - doc 5 is the min of its only group {5,7}, so its label must
