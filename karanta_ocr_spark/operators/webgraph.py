@@ -258,15 +258,21 @@ def pagerank(
     # host graph is the SMALL distillate of the crawl (hosts, not
     # pages), so caching it is the production choice at 100 TB too.
     shares = shares.persist()
-    nodes = nodes.persist()
-    linkers = linkers.persist()
+    # Sink membership is loop-invariant, so resolve it ONCE into a
+    # node flag instead of an anti-join against `linkers` inside every
+    # round: the per-round dangling mass becomes a filter+sum over the
+    # rank table itself (one aggregation, no join). Same node set,
+    # same mass; the flag rides the loop table as one boolean.
+    nodes = nodes.join(
+        linkers.withColumn("_lk", F.lit(True)), "id", "left"
+    ).select("id", F.col("_lk").isNull().alias("_sink")).persist()
     n_nodes = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("nc")))
     ranks = nodes.crossJoin(n_nodes).select(
-        "id", (F.lit(1.0) / F.col("nc")).alias("rank")
+        "id", "_sink", (F.lit(1.0) / F.col("nc")).alias("rank")
     )
     for _ in range(iters):
         dangling = F.broadcast(
-            ranks.join(linkers, "id", "left_anti").agg(
+            ranks.filter(F.col("_sink")).agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
             )
         )
@@ -281,6 +287,7 @@ def pagerank(
             .crossJoin(dangling)
             .select(
                 "id",
+                "_sink",
                 (
                     (1.0 - damping) / F.col("nc")
                     + damping
@@ -293,6 +300,7 @@ def pagerank(
         )
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
+    ranks = ranks.select("id", "rank")
     if checkpoint:
         # Materialize the final ranks, then drop the helper caches —
         # the returned frame no longer references them. Without the
