@@ -261,7 +261,15 @@ def duplicate_clusters(
         .filter(F.col("_n") >= 2)
         .drop("_n")
     )
-    doc_anchors = paras.join(anchors, on="_pk").select("_id", "_anchor").distinct()
+    # Persisted: the (doc, anchor) distillate feeds the star edges
+    # (via doc_min), the symmetrized fixpoint input, and the final
+    # doc-label aggregate; uncached, each consumer re-runs the
+    # paragraph explode + anchor join over the corpus. Two ids per
+    # row, bounded by docs-in-shared-groups × their shared-paragraph
+    # anchors — the same distillate class the webgraph caches.
+    doc_anchors = (
+        paras.join(anchors, on="_pk").select("_id", "_anchor").distinct().persist()
+    )
     doc_min = doc_anchors.groupBy("_id").agg(F.min("_anchor").alias("_dmin"))
     anchor_edges = (
         doc_anchors.join(doc_min, on="_id")
